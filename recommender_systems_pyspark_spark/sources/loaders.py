@@ -1,0 +1,61 @@
+"""Parquet table sources (the engine's storage layer).
+
+The reference stages everything in Postgres and reads it back over JDBC
+(SURVEY.md §2.1 S2; ``utils/recommender.py:49-50``, ``utils/imb_rating.py:34-44``,
+``app.py:163``). The engine's primary store is parquet: columnar, splittable,
+with min/max pruning and predicate/column pushdown that Catalyst applies for
+free. JDBC remains available as an optional connector (``sources.jdbc``).
+
+Scale notes (100 TB):
+- One ``spark.read.parquet`` per table — scans parallelize by row-group;
+  ``spark.sql.files.maxPartitionBytes`` (session.py) sizes the splits.
+- ``DIM_TABLES`` are the always-broadcast side: region/nation/supplier stay
+  tiny at every scale factor (they scale with the key space, not the fact
+  volume), so joins against them must never shuffle the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Every table the driver fixtures provide (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables that are always safe to broadcast (bounded cardinality).
+DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Lazy; filters/projections placed on the result are
+    pushed into the parquet reader by Catalyst."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    try:
+        # Fixtures carry TIMESTAMP(NANOS); Spark 4 needs this to read them
+        # (as TIMESTAMP_NTZ). Set here so any caller-provided session works.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - static-conf deployments
+        pass
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables as a dict — the standard entry point for query functions."""
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works too."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
