@@ -1,0 +1,183 @@
+"""Scalar-function surface (SURVEY.md §2.7, F1-F12): string/array/date
+functions, conditional buckets, deterministic sampling — all JVM-side
+built-ins (the reference does several of these driver-side in pandas/Python;
+here they run distributed inside whole-stage codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tables
+
+
+@query(
+    "f1_split_array_ops",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_tokens,
+           string_split(p_name, ' ')[1] AS first_token,
+           array_to_string(string_split(p_name, ' '), '|') AS joined
+    FROM part
+    """,
+)
+def f1_split_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: delimited string → real array (genres split, app.py:355,
+    utils/imb_rating.py:107 — pandas there, distributed here), with
+    size / element access / array_join exercised on the result."""
+    t = tables(spark, sf_dir)
+    toks = F.split(F.col("p_name"), " ")
+    return t["part"].select(
+        "p_partkey",
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+        F.array_join(toks, "|").alias("joined"),
+    )
+
+
+@query(
+    "f2_explode_distinct",
+    oracle="""
+    SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word
+    FROM part
+    """,
+)
+def f2_explode_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: explode split tokens → distinct vocabulary (the distinct-genre
+    harvest, app.py:352-357, done in pandas there). explode is a generator
+    in codegen — no shuffle until the distinct."""
+    t = tables(spark, sf_dir)
+    return (
+        t["part"]
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .distinct()
+    )
+
+
+@query(
+    "f4_normalize_strings",
+    oracle="""
+    SELECT p_partkey,
+           lower(trim(concat('  ', p_name, ' '))) AS name_norm,
+           upper(p_brand) AS brand_upper,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+)
+def f4_normalize_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: lower/trim normalization (utils/imb_rating.py:107 .strip().lower())
+    plus upper/concat — pure codegen string ops."""
+    t = tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.lower(F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" ")))).alias("name_norm"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.concat_ws(":", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@query(
+    "f6_format_display",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%.2f', o_totalprice) AS price_str,
+           printf('%s/%s', o_orderstatus, o_orderpriority) AS status_prio
+    FROM orders
+    """,
+)
+def f6_format_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: display formatting (f-strings at app.py:332,377 — driver-side
+    there, distributed format_string here). Two decimals matches the stored
+    precision, so no cross-engine rounding-mode edge exists."""
+    t = tables(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        F.format_string("%.2f", F.col("o_totalprice")).alias("price_str"),
+        F.format_string("%s/%s", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+    )
+
+
+@query(
+    "f9_conditional_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 400000.0 THEN 'premium'
+                WHEN o_totalprice >= 250000.0 THEN 'high'
+                WHEN o_totalprice >= 100000.0 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY price_band
+    """,
+)
+def f9_conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: 4-way conditional bucketing (the IMDb-rating → user-rating band
+    mapping, utils/imb_rating.py:116-124, an if/elif chain over collected
+    rows there — a when-chain inside one aggregate here)."""
+    t = tables(spark, sf_dir)
+    band = (
+        F.when(F.col("o_totalprice") >= 400000.0, "premium")
+        .when(F.col("o_totalprice") >= 250000.0, "high")
+        .when(F.col("o_totalprice") >= 100000.0, "mid")
+        .otherwise("low")
+    )
+    return t["orders"].groupBy(band.alias("price_band")).agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "f10_deterministic_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % 4294967296 < 429496729
+    """,
+)
+def f10_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: seeded sampling, engine form. The reference samples with
+    driver-side ``random.choices`` (utils/imb_rating.py:103,113); the
+    distributed equivalent keys the decision on the row itself (Knuth
+    multiplicative hash on the primary key → ~10% sample) so it is
+    reproducible across runs, partitionings, and engines — unlike
+    ``rand()``, which no SQL oracle can replay."""
+    t = tables(spark, sf_dir)
+    keep = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(429496729)
+    return t["orders"].where(keep).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "f11_membership_overlap",
+    oracle="""
+    SELECT p_partkey, p_name,
+           list_has_any(string_split(p_name, ' '), ['red', 'blue', 'green']) AS color_match
+    FROM part
+    """,
+)
+def f11_membership_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: membership test of a token list against a preference list
+    (genre-preference match, utils/imb_rating.py:105-109 — Python set logic
+    there; arrays_overlap on a real ArrayType column here)."""
+    t = tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        "p_name",
+        F.arrays_overlap(
+            F.split(F.col("p_name"), " "),
+            F.array(F.lit("red"), F.lit("blue"), F.lit("green")),
+        ).alias("color_match"),
+    )
+
+
+@query("f7_f8_row_metadata")  # nondeterministic by design → rows-only check
+def f7_f8_row_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8: current_timestamp + uuid stamped onto rows (utils/user.py:146-147
+    stamps datetime.now()/uuid4 driver-side per row; here both are generated
+    distributed). No SQL oracle — values are fresh per run; the pytest suite
+    asserts shape (uuid regex, non-null timestamps) instead."""
+    t = tables(spark, sf_dir)
+    return t["customer"].select(
+        "c_custkey",
+        F.expr("uuid()").alias("row_uuid"),
+        F.current_timestamp().alias("stamped_at"),
+    )

@@ -35,6 +35,11 @@ TABLES: tuple[str, ...] = (
 #: Dimension tables that are always safe to broadcast (bounded cardinality).
 DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
 
+#: Columns stored as parquet TIMESTAMP(NANOS) — read as long nanos (see
+#: load_table) and normalized to TIMESTAMP_NTZ at microsecond precision,
+#: matching what DuckDB's reader exposes for the same files.
+NANO_TS_COLUMNS: frozenset[str] = frozenset({"ts"})
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Lazy; filters/projections placed on the result are
@@ -42,12 +47,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     try:
-        # Fixtures carry TIMESTAMP(NANOS); Spark 4 needs this to read them
-        # (as TIMESTAMP_NTZ). Set here so any caller-provided session works.
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+        # rejects outright; with this conf it arrives as LongType nanos
+        # (normalized below). Set here so any caller-provided session works.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The nanos→NTZ conversion below hops through an LTZ value; pin the
+        # session zone so the wall clock matches the file's naive timestamps.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # pragma: no cover - static-conf deployments
         pass
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F  # local import keeps module load light
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name in NANO_TS_COLUMNS and isinstance(field.dataType, LongType):
+            # integer `div` (not /) — double division would wobble at 2^53.
+            df = df.withColumn(
+                field.name,
+                F.expr(f"CAST(timestamp_micros({field.name} div 1000) AS TIMESTAMP_NTZ)"),
+            )
+    return df
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -65,13 +65,13 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 )
         else:
             try:
-                eq = (sv.astype(object).where(pd.notna(sv), None)
-                      == ov.astype(object).where(pd.notna(ov), None))
+                both_null = pd.isna(sv).to_numpy() & pd.isna(ov).to_numpy()
+                eq = (sv.astype(object) == ov.astype(object)).to_numpy() | both_null
             except Exception as e:  # incomparable dtypes
                 errs.append(f"col {col}: compare failed ({e}); spark={sv.dtype} oracle={ov.dtype}")
                 continue
             if not bool(eq.all()):
-                bad = (~eq).to_numpy().nonzero()[0][:3]
+                bad = (~eq).nonzero()[0][:3]
                 ex = [(sv.iloc[i], ov.iloc[i]) for i in bad]
                 errs.append(f"col {col}: {int((~eq).sum())} rows differ, e.g. {ex}")
     return errs
