@@ -1,0 +1,197 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extension per BASELINE.json: token counting, quality scoring, language ID,
+fingerprinting — the per-document stages of an LLM-data pipeline).
+
+All of it is built-in column expressions inside whole-stage codegen — no
+Python UDFs — so a 100 TB corpus streams through map-only stages with zero
+shuffles except where an aggregation is the point of the query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query, sql_exact_avg
+from ..sources import tables
+
+#: Tiny embedded stopword list (marker words for quality + lang-id). The
+#: fixtures' synthetic vocabulary is English-like; real deployments swap in
+#: per-language lists via a broadcast join against a stopword dimension.
+EN_STOP = ("the", "a", "of", "and", "to", "in")
+
+_TOKS = "split(text, ' ')"
+
+
+def tokens() -> Column:
+    """Whitespace tokenization (the engine's canonical token stream)."""
+    return F.split(F.col("text"), " ")
+
+
+@query(
+    "x_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_measured,
+           CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+                AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, char length, mean token length.
+    Map-only; the BPE-ish variant (x_text_bpe_tokens) uses a regex
+    tokenizer on the same plan shape."""
+    t = tables(spark, sf_dir)
+    toks = tokens()
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda s: F.length(s)), F.lit(0), lambda acc, v: acc + v
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_measured"),
+        (tok_len_sum.cast("double") / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+@query(
+    "x_text_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                AS INTEGER) AS n_subtokens
+    FROM documents
+    """,
+)
+def x_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: alpha runs / digit runs / single punctuation
+    as separate tokens (regex pre-tokenization, the split GPT-style BPE
+    applies before merges)."""
+    t = tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
+        ).alias("n_subtokens"),
+    )
+
+
+@query(
+    "x_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN {EN_STOP!r})) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stop_ratio,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+           (CASE WHEN len(string_split(text, ' ')) >= 20
+                  AND len(list_filter(string_split(text, ' '),
+                                      t -> t IN {EN_STOP!r})) > 0
+                 THEN 'keep' ELSE 'flag' END) AS quality_gate
+    FROM documents
+    """,
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + chars-per-token + a keep/flag gate
+    (the C4/Gopher-style heuristic family). Pure expressions — the gate
+    becomes a pushable predicate when used as a corpus filter."""
+    t = tables(spark, sf_dir)
+    toks = tokens()
+    n_stop = F.size(F.filter(toks, lambda s: s.isin(*EN_STOP)))
+    gate = F.when(
+        (F.size(toks) >= 20) & (n_stop > 0), "keep"
+    ).otherwise("flag")
+    return t["documents"].select(
+        "doc_id",
+        (n_stop.cast("double") / F.size(toks)).alias("stop_ratio"),
+        (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
+        gate.alias("quality_gate"),
+    )
+
+
+@query(
+    "x_lang_id",
+    oracle="""
+    SELECT doc_id, lang AS labeled_lang,
+           (CASE WHEN len(list_filter(string_split(text, ' '),
+                                      t -> t IN ('the', 'a', 'of', 'and'))) >= 2
+                 THEN 'en'
+                 WHEN len(list_filter(string_split(text, ' '),
+                                      t -> t IN ('le', 'la', 'les', 'der', 'die', 'el'))) >= 2
+                 THEN 'other'
+                 ELSE 'und' END) AS predicted_lang
+    FROM documents
+    """,
+)
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID, marker-word heuristic: count language-marker hits and
+    pick by precedence. NOTE the fixtures generate English-like text with a
+    random ``lang`` label, so agreement with the label is not meaningful —
+    the operator (and its n-gram-profile upgrade path) is what is tested.
+    At scale the marker lists become a broadcast dimension, keeping this a
+    map-only stage."""
+    t = tables(spark, sf_dir)
+    toks = tokens()
+    en_hits = F.size(F.filter(toks, lambda s: s.isin("the", "a", "of", "and")))
+    other_hits = F.size(F.filter(toks, lambda s: s.isin("le", "la", "les", "der", "die", "el")))
+    predicted = (
+        F.when(en_hits >= 2, "en").when(other_hits >= 2, "other").otherwise("und")
+    )
+    return t["documents"].select(
+        "doc_id", F.col("lang").alias("labeled_lang"), predicted.alias("predicted_lang")
+    )
+
+
+@query(
+    "x_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_md5,
+           sha256(lower(trim(text))) AS content_sha256,
+           substr(md5(lower(trim(text))), 1, 16) AS short_fp
+    FROM documents
+    """,
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonicalize (trim+lower) then hash. The
+    md5/sha256 hex digests are engine-portable (identical in DuckDB), which
+    is exactly the property a cross-system dedup pipeline needs."""
+    t = tables(spark, sf_dir)
+    canon = F.lower(F.trim(F.col("text")))
+    return t["documents"].select(
+        "doc_id",
+        F.md5(canon).alias("content_md5"),
+        F.sha2(canon, 256).alias("content_sha256"),
+        F.substring(F.md5(canon), 1, 16).alias("short_fp"),
+    )
+
+
+@query(
+    "x_doc_stats_by_lang",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           {sql_exact_avg('n_chars', 'avg_chars')},
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def x_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: per-language doc counts and length stats — the
+    monitoring query a curation pipeline runs after every filter stage."""
+    from ..registry import exact_avg
+
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            exact_avg(F.col("n_chars").cast("double"), "avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""Property tests for the approximate operators (no SQL oracle): MinHash+LSH
+recall/precision vs the exact shingle-Jaccard ground truth, SimHash sketch
+properties, IVF recall vs brute-force top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recommender_systems_pyspark_spark.registry import all_queries
+
+SPECS = all_queries()
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_minhash_lsh_vs_exact_ground_truth(spark, sf_dir):
+    exact = SPECS["x_dedup_shingle_pairs"].fn(spark, sf_dir)
+    lsh = SPECS["x_dedup_minhash_lsh"].fn(spark, sf_dir)
+    exact_pairs = _pairs(exact)
+    lsh_pairs = _pairs(lsh)
+    # precision is exact: candidates are verified with the same jaccard
+    assert lsh_pairs <= exact_pairs
+    # recall 1.0 on near-identical pairs (j >= 0.95 → band collision ~certain)
+    strong = {(r.doc_a, r.doc_b) for r in exact.where(F.col("jaccard_sim") >= 0.95).collect()}
+    assert strong and strong <= lsh_pairs
+    # overall recall sanity at the 0.8 threshold
+    assert len(lsh_pairs) >= 0.5 * len(exact_pairs)
+
+
+def test_simhash_properties(spark, sf_dir):
+    from recommender_systems_pyspark_spark.functions.dedup import shingles, simhash64
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", shingles().alias("sh"))
+    sig = docs.select("doc_id", simhash64().alias("sig"))
+    rows = sig.collect()
+    assert all(r.sig is not None for r in rows)
+    # near-identical docs (exact ground truth) stay within the hamming gate
+    strong = (
+        SPECS["x_dedup_shingle_pairs"].fn(spark, sf_dir).where(F.col("jaccard_sim") >= 0.97)
+    )
+    ham = {(r.doc_a, r.doc_b): r.hamming for r in SPECS["x_dedup_simhash"].fn(spark, sf_dir).collect()}
+    for r in strong.collect():
+        assert (r.doc_a, r.doc_b) in ham, f"near-dup pair {(r.doc_a, r.doc_b)} above hamming gate"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    exact = [r.vec_id for r in SPECS["x_knn_cosine_topk"].fn(spark, sf_dir).collect()]
+    approx = [r.vec_id for r in SPECS["x_knn_ivf_topk"].fn(spark, sf_dir).collect()]
+    assert len(approx) == 10
+    # probing 3/10 cells must still find a majority of the true top-10
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} vs exact {exact} approx {approx}"
+
+
+def test_exact_dedup_keeps_one_per_hash(spark, sf_dir):
+    df = SPECS["x_dedup_exact"].fn(spark, sf_dir)
+    total = df.agg(F.sum("n_copies")).collect()[0][0]
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    assert total == load_table(spark, sf_dir, "documents").count()
+    assert df.where(F.col("keep_doc_id").isNull()).count() == 0
