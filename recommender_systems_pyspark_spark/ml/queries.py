@@ -1,0 +1,94 @@
+"""Registry entries for the ML surface: SQL-expressible rating analytics
+(with DuckDB oracles) and the ALS pipeline itself (rows-only — iterative
+least squares is not SQL)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import exact_avg, query, sql_exact_avg
+from .ratings import SQL_RATINGS, ratings_from_events
+
+
+@query(
+    "ml_rating_stats",
+    oracle=f"""
+    WITH r AS ({SQL_RATINGS})
+    SELECT COUNT(*) AS n_ratings,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT item_id) AS n_items,
+           {sql_exact_avg('rating', 'avg_rating')}
+    FROM r
+    """,
+)
+def ml_rating_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training diagnostics in ONE pass (the reference runs four separate
+    jobs: count, 2× distinct().count(), groupBy().count().show() —
+    utils/recommender.py:90-97). Also proves the ratings derivation
+    (JSON extract + arithmetic) matches SQL exactly."""
+    return ratings_from_events(spark, sf_dir).agg(
+        F.count("*").alias("n_ratings"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("item_id").alias("n_items"),
+        exact_avg(F.col("rating").cast("double"), "avg_rating"),
+    )
+
+
+@query(
+    "ml_user_unlock_gate",
+    oracle=f"""
+    WITH r AS ({SQL_RATINGS})
+    SELECT user_id, COUNT(*) AS n_ratings,
+           COUNT(*) >= 10 AS recs_unlocked
+    FROM r GROUP BY user_id
+    """,
+)
+def ml_user_unlock_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rating counts with the ≥10 recommendations-unlock gate
+    (app.py:403-406), computed set-wide instead of per-logged-in-user."""
+    return (
+        ratings_from_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_ratings"))
+        .select("user_id", "n_ratings", (F.col("n_ratings") >= 10).alias("recs_unlocked"))
+    )
+
+
+@query(
+    "ml_latest_rating_dedup",
+    oracle=f"""
+    WITH r AS ({SQL_RATINGS})
+    SELECT user_id, item_id, rating, rated_at
+    FROM r
+    QUALIFY row_number() OVER (PARTITION BY user_id, item_id
+                               ORDER BY rated_at DESC, rating) = 1
+    """,
+)
+def ml_latest_rating_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-rating-per-(user,item) dedup view (SURVEY.md §2.12): the sane
+    default over the reference's append-duplicates semantics."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "item_id").orderBy(
+        F.col("rated_at").desc(), F.col("rating")
+    )
+    return (
+        ratings_from_events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query("ml_als_top_recs")  # iterative ALS is not SQL-expressible → rows-only
+def ml_als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ALS surface (M1-M10): derive ratings → index → ALS
+    (seeded, nonnegative, coldStart=drop) → top-3 per user → broadcast-join
+    decode to original ids. Rows-only check; pytest asserts RMSE ceiling,
+    rank shape, id decode closure, and save/load roundtrip."""
+    from .recommender import AlsConfig, recommend_top_n, train
+
+    ratings = ratings_from_events(spark, sf_dir)
+    result = train(ratings, AlsConfig(rank=8, max_iter=5))
+    return recommend_top_n(result.model, n=3)

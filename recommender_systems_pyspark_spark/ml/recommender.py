@@ -1,0 +1,175 @@
+"""ALS recommender pipeline — the reference's core capability
+(utils/recommender.py:19-241), rebuilt Spark-first.
+
+Differences from the reference, each a deliberate scale fix:
+- ``ratings.cache()`` before iterative fitting (the reference re-scans JDBC
+  on every CV fold — SURVEY.md §4 'Caching').
+- Index→ID decode is a broadcast JOIN against the indexer's label
+  dictionary instead of the reference's two Python closure UDFs
+  (utils/recommender.py:164-174) — no JVM→Python round trip per row (M10).
+- One session, parquet persistence, no JDBC staging.
+
+Kept semantics: explicit-feedback ALS, ``nonnegative=True``,
+``coldStartStrategy="drop"`` (utils/recommender.py:73-80), 80/20 split with
+seed=42 (``:104``), 3-fold CV on RMSE (``:112-123``), top-N per user
+(``:145-150``), pipeline save/load (``:136``).
+
+Scale notes: ALS itself is the shuffle-heavy phase (user/item factor
+exchanges per iteration). The levers at 100 TB are rank (factor matrix
+width), ``als.rank``·users/items memory, checkpointing every ~10 iterations
+(lineage truncation), and blocked factors (ALS's native storage) — all
+inside pyspark.ml; nothing custom required.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.feature import StringIndexer
+from pyspark.ml.recommendation import ALS, ALSModel
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class AlsConfig:
+    """Hyperparameters. The reference pins rank=200/maxIter=40/reg=0.4
+    (utils/recommender.py:106-110) for the full IMDb dump; fixture-scale
+    defaults are smaller so CV stays interactive."""
+
+    rank: int = 8
+    max_iter: int = 8
+    reg_param: float = 0.1
+    seed: int = 42
+    nonnegative: bool = True
+    cold_start: str = "drop"
+    cv_reg_grid: tuple[float, ...] = (0.05, 0.1)
+    cv_folds: int = 3
+
+
+@dataclass
+class TrainResult:
+    model: PipelineModel
+    rmse: float
+    n_train: int
+    n_test: int
+    metrics: dict = field(default_factory=dict)
+
+
+def build_pipeline(cfg: AlsConfig) -> Pipeline:
+    """StringIndexer(user) + StringIndexer(item) + ALS — the reference's
+    pipeline shape (utils/recommender.py:64-84), handleInvalid='skip'."""
+    user_idx = StringIndexer(
+        inputCol="user_id", outputCol="user_idx", handleInvalid="skip"
+    )
+    item_idx = StringIndexer(
+        inputCol="item_id", outputCol="item_idx", handleInvalid="skip"
+    )
+    als = ALS(
+        userCol="user_idx",
+        itemCol="item_idx",
+        ratingCol="rating",
+        rank=cfg.rank,
+        maxIter=cfg.max_iter,
+        regParam=cfg.reg_param,
+        seed=cfg.seed,
+        nonnegative=cfg.nonnegative,
+        coldStartStrategy=cfg.cold_start,
+        implicitPrefs=False,
+    )
+    return Pipeline(stages=[user_idx, item_idx, als])
+
+
+def train(ratings: DataFrame, cfg: AlsConfig | None = None, cross_validate: bool = False) -> TrainResult:
+    """80/20 seeded split → fit (optionally 3-fold CV) → held-out RMSE.
+    Mirrors utils/recommender.py:87-143 with caching added."""
+    cfg = cfg or AlsConfig()
+    ratings = ratings.select("user_id", "item_id", "rating").cache()
+    train_df, test_df = ratings.randomSplit([0.8, 0.2], seed=cfg.seed)
+
+    pipeline = build_pipeline(cfg)
+    evaluator = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    )
+
+    if cross_validate:
+        als = pipeline.getStages()[-1]
+        grid = ParamGridBuilder().addGrid(als.regParam, list(cfg.cv_reg_grid)).build()
+        cv = CrossValidator(
+            estimator=pipeline,
+            estimatorParamMaps=grid,
+            evaluator=evaluator,
+            numFolds=cfg.cv_folds,
+            seed=cfg.seed,
+            parallelism=2,
+        )
+        model = cv.fit(train_df).bestModel
+    else:
+        model = pipeline.fit(train_df)
+
+    predictions = model.transform(test_df)
+    rmse = float(evaluator.evaluate(predictions))
+    result = TrainResult(
+        model=model,
+        rmse=rmse,
+        n_train=train_df.count(),
+        n_test=test_df.count(),
+        metrics={"rank": cfg.rank, "max_iter": cfg.max_iter},
+    )
+    ratings.unpersist()
+    return result
+
+
+def _label_dim(spark_df_model: PipelineModel, stage: int, id_col: str, idx_col: str) -> DataFrame:
+    """Indexer labels → tiny (index, id) dimension for broadcast decode.
+    Replaces the reference's per-row Python UDF lookups
+    (utils/recommender.py:164-174, M10)."""
+    labels = spark_df_model.stages[stage].labels
+    spark = SparkSession_active()
+    return spark.createDataFrame(
+        [(float(i), v) for i, v in enumerate(labels)], schema=f"{idx_col} double, {id_col} string"
+    )
+
+
+def SparkSession_active():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+
+
+def recommend_top_n(model: PipelineModel, n: int = 10) -> DataFrame:
+    """Top-N per user, decoded back to original string ids
+    (utils/recommender.py:145-182): recommendForAllUsers → explode the
+    array<struct> → broadcast-join the label dictionaries."""
+    als: ALSModel = model.stages[-1]
+    recs = als.recommendForAllUsers(n)
+
+    exploded = recs.select(
+        F.col("user_idx").cast("double").alias("user_idx"),
+        F.posexplode("recommendations").alias("pos", "rec"),
+    ).select(
+        "user_idx",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("rec.item_idx").cast("double").alias("item_idx"),
+        F.col("rec.rating").alias("predicted_rating"),
+    )
+
+    users = _label_dim(model, 0, "user_id", "user_idx")
+    items = _label_dim(model, 1, "item_id", "item_idx")
+    return (
+        exploded.join(F.broadcast(users), "user_idx")
+        .join(F.broadcast(items), "item_idx")
+        .select("user_id", "item_id", "rank", "predicted_rating")
+    )
+
+
+def save_model(model: PipelineModel, path: str) -> None:
+    """S9: pipeline persistence (utils/recommender.py:136)."""
+    model.write().overwrite().save(path)
+
+
+def load_model(path: str) -> PipelineModel:
+    return PipelineModel.load(path)

@@ -1,0 +1,91 @@
+"""Sinks and table-lifecycle operations (SURVEY.md §2.1 S5-S10).
+
+The reference's store is Postgres over JDBC (overwrite/append with batched
+inserts, DDL-typed creation, information_schema probes). The engine's
+primary sink is parquet; the same operations map to:
+
+| reference                          | engine                                  |
+|------------------------------------|-----------------------------------------|
+| write.jdbc(mode=overwrite) (S5)    | write.mode('overwrite').parquet         |
+| write.jdbc(mode=append) (S6)       | write.mode('append').parquet            |
+| createTableColumnTypes DDL (S7)    | schema-declared empty parquet dataset   |
+| createDataFrame(rows, schema) (S8) | same API                                |
+| information_schema probe (S10)     | spark.catalog / path existence          |
+
+An optional JDBC connector (jdbc_read/jdbc_write) keeps S2/S5 byte-for-byte
+available where an RDBMS is genuinely the boundary; it is config-gated and
+nothing in the engine depends on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5/S6: parquet sink. 'overwrite' replaces the dataset atomically
+    (directory swap); 'append' adds files — concurrent-reader safe, the
+    append semantics user_ratings relies on (utils/user.py:151-166).
+
+    Self-overwrite caveat: a lazy plan that READS ``path`` cannot be
+    overwritten into ``path`` (Spark deletes the input mid-scan —
+    FAILED_READ_FILE). Materialize (cache/checkpoint/collect) or write to a
+    new location and swap. The reference never hit this because its JDBC
+    overwrites targeted Postgres, not its own input files."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    df.write.mode(mode).parquet(path)
+
+
+def create_empty_table(spark: SparkSession, path: str, schema: StructType) -> None:
+    """S7: DDL-typed creation from an empty DataFrame
+    (utils/user.py:74-99's createTableColumnTypes, parquet-native: the
+    schema lives in the footer)."""
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+
+
+def insert_rows(spark: SparkSession, path: str, rows: list[Row] | list[tuple], schema: StructType) -> None:
+    """S8+S6: local rows → DataFrame → append (add_user_rating,
+    utils/user.py:150-166). Small appends produce small files — compact
+    periodically or land through a streaming sink at scale."""
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(path)
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """S10: existence probe (app.py:55-72's information_schema query).
+    Reads one footer, not the data."""
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
+
+
+def head_rows(df: DataFrame, n: int) -> list[Row]:
+    """S11: bounded driver collection — limit() BEFORE collect(), the cap
+    the reference applies ad hoc (utils/imb_rating.py:59, app.py:171)."""
+    return df.limit(n).collect()
+
+
+# -- optional JDBC connector (S2/S5 parity; requires a JDBC driver jar) -----
+
+def jdbc_read(spark: SparkSession, url: str, table: str, properties: dict | None = None) -> DataFrame:
+    """S2: JDBC table read (utils/recommender.py:49-50). Prefer passing a
+    pushdown-friendly subquery as `table` ('(SELECT ...) AS t') and
+    partitionColumn/numPartitions in properties for parallel reads."""
+    return spark.read.jdbc(url, table, properties=properties or {})
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict | None = None,
+    batchsize: int = 10000,
+) -> None:
+    """S5/S6: batched JDBC sink (utils/data_loader.py:144-146 semantics:
+    batchsize + rewriteBatchedStatements)."""
+    props = {"batchsize": str(batchsize), **(properties or {})}
+    df.write.jdbc(url, table, mode=mode, properties=props)

@@ -1,0 +1,81 @@
+"""ALS pipeline property tests (SURVEY.md §5: ML operators get property
+assertions, not SQL oracles): RMSE ceiling on seeded data, top-N shape,
+decode closure, cold-start drop, save/load roundtrip, CV path."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from recommender_systems_pyspark_spark.ml.ratings import latest_ratings, ratings_from_events
+from recommender_systems_pyspark_spark.ml.recommender import (
+    AlsConfig,
+    load_model,
+    recommend_top_n,
+    save_model,
+    train,
+)
+
+
+@pytest.fixture(scope="module")
+def trained(spark, sf_dir):
+    ratings = ratings_from_events(spark, sf_dir)
+    return train(ratings, AlsConfig(rank=8, max_iter=5)), ratings
+
+
+def test_rmse_within_bound(trained):
+    result, _ = trained
+    # ratings span [1,5); a constant-mean predictor sits near the
+    # distribution std (~1.15). The factorization must not be (much) worse.
+    assert 0.0 < result.rmse < 2.0, result.rmse
+    assert result.n_train > 0 and result.n_test > 0
+
+
+def test_top_n_shape_and_decode(spark, trained):
+    result, ratings = trained
+    recs = recommend_top_n(result.model, n=3)
+    pdf = recs.toPandas()
+    assert set(pdf.columns) == {"user_id", "item_id", "rank", "predicted_rating"}
+    # ≤3 per user, ranks are 1..k contiguous
+    per_user = pdf.groupby("user_id")["rank"].agg(["count", "min", "max"])
+    assert (per_user["count"] <= 3).all()
+    assert (per_user["min"] == 1).all()
+    assert (per_user["max"] == per_user["count"]).all()
+    # decoded ids are real ids from the input (no index leakage)
+    users = {r.user_id for r in ratings.select("user_id").distinct().collect()}
+    items = {r.item_id for r in ratings.select("item_id").distinct().collect()}
+    assert set(pdf.user_id) <= users
+    assert set(pdf.item_id) <= items
+
+
+def test_save_load_roundtrip(spark, trained, sf_dir):
+    result, _ = trained
+    with tempfile.TemporaryDirectory() as d:
+        save_model(result.model, f"{d}/als_model")
+        reloaded = load_model(f"{d}/als_model")
+        a = recommend_top_n(result.model, n=2).toPandas().sort_values(["user_id", "rank"])
+        b = recommend_top_n(reloaded, n=2).toPandas().sort_values(["user_id", "rank"])
+        assert (a.item_id.values == b.item_id.values).all()
+
+
+def test_cold_start_drop_shrinks_not_errors(spark, sf_dir):
+    # users/items only in the test fold are dropped, not NaN-scored
+    ratings = ratings_from_events(spark, sf_dir)
+    result = train(ratings, AlsConfig(rank=4, max_iter=3))
+    preds = result.model.transform(
+        ratings.limit(50).select("user_id", "item_id", "rating")
+    )
+    assert preds.where(F.isnan("prediction")).count() == 0
+
+
+def test_cross_validation_path(spark, sf_dir):
+    ratings = ratings_from_events(spark, sf_dir).limit(400)
+    result = train(ratings, AlsConfig(rank=4, max_iter=3, cv_folds=2), cross_validate=True)
+    assert result.rmse < 2.5
+
+
+def test_latest_ratings_unique_pairs(spark, sf_dir):
+    lr = latest_ratings(spark, sf_dir)
+    assert lr.count() == lr.select("user_id", "item_id").distinct().count()

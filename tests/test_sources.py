@@ -1,0 +1,104 @@
+"""Ingest + sink tests: TSV with '\\N' sentinels → cleaned parquet round
+trip; overwrite/append/create-empty/exists lifecycle (S1, S5-S8, S10)."""
+
+from __future__ import annotations
+
+import gzip
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from recommender_systems_pyspark_spark.sources.ingest import (
+    clean_year,
+    land_as_parquet,
+    read_tsv,
+    split_packed_list,
+)
+from recommender_systems_pyspark_spark.sources.sinks import (
+    create_empty_table,
+    head_rows,
+    insert_rows,
+    table_exists,
+    write_table,
+)
+
+TITLES_SCHEMA = StructType(
+    [
+        StructField("tconst", StringType()),
+        StructField("titleType", StringType()),
+        StructField("primaryTitle", StringType()),
+        StructField("isAdult", IntegerType()),
+        StructField("startYear", StringType()),
+        StructField("genres", StringType()),
+    ]
+)
+
+TSV = (
+    "tconst\ttitleType\tprimaryTitle\tisAdult\tstartYear\tgenres\n"
+    "tt0000001\tmovie\tAlpha\t0\t1995\tDrama,Comedy\n"
+    "tt0000002\tshort\tBeta\t0\t\\N\t\\N\n"
+    "tt0000003\tmovie\tGamma\t1\tnotayear\tHorror\n"
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def test_tsv_ingest_cleaning_roundtrip(spark, tmpdir):
+    # gzipped TSV exactly like the IMDb dumps (utils/data_loader.py:122-128)
+    with gzip.open(f"{tmpdir}/titles.tsv.gz", "wt") as f:
+        f.write(TSV)
+    raw = read_tsv(spark, f"{tmpdir}/titles.tsv.gz", TITLES_SCHEMA)
+    cleaned = raw.select(
+        "tconst",
+        "titleType",
+        (F.col("isAdult") == 1).alias("is_adult"),  # int→bool normalization (§2.12)
+        clean_year(F.col("startYear")).alias("start_year"),
+        split_packed_list(F.col("genres")).alias("genres"),
+    )
+    land_as_parquet(cleaned, f"{tmpdir}/titles.parquet")
+    back = {r.tconst: r for r in spark.read.parquet(f"{tmpdir}/titles.parquet").collect()}
+    assert back["tt0000001"].start_year == 1995
+    assert back["tt0000001"].genres == ["Drama", "Comedy"]
+    assert back["tt0000002"].start_year is None  # \N sentinel → null
+    assert back["tt0000002"].genres is None
+    assert back["tt0000003"].start_year is None  # non-numeric guarded cast
+    assert back["tt0000003"].is_adult is True
+
+
+def test_sink_lifecycle(spark, tmpdir):
+    path = f"{tmpdir}/ratings.parquet"
+    schema = StructType(
+        [
+            StructField("user_id", StringType()),
+            StructField("item_id", StringType()),
+            StructField("rating", IntegerType()),
+        ]
+    )
+    assert not table_exists(spark, path)
+    create_empty_table(spark, path, schema)  # S7
+    assert table_exists(spark, path)  # S10
+    assert spark.read.parquet(path).count() == 0
+
+    insert_rows(spark, path, [("u1", "i1", 5), ("u1", "i1", 4)], schema)  # S8+S6
+    insert_rows(spark, path, [("u2", "i2", 3)], schema)
+    df = spark.read.parquet(path)
+    assert df.count() == 3  # append semantics keep duplicates (§2.12)
+
+    # S5 overwrite: materialize first — overwriting a path the lazy plan
+    # reads deletes its own input (see write_table docstring)
+    kept = df.where(F.col("user_id") == "u2").collect()
+    write_table(spark.createDataFrame(kept, schema), path, mode="overwrite")
+    assert spark.read.parquet(path).count() == 1
+    assert len(head_rows(spark.read.parquet(path), 5)) == 1  # S11
+
+
+def test_write_table_rejects_bad_mode(spark, tmpdir):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="unsupported mode"):
+        write_table(df, f"{tmpdir}/x", mode="errorifexists")

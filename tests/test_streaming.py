@@ -1,0 +1,121 @@
+"""Structured Streaming runtime tests: drive the real streaming engine
+(file source → watermark → windowed agg → memory sink) and check it against
+the batch definition of the same aggregation; verify watermark late-data
+semantics; cross-check session_window against a gaps-and-islands oracle."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from recommender_systems_pyspark_spark.registry import all_queries
+from recommender_systems_pyspark_spark.streaming.engine import (
+    read_event_stream,
+    start_to_memory,
+    windowed_counts,
+)
+
+SPECS = all_queries()
+
+
+def _write_batch(d: str, name: str, rows: list[dict]) -> None:
+    with open(f"{d}/{name}.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _ev(i, ts, user=1, typ="view", value=1.0):
+    return {
+        "event_id": i,
+        "ts": ts,
+        "user_id": user,
+        "event_type": typ,
+        "value": value,
+        "props": "{}",
+    }
+
+
+@pytest.fixture()
+def stream_dir():
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_matches_batch_aggregation(spark, stream_dir):
+    rows = [
+        _ev(1, "2024-01-01 00:05:00", typ="view"),
+        _ev(2, "2024-01-01 00:15:00", typ="view"),
+        _ev(3, "2024-01-01 00:45:00", typ="click", value=2.0),
+        _ev(4, "2024-01-01 01:10:00", typ="view"),
+        _ev(5, "2024-01-01 02:30:00", typ="view"),  # advances watermark past hour 1
+    ]
+    _write_batch(stream_dir, "batch0", rows)
+    q = start_to_memory(
+        windowed_counts(read_event_stream(spark, stream_dir)), "stream_counts"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r.window_start), r.event_type): r.n_events
+            for r in spark.sql("SELECT * FROM stream_counts").collect()
+        }
+    finally:
+        q.stop()
+    # append mode emits only windows the watermark has closed (hour 0)
+    assert got[("2024-01-01 00:00:00", "view")] == 2
+    assert got[("2024-01-01 00:00:00", "click")] == 1
+    assert ("2024-01-01 02:00:00", "view") not in got  # still open
+
+
+def test_watermark_drops_too_late_rows(spark, stream_dir):
+    _write_batch(
+        stream_dir,
+        "batch0",
+        [_ev(1, "2024-01-01 00:05:00"), _ev(2, "2024-01-01 03:00:00")],
+    )
+    q = start_to_memory(
+        windowed_counts(read_event_stream(spark, stream_dir), late_threshold="30 minutes"),
+        "stream_late",
+    )
+    try:
+        q.processAllAvailable()
+        # late arrival for hour 0 — watermark is 02:30, window end 01:00 → dropped
+        _write_batch(stream_dir, "batch1", [_ev(3, "2024-01-01 00:10:00")])
+        q.processAllAvailable()
+        rows = {
+            (str(r.window_start), r.n_events)
+            for r in spark.sql("SELECT * FROM stream_late").collect()
+        }
+    finally:
+        q.stop()
+    assert ("2024-01-01 00:00:00", 1) in rows  # only the on-time row counted
+
+
+def test_session_window_matches_gaps_and_islands(spark, sf_dir):
+    import duckdb
+
+    sessions = SPECS["s3_session_window"].fn(spark, sf_dir)
+    got = sessions.groupBy("user_id").agg(F.count("*").alias("n_sessions")).toPandas()
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""
+        WITH e AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS brk
+          FROM read_parquet('{sf_dir}/events.parquet')
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions
+        FROM e GROUP BY user_id
+        """
+    ).fetchdf()
+    merged = got.merge(oracle, on="user_id", suffixes=("_spark", "_sql"))
+    assert len(merged) == len(got) == len(oracle)
+    assert (merged.n_sessions_spark == merged.n_sessions_sql).all()
