@@ -1,0 +1,124 @@
+"""Aggregation extensions (SURVEY.md §2.4 lists these as absent from the
+reference but in-scope for an engine): approximate distinct counts,
+exact percentiles/median, and the array<struct> explode round-trip (F3,
+the shape of the reference's ALS-recommendations flattening at
+``utils/recommender.py:154-161``).
+
+Scale notes:
+- ``approx_count_distinct`` (HyperLogLog++) is THE distinct-count at
+  100 TB: mergeable fixed-size sketches, one pass, no per-key state
+  explosion. Exact ``countDistinct`` on a high-cardinality key forces a
+  full shuffle of the distinct pairs; the approx sketch merges map-side.
+- Exact percentiles collect per-group sorted state; at very large groups
+  switch to ``percentile_approx`` (t-digest-ish, mergeable). Both are
+  exposed here: the exact form is the oracle-checked one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tables
+
+
+@query(
+    "a2_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_supps,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_supps_ok
+    FROM lineitem
+    """,
+)
+def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 at scale: exact distinct counts next to HyperLogLog++ sketches,
+    gated to within 2% relative error (rsd=0.01). The gate booleans are
+    what the oracle checks — the sketch estimate itself is
+    implementation-defined, the ERROR CONTRACT is not."""
+    li = tables(spark, sf_dir)["lineitem"]
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("ap"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("asup"),
+    )
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(approx - F.col(exact)) / F.col(exact) <= 0.02
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_supps",
+        within(F.col("ap"), "exact_parts").alias("approx_parts_ok"),
+        within(F.col("asup"), "exact_supps").alias("approx_supps_ok"),
+    )
+
+
+@query(
+    "a8_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.9) AS q90,
+           quantile_cont(l_extendedprice, 0.5) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles / median per group (linear-interpolation
+    semantics — verified identical between Spark ``percentile`` and
+    DuckDB ``quantile_cont``). For 100 TB groups swap in
+    ``percentile_approx`` (mergeable sketch) and widen the oracle to a
+    tolerance gate like a2's."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", 0.9).alias("q90"),
+        F.percentile("l_extendedprice", 0.5).alias("med_price"),
+    )
+
+
+@query(
+    "f3_explode_struct_array",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, u.kind AS kind, u.amt AS amount
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             unnest([
+               struct_pack(kind := 'disc', amt := l_extendedprice * (1 - l_discount)),
+               struct_pack(kind := 'tax',  amt := l_extendedprice * (1 + l_tax))
+             ]) AS u
+      FROM lineitem
+    )
+    """,
+)
+def f3_explode_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: build array<struct> then explode + nested-field access — the
+    exact shape of flattening ALS recommendations
+    (utils/recommender.py:154-161: explode("recommendations") →
+    rec.tconstIndexed / rec.rating). Generate-side explode is map-only."""
+    li = tables(spark, sf_dir)["lineitem"]
+    charges = F.array(
+        F.struct(
+            F.lit("disc").alias("kind"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amt"),
+        ),
+        F.struct(
+            F.lit("tax").alias("kind"),
+            (F.col("l_extendedprice") * (1 + F.col("l_tax"))).alias("amt"),
+        ),
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", F.explode(charges).alias("u"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("u.kind").alias("kind"),
+            F.col("u.amt").alias("amount"),
+        )
+    )

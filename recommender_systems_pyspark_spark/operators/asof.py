@@ -1,0 +1,104 @@
+"""As-of and range joins (SURVEY.md §2.3 lists both as absent from the
+reference — extension targets for a complete engine).
+
+Scale notes:
+- The as-of join is NOT implemented as a join at all: joining purchases to
+  all prior clicks and ranking would shuffle |purchases|×|clicks-per-user|
+  rows. Instead both sides union into one stream, shuffle ONCE by user_id,
+  and a running ``last(click_ts, ignorenulls)`` window carries the as-of
+  value forward — linear in input size, one shuffle, no skew amplification
+  (a hot user costs its own row count, not its click×purchase product).
+- The range join broadcasts the band dimension (bands are bounded and tiny
+  at every scale factor) so the fact side never shuffles:
+  BroadcastNestedLoopJoin over a handful of band rows is a map-side stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query, sql_exact_sum, exact_sum
+from ..sources import tables
+
+
+@query(
+    "j6_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the latest click by the same user
+    at-or-before the purchase time (NULL when none). Implemented as
+    union → single shuffle by user_id → running last-ignoring-nulls
+    window; ties (click at the exact purchase ts) sort before the
+    purchase so ``>=`` semantics match DuckDB's ASOF JOIN."""
+    ev = tables(spark, sf_dir)["events"]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_purchase"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast(dict(ev.dtypes)["ts"]).alias("click_ts"),
+        "event_id",
+        F.lit(1).alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("is_purchase") == 1).select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )
+
+
+#: Price bands for the range join — the tiny always-broadcast dimension.
+PRICE_BANDS = (
+    ("budget", 0.0, 100_000.0),
+    ("mid", 100_000.0, 250_000.0),
+    ("premium", 250_000.0, 400_000.0),
+    ("luxury", 400_000.0, 1e18),
+)
+
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)
+
+
+@query(
+    "j7_range_join",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
+    SELECT b.band, COUNT(*) AS n_orders,
+           {sql_exact_sum('o.o_totalprice', 'band_revenue')}
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: orders against price bands via a non-equi
+    condition. The band table is explicitly broadcast — the physical plan
+    is BroadcastNestedLoopJoin over 4 rows, i.e. a map-only stage on the
+    fact side; the groupBy is the only shuffle."""
+    o = tables(spark, sf_dir)["orders"]
+    bands = spark.createDataFrame(list(PRICE_BANDS), "band string, lo double, hi double")
+    joined = o.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), "band_revenue"),
+    )

@@ -41,6 +41,8 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.operators.relational",
     "recommender_systems_pyspark_spark.operators.windows",
     "recommender_systems_pyspark_spark.operators.setops",
+    "recommender_systems_pyspark_spark.operators.asof",
+    "recommender_systems_pyspark_spark.operators.aggregates_ext",
     "recommender_systems_pyspark_spark.functions.scalar",
     "recommender_systems_pyspark_spark.functions.text",
     "recommender_systems_pyspark_spark.functions.dedup",
