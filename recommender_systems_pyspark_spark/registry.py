@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.functions.similarity",
     "recommender_systems_pyspark_spark.ml.queries",
     "recommender_systems_pyspark_spark.streaming.windows",
+    "recommender_systems_pyspark_spark.streaming.stateful",
     "recommender_systems_pyspark_spark.multimodal.media",
 )
 

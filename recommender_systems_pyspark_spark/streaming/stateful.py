@@ -1,0 +1,123 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.10: the reference has no streaming at all; windowed aggs live
+in streaming.engine — THIS module is the arbitrary-state path the built-in
+windows cannot express: user-defined state transition per key per batch).
+
+The operator: per-user running engagement totals (event count, value sum,
+last event time) carried across micro-batches in explicit GroupState, with
+an alert flag each time the cumulative value crosses another multiple of
+``alert_step`` — a running-threshold trigger, not expressible as a window
+or watermark aggregation.
+
+Scale notes: state is hash-partitioned by the grouping key across the
+state store (one entry per user — fixed-size tuple, no unbounded growth);
+each micro-batch shuffles only that batch's rows to their key's partition.
+Arrow batches cross the Python boundary once per key-group per batch. For
+production: RocksDB state store provider + checkpointing; with event-time
+timeouts (GroupStateTimeout.EventTimeTimeout) idle users can be evicted
+and emitted as closed — the same mechanism a custom sessionizer uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import query
+
+#: Emit an alert row flag each time cumulative value crosses k*ALERT_STEP.
+ALERT_STEP = 100.0
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, "
+    "last_ts timestamp_ntz, alerts_crossed int"
+)
+STATE_SCHEMA = "n bigint, total double, last_us bigint, alerts int"
+
+
+def _track_user(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: fold this batch's rows for one user into the
+    carried (n, total, last_us, alerts) tuple and emit the updated
+    snapshot. Runs vectorized over the batch — no per-row Python."""
+    (user_id,) = key
+    n, total, last_us, alerts = state.get if state.exists else (0, 0.0, 0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        # normalize to micros regardless of pandas datetime64 unit (ns/us)
+        batch_max_us = int(pdf["ts"].astype("datetime64[us]").astype("int64").max())
+        last_us = max(last_us, batch_max_us)
+    new_alerts = int(total // ALERT_STEP)
+    state.update((n, total, last_us, new_alerts))
+    yield pd.DataFrame(
+        [
+            (
+                user_id,
+                n,
+                total,
+                pd.Timestamp(last_us, unit="us"),
+                new_alerts - alerts,
+            )
+        ],
+        columns=["user_id", "n_events", "total_value", "last_ts", "alerts_crossed"],
+    )
+
+
+def cumulative_user_stats(events: DataFrame) -> DataFrame:
+    """Attach the stateful operator to an events stream (or batch DF in
+    tests via the same grouping — streaming requires update/append mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _track_user,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query("s4_stateful_user_totals")  # custom stateful streaming → rows-only
+def s4_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful operator over the events fixture as a real
+    Structured Streaming query (file source → applyInPandasWithState →
+    memory sink) and return the final per-user snapshot. One parquet file
+    → one micro-batch, so the snapshot equals the batch totals; the
+    cross-batch state carry is exercised in tests/test_stateful.py."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - static-conf deployments
+        pass
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    # FileStreamSource requires a directory: stream the fixture dir and
+    # glob-select the events file (one file -> one micro-batch).
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    )
+    sink = "s4_stateful_user_totals_sink"
+    q = (
+        cumulative_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)

@@ -1,0 +1,58 @@
+"""applyInPandasWithState: verify user state carries ACROSS micro-batches
+(the property batch groupBy cannot give you) and the running-threshold
+alert fires exactly when cumulative value crosses ALERT_STEP multiples."""
+
+from __future__ import annotations
+
+import pytest
+
+from recommender_systems_pyspark_spark.streaming.engine import (
+    read_event_stream,
+    start_to_memory,
+)
+from recommender_systems_pyspark_spark.streaming.stateful import (
+    cumulative_user_stats,
+)
+from tests.test_streaming import _ev, _write_batch, stream_dir  # noqa: F401
+
+
+def test_state_carries_across_batches(spark, stream_dir):  # noqa: F811
+    stream = cumulative_user_stats(read_event_stream(spark, stream_dir))
+    _write_batch(
+        stream_dir,
+        "batch0",
+        [
+            _ev(1, "2024-01-01 00:00:10", user=1, value=40.0),
+            _ev(2, "2024-01-01 00:01:00", user=1, value=40.0),
+            _ev(3, "2024-01-01 00:02:00", user=1, value=30.0),
+            _ev(4, "2024-01-01 00:02:30", user=2, value=10.0),
+        ],
+    )
+    q = start_to_memory(stream, "stateful_totals", output_mode="update")
+    try:
+        q.processAllAvailable()
+        _write_batch(
+            stream_dir,
+            "batch1",
+            [
+                _ev(5, "2024-01-01 00:05:00", user=1, value=100.0),
+                _ev(6, "2024-01-01 00:06:00", user=2, value=80.0),
+            ],
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stateful_totals").collect()
+    finally:
+        q.stop()
+
+    snaps = {(r.user_id, r.n_events): r for r in rows}
+    # batch 0 snapshots
+    assert snaps[(1, 3)].total_value == pytest.approx(110.0)
+    assert snaps[(1, 3)].alerts_crossed == 1  # crossed 100
+    assert snaps[(2, 1)].total_value == pytest.approx(10.0)
+    assert snaps[(2, 1)].alerts_crossed == 0
+    # batch 1 snapshots — state carried, totals cumulative
+    assert snaps[(1, 4)].total_value == pytest.approx(210.0)
+    assert snaps[(1, 4)].alerts_crossed == 1  # crossed 200
+    assert snaps[(2, 2)].total_value == pytest.approx(90.0)
+    assert snaps[(2, 2)].alerts_crossed == 0
+    assert str(snaps[(1, 4)].last_ts) == "2024-01-01 00:05:00"
