@@ -27,6 +27,12 @@ HEADLINE = [
     "j2_left_join_agg",
     "t1_topk_orders",
     "a1_a4_global_aggs",
+    # Extension headliners (added r2 — these set their own baseline, same
+    # rule as r1): one each from dedup, similarity, text, streaming-batch.
+    "x_dedup_exact",
+    "x_knn_cosine_topk",
+    "x_text_quality",
+    "s1_tumbling_window",
 ]
 
 

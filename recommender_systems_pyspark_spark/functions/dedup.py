@@ -213,19 +213,73 @@ def simhash64() -> Column:
     )
 
 
-@query("x_dedup_simhash")  # engine-specific hashes → rows-only; pytest
-def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit sketch per doc, pairs with hamming
-    distance ≤ 6. At scale the pair join blocks on sketch prefixes
-    (pigeonhole: distance ≤ 6 over 8 byte-blocks → ≥ 2 equal blocks);
-    at fixture scale the verifier join is direct. Rows-only check +
-    pytest properties (self-distance 0, dup pairs land under threshold).
-    """
-    t = tables(spark, sf_dir)
-    s = t["documents"].select("doc_id", shingles().alias("sh"))
-    sig = s.select("doc_id", simhash64().alias("sig"))
-    a = sig.alias("a")
-    b = sig.alias("b")
+#: SimHash near-dup threshold and pigeonhole block count. With 8 blocks of
+#: 8 bits, any pair at hamming distance ≤ 6 differs in at most 6 blocks, so
+#: at least 2 blocks are bit-identical → an equi-join on (block_idx,
+#: block_value) is a LOSSLESS candidate generator for the ≤ 6 threshold
+#: (pigeonhole; only one shared block is needed to surface the pair).
+_SIMHASH_MAX_HAMMING = 6
+_SIMHASH_BLOCKS = 8
+
+
+def simhash_blocks(sig: Column) -> Column:
+    """The 8 one-byte blocks of a 64-bit SimHash as array<bigint> — the
+    pigeonhole blocking keys. Pure codegen (shift + mask per block; the
+    shift counts are Python ints because F.shiftright only takes literal
+    bit counts — same constraint simhash64 notes)."""
+    return F.array(
+        *[
+            F.shiftright(sig, j * 8).bitwiseAND(F.lit(255)).cast("bigint")
+            for j in range(_SIMHASH_BLOCKS)
+        ]
+    )
+
+
+def simhash_pairs_blocked(sig_df: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Pairs of (doc_a, doc_b, hamming ≤ max_hamming) via pigeonhole
+    blocking: explode each signature into its 8 (block_idx, block_value)
+    keys, equi-join on the block key, dedup pairs that collide in more
+    than one block, verify the exact hamming distance on the carried sigs.
+
+    Scale shape: the explode is map-only (8× row fan-out of a 3-column
+    relation), the join is ONE shuffle on a near-uniform key (byte blocks
+    of a hash sketch), and verification is codegen arithmetic on the two
+    carried longs. No cartesian anywhere — same output as the quadratic
+    verifier join, linearithmic cost (equal-block groups are the only
+    candidates). Requires max_hamming ≤ 7: at 8+ the 8-block pigeonhole
+    no longer guarantees a shared block."""
+    if max_hamming >= _SIMHASH_BLOCKS:
+        raise ValueError("8-block pigeonhole requires max_hamming <= 7")
+    blocks = sig_df.select(
+        "doc_id",
+        "sig",
+        F.posexplode(simhash_blocks(F.col("sig"))).alias("blk", "blk_val"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    dist = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])  # pairs may share >1 block
+    )
+
+
+def simhash_pairs_allpairs(sig_df: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Quadratic verifier twin of :func:`simhash_pairs_blocked` — test-only
+    ground truth for the pair-set-equality property; never the scale path."""
+    a = sig_df.alias("a")
+    b = sig_df.alias("b")
     dist = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -234,5 +288,20 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             dist.cast("int").alias("hamming"),
         )
-        .where(F.col("hamming") <= 6)
+        .where(F.col("hamming") <= max_hamming)
     )
+
+
+@query("x_dedup_simhash")  # engine-specific hashes → rows-only; pytest
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit sketch per doc (map-only codegen),
+    pairs with hamming distance ≤ 6 found by the PIGEONHOLE blocked join
+    (see simhash_pairs_blocked) — one uniform-key shuffle, no cartesian,
+    provably the same pair set as the all-pairs verifier. Rows-only check
+    + pytest properties (pair-set equality vs the quadratic twin,
+    self-distance 0, no cartesian product in the plan).
+    """
+    t = tables(spark, sf_dir)
+    s = t["documents"].select("doc_id", shingles().alias("sh"))
+    sig = s.select("doc_id", simhash64().alias("sig"))
+    return simhash_pairs_blocked(sig)

@@ -77,36 +77,106 @@ def x_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SRP coarse quantizer (signed random projections)
+# ---------------------------------------------------------------------------
+#
+# _SRP_BITS deterministic integer-valued hyperplanes; a vector's cell is the
+# 6-bit word of dot-product signs → up to 64 cells, ≥ √N for every fixture
+# scale (N ≤ 4096) and re-derivable in any engine (the hyperplane components
+# are exact small integers, so the sign of the fold-ordered dot product is
+# bit-identical between Spark and DuckDB — no libm, no RNG state).
+# At 100 TB: cells are the blocking/partitioning key — raise _SRP_BITS so
+# 2^bits ≳ √N (cell population ~ N/2^bits must fit a shuffle partition), or
+# swap in trained k-means centroids; the plan shape is unchanged.
+
+_SRP_BITS = 6
+
+
+def _srp_component(b: int, d) -> "Column | int":
+    """Hyperplane component hp(b, d) = (1 + (b·131071 + d·524287) % 97) − 49:
+    pseudo-random integers in [−48, 48], exactly representable in double."""
+    return (F.lit(1) + (F.lit(b * 131071) + d * 524287) % 97) - 49
+
+
+def _hp_fn(b: int):
+    """Single-arg lambda factory for F.transform. MUST be single-arg: a
+    two-parameter lambda (e.g. ``lambda d, b=b``) makes F.transform pass
+    the array INDEX as the second argument, silently shadowing the captured
+    hyperplane number."""
+    return lambda d: _srp_component(b, d).cast("double")
+
+
+def srp_cell(emb: Column) -> Column:
+    """SRP cell id of an embedding: Σ_b 2^b·[⟨emb, hp_b⟩ > 0]. Pure
+    fold-based codegen; one pass over the vector per hyperplane."""
+    cell = F.lit(0)
+    for b in range(_SRP_BITS):
+        hp = F.transform(F.sequence(F.lit(0), F.size(emb) - 1), _hp_fn(b))
+        cell = cell + F.when(dot(emb, hp) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return cell
+
+
+def _sql_srp_cell(emb: str) -> str:
+    """DuckDB twin of srp_cell — identical hyperplanes, identical
+    list_dot_product accumulation order."""
+    terms = []
+    for b in range(_SRP_BITS):
+        hp = (
+            f"list_transform(range(0, len({emb})),"
+            f" d -> CAST((1 + ({b * 131071} + d * 524287) % 97) - 49 AS DOUBLE))"
+        )
+        terms.append(
+            f"(CASE WHEN list_dot_product({emb}::DOUBLE[], {hp}) > 0"
+            f" THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 @query(
     "x_embed_neardup_pairs",
     oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+    WITH c AS (
+      SELECT vec_id, embedding, {_sql_srp_cell('embedding')} AS cell
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
            {_SQL_COSINE.format(a='a.embedding', b='b.embedding')} AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM c a JOIN c b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
     WHERE {_SQL_COSINE.format(a='a.embedding', b='b.embedding')} >= 0.4
     """,
 )
 def x_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (the coarse
-    cluster): pair join inside each block, cosine threshold. The blocking
-    key is what keeps this sub-quadratic — at 100 TB the block is an IVF
-    cell / LSH bucket, not a full cross join."""
+    """Embedding-cosine near-dup pairs, blocked by a REAL coarse quantizer:
+    each vector hashes to one of 2^_SRP_BITS SRP cells (sign pattern of 6
+    deterministic random projections — the binary-code LSH family whose
+    collision probability is 1 − θ/π per bit), the pair join runs INSIDE
+    cells only, then the exact cosine threshold verifies candidates.
+
+    Scale shape: cell assignment is map-only codegen; the join is one
+    shuffle on a ~uniform key whose cardinality grows with _SRP_BITS
+    (pytest asserts ≥ √N distinct cells at fixture scale), so within-cell
+    work is (N/2^bits)² per cell, not (N/5)² as the r1 label blocking was.
+    Near-dups in adjacent cells are the recall tradeoff every LSH blocker
+    makes; multi-probe (flip one bit per probe) is the standard widening.
+    With the corpus landed partitionBy(cell) (see tests), a probe of one
+    cell is partition PRUNING — it never touches other cells' files."""
     t = tables(spark, sf_dir)
-    e = t["embeddings"]
+    e = t["embeddings"].select("vec_id", "embedding", srp_cell(F.col("embedding")).alias("cell"))
     a = e.alias("a")
     b = e.alias("b")
     sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
+            F.col("a.cell").alias("cell"),
             sim.alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= 0.4)

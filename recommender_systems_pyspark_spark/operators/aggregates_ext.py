@@ -35,9 +35,12 @@ from ..sources import tables
 )
 def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 at scale: exact distinct counts next to HyperLogLog++ sketches,
-    gated to within 2% relative error (rsd=0.01). The gate booleans are
-    what the oracle checks — the sketch estimate itself is
-    implementation-defined, the ERROR CONTRACT is not."""
+    gated to within 3× rsd relative error (rsd=0.01 → 3%). The gate
+    booleans are what the oracle checks — the sketch estimate itself is
+    implementation-defined, the ERROR CONTRACT is not. The 3-sigma-style
+    margin (ADVICE.md r1) keeps the gate from coupling the whole
+    correctness run to one HLL++ implementation detail; the tighter 2%
+    bound lives in tests/test_relational.py as a pytest property."""
     li = tables(spark, sf_dir)["lineitem"]
     agg = li.agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
@@ -46,7 +49,7 @@ def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("asup"),
     )
     within = lambda approx, exact: (  # noqa: E731
-        F.abs(approx - F.col(exact)) / F.col(exact) <= 0.02
+        F.abs(approx - F.col(exact)) / F.col(exact) <= 0.03
     )
     return agg.select(
         "exact_parts",

@@ -190,17 +190,25 @@ def p7_contains_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
     """,
 )
 def p8_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8/J4: anti-membership. The reference collects rated ids to a driver
     set and filters pandas-side (app.py:342-344) — that collapses at scale.
-    Engine form: left_anti join, distributed, no driver state."""
+    Engine form: left_anti join, distributed, no driver state.
+
+    The right side is predicate-filtered (customers with no 'F'-status
+    order) so the expected result is NON-empty at fixture scale — every
+    customer has *some* order, and an unfiltered anti-join would make the
+    oracle check vacuous (ADVICE.md r1: an anti-join that always returns 0
+    rows passes even when broken)."""
     t = tables(spark, sf_dir)
+    f_orders = t["orders"].where(F.col("o_orderstatus") == "F")
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(f_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     )
 

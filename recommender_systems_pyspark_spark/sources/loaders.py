@@ -49,11 +49,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
         # rejects outright; with this conf it arrives as LongType nanos
-        # (normalized below). Set here so any caller-provided session works.
+        # (normalized below). This is the one conf load_table sets on a
+        # caller's session — without it the scan errors, and it changes
+        # nothing for tables that carry no nano timestamps. The session
+        # TIMEZONE is deliberately NOT touched (ADVICE.md r1): the
+        # conversion below is timezone-independent.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The nanos→NTZ conversion below hops through an LTZ value; pin the
-        # session zone so the wall clock matches the file's naive timestamps.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # pragma: no cover - static-conf deployments
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -63,9 +64,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name in NANO_TS_COLUMNS and isinstance(field.dataType, LongType):
             # integer `div` (not /) — double division would wobble at 2^53.
+            # timestampadd on an NTZ epoch base is pure integer micro
+            # arithmetic: exact, and independent of the session timezone
+            # (the previous LTZ hop required pinning the session to UTC).
             df = df.withColumn(
                 field.name,
-                F.expr(f"CAST(timestamp_micros({field.name} div 1000) AS TIMESTAMP_NTZ)"),
+                F.expr(
+                    f"timestampadd(MICROSECOND, {field.name} div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
             )
     return df
 

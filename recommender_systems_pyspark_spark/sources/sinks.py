@@ -68,6 +68,31 @@ def head_rows(df: DataFrame, n: int) -> list[Row]:
     return df.limit(n).collect()
 
 
+# -- cache lifecycle (S10, utils/data_loader.py:151) ------------------------
+
+def cache_table(df: DataFrame, name: str | None = None) -> DataFrame:
+    """Persist a DataFrame (MEMORY_AND_DISK default) and optionally register
+    it as a temp view so SQL sees the cached plan too. The reference caches
+    nothing and re-scans JDBC per CV fold (SURVEY.md §4); iterative
+    consumers (ALS, CV) call this on their input instead."""
+    if name:
+        df.createOrReplaceTempView(name)
+    return df.cache()
+
+
+def uncache_table(df: DataFrame) -> DataFrame:
+    """Release one DataFrame's cached blocks (blocking=False: lazy evict)."""
+    return df.unpersist()
+
+
+def clear_cache(spark: SparkSession) -> None:
+    """S10: drop EVERY cached table/DataFrame in the session — the
+    reference's ``spark.catalog.clearCache()`` teardown
+    (utils/data_loader.py:151), used between ETL phases so the next
+    phase's working set isn't competing with stale blocks."""
+    spark.catalog.clearCache()
+
+
 # -- optional JDBC connector (S2/S5 parity; requires a JDBC driver jar) -----
 
 def jdbc_read(spark: SparkSession, url: str, table: str, properties: dict | None = None) -> DataFrame:

@@ -62,3 +62,66 @@ def test_exact_dedup_keeps_one_per_hash(spark, sf_dir):
 
     assert total == load_table(spark, sf_dir, "documents").count()
     assert df.where(F.col("keep_doc_id").isNull()).count() == 0
+
+
+def test_simhash_blocked_equals_allpairs_and_no_cartesian(spark, sf_dir):
+    """The pigeonhole blocked join must produce EXACTLY the all-pairs
+    verifier's pair set (lossless for hamming <= 6 by the 8-block
+    pigeonhole), with no cartesian product anywhere in its plan."""
+    from recommender_systems_pyspark_spark.functions.dedup import (
+        shingles,
+        simhash64,
+        simhash_pairs_allpairs,
+        simhash_pairs_blocked,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    sig = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", shingles().alias("sh"))
+        .select("doc_id", simhash64().alias("sig"))
+        .cache()
+    )
+    try:
+        blocked = simhash_pairs_blocked(sig)
+        truth = simhash_pairs_allpairs(sig)
+        bp = {(r.doc_a, r.doc_b, r.hamming) for r in blocked.collect()}
+        tp = {(r.doc_a, r.doc_b, r.hamming) for r in truth.collect()}
+        assert tp, "fixture has no simhash near-dup pairs; test is vacuous"
+        assert bp == tp
+        plan = blocked._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        sig.unpersist()
+
+
+def test_srp_cells_cardinality_and_partition_pruning(spark, sf_dir, tmp_path):
+    """The near-dup blocking key must be a real coarse quantizer: distinct
+    cells >= sqrt(N) (so within-cell work is ~N/sqrt(N) per cell, not
+    (N/5)^2 as label blocking was), and landing the corpus
+    partitionBy(cell) makes a one-cell probe partition PRUNING — the scan
+    reads only that cell's files."""
+    import math
+
+    from recommender_systems_pyspark_spark.functions.similarity import srp_cell
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", srp_cell(F.col("embedding")).alias("cell")
+    )
+    n = e.count()
+    n_cells = e.select("cell").distinct().count()
+    assert n_cells >= math.sqrt(n), f"{n_cells} cells for {n} vectors"
+
+    path = str(tmp_path / "corpus_by_cell")
+    e.write.partitionBy("cell").parquet(path)
+    probe_cell = e.select("cell").first().cell
+    probe = spark.read.parquet(path).where(F.col("cell") == probe_cell)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the cell predicate must land in PartitionFilters (file-level pruning),
+    # not in the data filters (post-scan evaluation)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert f"= {probe_cell}" in pf, f"cell filter not pushed to partitions: {pf}"
+    assert probe.select("cell").distinct().count() == 1

@@ -79,3 +79,46 @@ def test_cross_validation_path(spark, sf_dir):
 def test_latest_ratings_unique_pairs(spark, sf_dir):
     lr = latest_ratings(spark, sf_dir)
     assert lr.count() == lr.select("user_id", "item_id").distinct().count()
+
+
+def test_dict_from_column_matches_stringindexer(spark, trained):
+    """dict_from_column must reproduce StringIndexer's exact label→index
+    assignment (frequencyDesc, value-asc tie-break) from the same data —
+    the parity that lets the cluster-side dictionary replace driver-held
+    .labels at scale."""
+    from recommender_systems_pyspark_spark.ml.recommender import dict_from_column
+
+    result, ratings = trained
+    # rebuild the train split exactly as train() did (same seed)
+    train_df, _ = ratings.select("user_id", "item_id", "rating").randomSplit(
+        [0.8, 0.2], seed=42
+    )
+    for stage, col, idx in ((0, "user_id", "user_idx"), (1, "item_id", "item_idx")):
+        labels = result.model.stages[stage].labels
+        dim = dict_from_column(train_df, col, idx)
+        got = {r[col]: r[idx] for r in dim.collect()}
+        want = {v: float(i) for i, v in enumerate(labels)}
+        assert got == want, f"dictionary mismatch for {col}"
+        # contiguity: indices are exactly 0..n-1
+        idxs = sorted(got.values())
+        assert idxs == [float(i) for i in range(len(idxs))]
+
+
+def test_recommend_decode_via_cluster_dims(spark, trained):
+    """The relational-dictionary decode path must produce the same decoded
+    recommendations as the StringIndexer-labels fallback path."""
+    result, _ = trained
+    a = (
+        recommend_top_n(result.model, n=2)  # driver-labels fallback
+        .toPandas()
+        .sort_values(["user_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        recommend_top_n(result.model, n=2, user_dim=result.user_dim, item_dim=result.item_dim)
+        .toPandas()
+        .sort_values(["user_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (a.user_id.values == b.user_id.values).all()
+    assert (a.item_id.values == b.item_id.values).all()

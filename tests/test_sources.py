@@ -102,3 +102,58 @@ def test_write_table_rejects_bad_mode(spark, tmpdir):
     df = spark.range(1)
     with pytest.raises(ValueError, match="unsupported mode"):
         write_table(df, f"{tmpdir}/x", mode="errorifexists")
+
+
+def test_imdb_etl_roundtrip(spark, tmp_path):
+    """End-to-end IMDb-shaped ETL (ref utils/data_loader.py:39-113,115-158):
+    TSV with \\N sentinels → schema-enforced read → clean (nullable-int
+    years, ArrayType genres) → parquet landing → typed read-back."""
+    from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+    from recommender_systems_pyspark_spark.sources.imdb import (
+        IMDB_SCHEMAS,
+        ingest_imdb_table,
+    )
+
+    assert len(IMDB_SCHEMAS) == 7  # the reference's seven TSV schemas
+    tsv = tmp_path / "title.basics.tsv"
+    tsv.write_text(
+        "tconst\ttitleType\tprimaryTitle\toriginalTitle\tisAdult\tstartYear\tendYear\truntimeMinutes\tgenres\n"
+        "tt0000001\tshort\tCarmencita\tCarmencita\t0\t1894\t\\N\t1\tDocumentary,Short\n"
+        "tt0000002\tmovie\tLe clown\tLe clown\t0\t\\N\t\\N\t5\tAnimation\n"
+        "tt0000003\tmovie\tJunkYear\tJunkYear\t0\t19xx\t\\N\t\\N\t\\N\n"
+    )
+    out = str(tmp_path / "titles_parquet")
+    landed = ingest_imdb_table(spark, str(tsv), "title.basics.tsv.gz", out)
+
+    schema = {f.name: f.dataType for f in landed.schema.fields}
+    assert schema["startYear"] == IntegerType()  # cleaned digit-string
+    assert schema["genres"] == ArrayType(StringType())  # unpacked list
+
+    rows = {r.tconst: r for r in landed.collect()}
+    assert rows["tt0000001"].startYear == 1894
+    assert rows["tt0000001"].genres == ["Documentary", "Short"]
+    assert rows["tt0000002"].startYear is None  # \N sentinel → null
+    assert rows["tt0000003"].startYear is None  # junk year → null, not crash
+    assert rows["tt0000003"].genres is None
+
+
+def test_cache_lifecycle(spark, sf_dir):
+    """S10: cache/uncache/clearCache (ref utils/data_loader.py:151)."""
+    from recommender_systems_pyspark_spark.sources import load_table
+    from recommender_systems_pyspark_spark.sources.sinks import (
+        cache_table,
+        clear_cache,
+        uncache_table,
+    )
+
+    df = cache_table(load_table(spark, sf_dir, "nation"), name="nation_cached")
+    df.count()  # materialize
+    assert df.storageLevel.useMemory
+    assert spark.catalog.isCached("nation_cached")
+    uncache_table(df)
+    assert not df.storageLevel.useMemory
+    df2 = cache_table(load_table(spark, sf_dir, "region"))
+    df2.count()
+    clear_cache(spark)
+    assert not df2.storageLevel.useMemory
