@@ -168,6 +168,162 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Chunking geometry: 32-token windows every 24 tokens (8-token overlap) —
+#: the sliding context-window shape an LLM pretraining tokenizer emits.
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "x_text_chunking",
+    oracle=f"""
+    SELECT doc_id, CAST(g.i AS INTEGER) AS chunk_idx,
+           CAST(len(toks[g.i * {_CHUNK_STRIDE} + 1 : g.i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}])
+                AS INTEGER) AS n_chunk_tokens,
+           array_to_string(
+             toks[g.i * {_CHUNK_STRIDE} + 1 : g.i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}],
+             ' ') AS chunk_text
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         LATERAL (SELECT unnest(range(0,
+                    CAST(floor((len(toks) - 1) / {_CHUNK_STRIDE}) AS BIGINT) + 1)) AS i) g
+    """,
+)
+def x_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: overlapping fixed-size token windows (32 tokens,
+    stride 24) — one→many map-only explode, no shuffle. The chunk table is
+    what embeds/pretrains downstream; at 100 TB the explode fan-out is the
+    only cost and it stays inside the scan's stage. Slice semantics are
+    identical in Spark (slice(toks, start, len)) and DuckDB (1-based
+    inclusive list slicing), so the oracle matches chunk text exactly."""
+    t = tables(spark, sf_dir)
+    toks = tokens()
+    n_chunks_minus1 = F.floor((F.size(toks) - 1) / _CHUNK_STRIDE).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks_minus1),
+        lambda i: F.slice(toks, i * _CHUNK_STRIDE + 1, _CHUNK_TOKENS),
+    )
+    return (
+        t["documents"]
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "chunk").alias("chunk_text"),
+        )
+    )
+
+
+#: Scrub patterns: email, URL, long digit runs (PII-ish), plus a vocabulary
+#: mask (entity redaction). Same regex dialect subset in Java and RE2.
+_RE_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_RE_URL = "https?://[^ ]+"
+_RE_LONGNUM = "[0-9]{6,}"
+_RE_ENTITY = "\\bspark\\b"
+
+
+@query(
+    "x_text_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                   '{_RE_URL}', '<URL>', 'g'),
+                   '{_RE_LONGNUM}', '<NUM>', 'g'),
+                   '{_RE_ENTITY}', '<ENTITY>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{_RE_ENTITY}')) AS INTEGER) AS n_masked
+    FROM documents
+    """,
+)
+def x_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / entity scrubbing: chained regexp_replace masks for emails,
+    URLs, long digit runs, and a vocabulary entity — the redaction stage
+    before a corpus leaves the trust boundary. Map-only codegen; the mask
+    count rides along for monitoring. (Fixture text contains no PII-shaped
+    strings, so the email/URL/number masks are additionally pytest-proven
+    on synthetic rows; the entity mask fires on fixture content, keeping
+    the oracle non-vacuous.)"""
+    t = tables(spark, sf_dir)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _RE_EMAIL, "<EMAIL>"),
+                _RE_URL,
+                "<URL>",
+            ),
+            _RE_LONGNUM,
+            "<NUM>",
+        ),
+        _RE_ENTITY,
+        "<ENTITY>",
+    )
+    # regexp_count takes the pattern as a Column — no SQL-literal escaping
+    # round (an F.expr would need '\\\\b'; the \b became a backspace)
+    n_masked = F.regexp_count(F.col("text"), F.lit(_RE_ENTITY)).cast("int")
+    return t["documents"].select(
+        "doc_id", scrubbed.alias("scrubbed"), n_masked.alias("n_masked")
+    )
+
+
+@query(
+    "x_text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents) t
+      GROUP BY doc_id, t.term
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           CAST(tf AS DOUBLE) * (n_docs - df + 0.5) / (df + 0.5) AS salience
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY salience DESC, term) <= 3
+    """,
+)
+def x_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: tf × rational-idf ((N − df + ½)/(df + ½),
+    the BM25 idf core WITHOUT the log — pure rational arithmetic, so the
+    score is bit-identical across engines), top-3 per doc. Plan: explode →
+    two hash aggregations (term counts, doc frequencies) → term-keyed join
+    (the term dictionary is the small side; broadcast under AQE) → per-doc
+    window top-k. The df relation is corpus-wide state but scales with
+    VOCABULARY, not corpus size."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_rel, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("salience"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("salience").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "salience")
+    )
+
+
 @query(
     "x_doc_stats_by_lang",
     oracle=f"""

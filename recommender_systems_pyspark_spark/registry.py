@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.ml.queries",
     # --- new in r2 -------------------------------------------------------
     "recommender_systems_pyspark_spark.ml.users",
+    "recommender_systems_pyspark_spark.operators.tpch_more",
     # --- graded green in r1 ----------------------------------------------
     "recommender_systems_pyspark_spark.operators.relational",
     "recommender_systems_pyspark_spark.operators.windows",

