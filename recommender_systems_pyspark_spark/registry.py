@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     # --- new in r2 -------------------------------------------------------
     "recommender_systems_pyspark_spark.ml.users",
     "recommender_systems_pyspark_spark.operators.tpch_more",
+    "recommender_systems_pyspark_spark.functions.semistructured",
     # --- graded green in r1 ----------------------------------------------
     "recommender_systems_pyspark_spark.operators.relational",
     "recommender_systems_pyspark_spark.operators.windows",

@@ -41,11 +41,24 @@ DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
 NANO_TS_COLUMNS: frozenset[str] = frozenset({"ts"})
 
 
+#: Plan cache: (applicationId, sf_dir, table) → DataFrame. DataFrames are
+#: immutable logical plans, so reusing one across queries in a session is
+#: free and saves a file-listing + footer-read + several py4j round trips
+#: per construction. Keyed by applicationId so a new session never sees
+#: stale plans. Fixture files are read-only (TESTDATA.md), so plans cannot
+#: go stale within an application.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Lazy; filters/projections placed on the result are
     pushed into the parquet reader by Catalyst."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _PLAN_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     try:
         # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
         # rejects outright; with this conf it arrives as LongType nanos
@@ -74,12 +87,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
+    _PLAN_CACHE[cache_key] = df
     return df
 
 
+class _LazyTables(dict):
+    """dict façade over load_table that constructs a table's DataFrame on
+    first access — queries touch 1-3 tables, so eagerly building all 10
+    plans per query call was pure overhead."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str) -> None:
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        df = load_table(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
+
+
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """All tables as a dict — the standard entry point for query functions."""
-    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+    """All tables as a (lazily-materialized) dict — the standard entry
+    point for query functions."""
+    return _LazyTables(spark, sf_dir)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -156,3 +156,26 @@ def start_to_memory(
         .outputMode(output_mode)
         .start()
     )
+
+
+def start_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Production sink: append-mode parquet with a checkpoint (exactly-once
+    file commit via the streaming file sink's transaction log; restarts
+    resume from the checkpoint's offsets+state). Watermarked aggregations
+    emit finalized windows only — exactly what a downstream batch reader
+    wants. Partition the path by a window/date column for pruning."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -195,3 +195,49 @@ def test_stateful_stream_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_streaming_parquet_sink_appends_finalized_windows(spark, tmp_path):
+    """File source → watermarked windows → parquet sink with checkpoint:
+    append mode emits only watermark-finalized windows, and the landed
+    parquet is a normal batch-readable table."""
+    import json
+
+    from recommender_systems_pyspark_spark.streaming.engine import (
+        read_event_stream,
+        start_to_parquet,
+        windowed_counts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch(name, hours):
+        rows = [
+            {"event_id": h * 100 + i, "ts": f"2024-01-01T{h:02d}:30:00", "user_id": 1,
+             "event_type": "view", "value": 1.0, "props": "{}"}
+            for h in hours
+            for i in range(3)
+        ]
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    batch("b1.json", [10, 11])
+    stream = read_event_stream(spark, str(src))
+    q = start_to_parquet(
+        windowed_counts(stream, window="1 hour", late_threshold="0 seconds"),
+        out,
+        ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark past hour 11 so earlier windows finalize
+        batch("b2.json", [13])
+        q.processAllAvailable()
+        landed = spark.read.parquet(out)
+        got = {r.window_start.hour: r.n_events for r in landed.collect()}
+        assert got.get(10) == 3 and got.get(11) == 3  # finalized windows only
+        assert 13 not in got  # still open, not emitted by append mode
+    finally:
+        q.stop()
