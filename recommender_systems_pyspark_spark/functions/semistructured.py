@@ -83,6 +83,33 @@ def x_json_agg_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f13_try_cast",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS INTEGER) AS brand_as_int,
+           TRY_CAST(regexp_extract(p_brand, '[0-9]+', 0) AS INTEGER) AS brand_num,
+           TRY_CAST(p_name AS DOUBLE) IS NULL AS name_not_numeric
+    FROM part
+    """,
+)
+def f13_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant casts (P2's 'nulls on failure' semantics made
+    explicit): try_cast yields NULL instead of failing the job — the only
+    sane cast semantics for dirty data at scale, where one malformed row
+    in a trillion must not kill a 6-hour job. Paired with the regex
+    extraction that salvages the numeric payload."""
+    t = tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.col("p_brand").try_cast("int").alias("brand_as_int"),
+        F.regexp_extract(F.col("p_brand"), "[0-9]+", 0).try_cast("int").alias(
+            "brand_num"
+        ),
+        F.col("p_name").try_cast("double").isNull().alias("name_not_numeric"),
+    )
+
+
+@query(
     "g4_grouping_sets",
     oracle="""
     SELECT c_mktsegment, n_name, COUNT(*) AS n_customers

@@ -105,6 +105,79 @@ def ml_dict_encode_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dict_from_column(ratings_from_events(spark, sf_dir), "item_id", "item_idx")
 
 
+#: Deterministic uniform in [0,1): Knuth multiplicative hash of the row key
+#: modulo a prime — identical integer arithmetic in Spark and DuckDB, so the
+#: synthesized workload is reproducible AND oracle-checkable (the reference
+#: uses driver-side random.choices, unreproducible and single-threaded —
+#: utils/imb_rating.py:99-129).
+_SYNTH_PRIME = 1_000_003
+
+
+def _sql_u(key: str) -> str:
+    # reduce the key mod p BEFORE multiplying: the product stays < 2^51,
+    # so the arithmetic is overflow-free in 64-bit at any corpus scale
+    # (a raw key*constant overflows long past ~3.5e9 rows)
+    return f"((({key} % {_SYNTH_PRIME}) * 2654435761) % {_SYNTH_PRIME}) * 1.0 / {_SYNTH_PRIME}"
+
+
+@query(
+    "ml_synthetic_weighted_ratings",
+    oracle=f"""
+    SELECT o_custkey AS user_id, o_orderkey AS item_key,
+           CAST(CASE
+             WHEN o_totalprice >= 300000 THEN
+               CASE WHEN {_sql_u('o_orderkey')} < 0.10 THEN 3
+                    WHEN {_sql_u('o_orderkey')} < 0.50 THEN 4 ELSE 5 END
+             WHEN o_totalprice >= 150000 THEN
+               CASE WHEN {_sql_u('o_orderkey')} < 0.05 THEN 2
+                    WHEN {_sql_u('o_orderkey')} < 0.40 THEN 3
+                    WHEN {_sql_u('o_orderkey')} < 0.85 THEN 4 ELSE 5 END
+             WHEN o_totalprice >= 50000 THEN
+               CASE WHEN {_sql_u('o_orderkey')} < 0.05 THEN 1
+                    WHEN {_sql_u('o_orderkey')} < 0.35 THEN 2
+                    WHEN {_sql_u('o_orderkey')} < 0.75 THEN 3 ELSE 4 END
+             ELSE
+               CASE WHEN {_sql_u('o_orderkey')} < 0.40 THEN 1
+                    WHEN {_sql_u('o_orderkey')} < 0.80 THEN 2 ELSE 3 END
+           END AS FLOAT) AS synth_rating
+    FROM orders
+    """,
+)
+def ml_synthetic_weighted_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 distributed: the reference's persona-weighted synthetic-rating
+    generator (utils/imb_rating.py:114-124 — quality band → weighted
+    random.choices, executed row-by-row on the driver) as a pure column
+    expression: a multiplicative-hash uniform per row drives the same
+    cumulative-weight thresholds, banded by a quality proxy
+    (o_totalprice stands in for averageRating). Map-only, reproducible,
+    and identical in any engine — the properties driver-side RNG can't
+    give you at 100 TB."""
+    from ..sources import tables
+
+    u = (
+        ((F.col("o_orderkey") % _SYNTH_PRIME) * F.lit(2654435761)) % _SYNTH_PRIME
+    ).cast("double") / _SYNTH_PRIME
+
+    def bands(*cuts):
+        expr = F.lit(cuts[-1][1])
+        for threshold, rating in reversed(cuts[:-1]):
+            expr = F.when(u < threshold, rating).otherwise(expr)
+        return expr
+
+    quality = F.col("o_totalprice")
+    rating = (
+        F.when(quality >= 300000, bands((0.10, 3), (0.50, 4), (None, 5)))
+        .when(quality >= 150000, bands((0.05, 2), (0.40, 3), (0.85, 4), (None, 5)))
+        .when(quality >= 50000, bands((0.05, 1), (0.35, 2), (0.75, 3), (None, 4)))
+        .otherwise(bands((0.40, 1), (0.80, 2), (None, 3)))
+    )
+    return tables(spark, sf_dir)["orders"].select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey").alias("item_key"),
+        rating.cast("float").alias("synth_rating"),
+    )
+
+
 @query("ml_als_top_recs")  # iterative ALS is not SQL-expressible → rows-only
 def ml_als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ALS surface (M1-M10): derive ratings → index → ALS

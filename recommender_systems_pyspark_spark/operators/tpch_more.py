@@ -170,11 +170,14 @@ def tpch_q14_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q15_style(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 top supplier: scalar-subquery max over a derived aggregate. The
-    revenue view is computed ONCE and reused for both the max and the
-    final filter (Spark reuses the exchange; the max side is a 1-row
-    broadcast). Equality on the exact decimal-sum double is safe — both
-    occurrences are the same deterministic value."""
+    """Q15 top supplier: scalar-subquery max over a derived aggregate,
+    expressed as a global max WINDOW over the aggregated relation so the
+    expensive lineitem aggregation is computed ONCE (a separate
+    ``rev.agg(max)`` branch made Spark scan lineitem twice — no
+    plan-level reuse across the two DataFrame references). The window's
+    single partition holds only per-supplier rows (a bounded dimension),
+    so it is safe at any fact scale. Equality on the exact decimal-sum
+    double is safe — both sides are the same deterministic value."""
     t = tables(spark, sf_dir)
     rev = (
         t["lineitem"]
@@ -185,11 +188,14 @@ def tpch_q15_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
     )
-    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    from pyspark.sql import Window
+
+    top = rev.withColumn(
+        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("max_revenue"))
     return (
         t["supplier"]
-        .join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(top, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
