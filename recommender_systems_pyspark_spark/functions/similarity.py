@@ -183,6 +183,51 @@ def x_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def srp_probe_cells(cell: Column) -> Column:
+    """Multi-probe cell set: the home cell plus its _SRP_BITS one-bit-flip
+    neighbors — the standard LSH recall widening (a near-dup pair split by
+    exactly one hyperplane lands in adjacent cells; probing neighbors
+    recovers it at ×(bits+1) candidate cost, still nowhere near
+    all-pairs)."""
+    return F.array(cell, *[cell.bitwiseXOR(F.lit(1 << b)) for b in range(_SRP_BITS)])
+
+
+@query("x_embed_neardup_multiprobe")  # recall-widened LSH → rows-only; pytest
+def x_embed_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with MULTI-PROBE SRP blocking: each vector
+    probes its own cell and all 6 one-bit-neighbor cells, candidates are
+    cosine-verified at the same ≥ 0.4 threshold. Output schema matches
+    x_embed_neardup_pairs minus the cell column; its pair set is a strict
+    superset (pytest proves superset + recall gain vs the exact all-pairs
+    ground truth at fixture scale). Plan: probe explode is a ×7 map-only
+    fan-out of (vec_id, cell); the join stays a uniform-key equi-join."""
+    t = tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", "embedding", srp_cell(F.col("embedding")).alias("cell")
+    )
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        F.explode(srp_probe_cells(F.col("cell"))).alias("cell"),
+    )
+    cand = (
+        probes.join(e, "cell")
+        .where(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            F.least("probe_id", "vec_id").alias("vec_a"),
+            F.greatest("probe_id", "vec_id").alias("vec_b"),
+            F.col("probe_emb").alias("emb_a"),
+            F.col("embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.4)
+    )
+
+
 @query("x_knn_ivf_topk")  # approximate by design → rows-only; pytest recall
 def x_knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-10 for vec_id 0: coarse-quantize by

@@ -68,6 +68,37 @@ def head_rows(df: DataFrame, n: int) -> list[Row]:
     return df.limit(n).collect()
 
 
+# -- batch upsert (MERGE-shaped) ---------------------------------------------
+
+def upsert_parquet(
+    spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str]
+) -> None:
+    """MERGE-shaped upsert for a parquet store: rows in ``updates`` replace
+    current rows with the same key; unmatched current rows survive.
+
+    Plan: current ANTI-JOIN updates on the key (keep non-updated rows) →
+    UNION updates → write beside → atomic swap (same self-overwrite-safe
+    dance as compact_table). One shuffle on the key. This is what a table
+    format (Delta/Iceberg MERGE) does with file-level pruning on top; for
+    partitioned stores, restrict the rewrite to the partitions the updates
+    touch — the swap then moves only those directories."""
+    import os
+    import shutil
+
+    current = spark.read.parquet(path)
+    cond = None
+    for k in key_cols:
+        c = current[k] == updates[k]
+        cond = c if cond is None else (cond & c)
+    merged = current.join(updates, cond, "left_anti").unionByName(updates)
+    tmp = path.rstrip("/") + "__upserting"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 # -- small-file compaction ---------------------------------------------------
 
 def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> int:

@@ -158,6 +158,22 @@ def start_to_memory(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    late_threshold: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same key across
+    micro-batches, keeping state only within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — unbounded ``dropDuplicates``
+    state would grow forever on an infinite stream). This is the
+    streaming face of x_dedup_exact: same key discipline, state bounded
+    by event time instead of corpus size."""
+    return events.withWatermark("ts", late_threshold).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def start_to_parquet(
     df: DataFrame,
     path: str,

@@ -125,3 +125,37 @@ def test_srp_cells_cardinality_and_partition_pruning(spark, sf_dir, tmp_path):
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert f"= {probe_cell}" in pf, f"cell filter not pushed to partitions: {pf}"
     assert probe.select("cell").distinct().count() == 1
+
+
+def test_multiprobe_widens_recall_over_single_probe(spark, sf_dir):
+    """Multi-probe SRP must (a) verify candidates exactly (subset of the
+    all-pairs ground truth at the threshold), (b) strictly contain the
+    single-cell pair set, (c) raise recall vs the exact ground truth."""
+    from recommender_systems_pyspark_spark.functions.similarity import cosine
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    single = SPECS["x_embed_neardup_pairs"].fn(spark, sf_dir)
+    multi = SPECS["x_embed_neardup_multiprobe"].fn(spark, sf_dir)
+    sp = {(r.vec_a, r.vec_b) for r in single.collect()}
+    mp = {(r.vec_a, r.vec_b) for r in multi.collect()}
+    assert sp <= mp
+
+    # exact ground truth: all pairs >= 0.4 (fixture-scale verifier only)
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.4)
+    )
+    truth = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    assert mp <= truth  # precision exact (verified candidates)
+    if truth:
+        recall_single = len(sp & truth) / len(truth)
+        recall_multi = len(mp & truth) / len(truth)
+        assert recall_multi >= recall_single
+        assert recall_multi > 0

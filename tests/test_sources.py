@@ -157,3 +157,20 @@ def test_cache_lifecycle(spark, sf_dir):
     df2.count()
     clear_cache(spark)
     assert not df2.storageLevel.useMemory
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    """MERGE-shaped upsert: matched keys replaced, unmatched kept, new
+    keys inserted — in one key-shuffle rewrite."""
+    from recommender_systems_pyspark_spark.sources.sinks import upsert_parquet
+
+    path = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    upsert_parquet(spark, path, updates, ["id"])
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}

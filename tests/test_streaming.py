@@ -241,3 +241,39 @@ def test_streaming_parquet_sink_appends_finalized_windows(spark, tmp_path):
         assert 13 not in got  # still open, not emitted by append mode
     finally:
         q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops cross-batch repeats of a key
+    while the watermark holds its state — the bounded-state streaming
+    twin of x_dedup_exact."""
+    import json
+
+    from recommender_systems_pyspark_spark.streaming.engine import (
+        dedup_stream,
+        read_event_stream,
+        start_to_memory,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, ids_hours):
+        rows = [
+            {"event_id": i, "ts": f"2024-01-01T{h:02d}:00:00", "user_id": 1,
+             "event_type": "view", "value": 1.0, "props": "{}"}
+            for i, h in ids_hours
+        ]
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    write("b1.json", [(1, 10), (2, 10), (1, 10)])  # in-batch dup of id 1
+    stream = dedup_stream(read_event_stream(spark, str(src)), ["event_id"])
+    q = start_to_memory(stream, "dedup_out", "append")
+    try:
+        q.processAllAvailable()
+        write("b2.json", [(1, 10), (3, 10)])  # cross-batch dup of id 1
+        q.processAllAvailable()
+        got = [r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect()]
+        assert sorted(got) == [1, 2, 3], got  # each key exactly once
+    finally:
+        q.stop()
