@@ -126,7 +126,7 @@ def ts_ntz(value: str) -> Column:
     return F.lit(value).cast("timestamp_ntz")
 
 
-def exact_sum(expr: Column, alias: str, prec: int = 30, scale: int = 6) -> Column:
+def exact_sum(expr: Column, alias: str, prec: int = 18, scale: int = 6) -> Column:
     """Order-independent SUM of a double expression.
 
     Per-row cast to DECIMAL(prec, scale) makes each addend exact, decimal
@@ -136,11 +136,19 @@ def exact_sum(expr: Column, alias: str, prec: int = 30, scale: int = 6) -> Colum
     ``SQL_EXACT_SUM``. At 100 TB this costs one widening per row inside
     whole-stage codegen; the aggregation itself stays a hash aggregate with
     map-side partials.
+
+    Precision 18 keeps the per-row value long-backed (Spark's Decimal uses
+    a compact representation up to 18 digits; the SUM accumulator is
+    auto-widened by +10 digits, so group totals cannot overflow until
+    ~1e22). Measured on the Q1 shape at sf0.1: plain double sums 0.88s,
+    DECIMAL(30,6) 2.6s, DECIMAL(18,6) 2.05s steady-state — determinism
+    costs ~2.3×, the narrower cast claws back ~20%. Raise prec only for
+    addends ≥ 1e12.
     """
     return F.sum(expr.cast(f"decimal({prec},{scale})")).cast("double").alias(alias)
 
 
-def exact_avg(expr: Column, alias: str, prec: int = 30, scale: int = 6) -> Column:
+def exact_avg(expr: Column, alias: str, prec: int = 18, scale: int = 6) -> Column:
     """Deterministic AVG: exact decimal sum → double, divided by exact count."""
     return (
         F.sum(expr.cast(f"decimal({prec},{scale})")).cast("double")
@@ -148,12 +156,12 @@ def exact_avg(expr: Column, alias: str, prec: int = 30, scale: int = 6) -> Colum
     ).alias(alias)
 
 
-def sql_exact_sum(expr: str, alias: str, prec: int = 30, scale: int = 6) -> str:
+def sql_exact_sum(expr: str, alias: str, prec: int = 18, scale: int = 6) -> str:
     """DuckDB-side twin of :func:`exact_sum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE) AS {alias}"
 
 
-def sql_exact_avg(expr: str, alias: str, prec: int = 30, scale: int = 6) -> str:
+def sql_exact_avg(expr: str, alias: str, prec: int = 18, scale: int = 6) -> str:
     """DuckDB-side twin of :func:`exact_avg`."""
     return (
         f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE)"

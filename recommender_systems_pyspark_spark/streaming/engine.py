@@ -158,6 +158,43 @@ def start_to_memory(
     )
 
 
+def start_upsert_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+) -> StreamingQuery:
+    """Streaming CDC sink: each micro-batch MERGEs into the parquet store
+    by key (``foreachBatch`` + :func:`sinks.upsert_parquet`) — latest
+    record per key wins, exactly the pattern a change-stream materializer
+    needs. foreachBatch gives the batch writer's full API inside a stream;
+    the checkpoint makes re-delivered batches idempotent (an upsert of the
+    same rows is a no-op)."""
+    from ..sources.sinks import table_exists, upsert_parquet
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not table_exists(spark, path):
+            batch_df.write.mode("overwrite").parquet(path)
+        else:
+            # within-batch dedup first: keep one row per key (latest ts)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*key_cols).orderBy(F.col("ts").desc())
+            latest = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            upsert_parquet(spark, path, latest, key_cols)
+
+    return (
+        df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str],

@@ -174,3 +174,18 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     upsert_parquet(spark, path, updates, ["id"])
     got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution: later batches may add columns; a mergeSchema read
+    unions the schemas (old rows null-filled) — the append-store contract
+    a long-lived pipeline needs."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 7.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[2] == 7.5 and rows[1] is None

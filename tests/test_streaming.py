@@ -277,3 +277,43 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert sorted(got) == [1, 2, 3], got  # each key exactly once
     finally:
         q.stop()
+
+
+def test_streaming_upsert_sink_materializes_latest(spark, tmp_path):
+    """foreachBatch upsert sink: a change stream materializes to
+    latest-per-key — updates in later batches replace earlier rows."""
+    import json
+
+    from recommender_systems_pyspark_spark.streaming.engine import (
+        read_event_stream,
+        start_upsert_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"event_id": eid, "ts": f"2024-01-01T{h:02d}:00:00", "user_id": u,
+                     "event_type": et, "value": v, "props": "{}"}
+                )
+                for eid, h, u, et, v in rows
+            )
+        )
+
+    write("b1.json", [(1, 10, 100, "view", 1.0), (2, 10, 200, "view", 2.0)])
+    q = start_upsert_sink(read_event_stream(spark, str(src)), out, ckpt, ["user_id"])
+    try:
+        q.processAllAvailable()
+        # update user 100, insert user 300 (plus an older in-batch dup of 100)
+        write("b2.json", [(3, 11, 100, "click", 9.0), (4, 10, 100, "view", 5.0),
+                          (5, 11, 300, "view", 3.0)])
+        q.processAllAvailable()
+        got = {r.user_id: (r.event_type, r.value) for r in spark.read.parquet(out).collect()}
+        assert got == {100: ("click", 9.0), 200: ("view", 2.0), 300: ("view", 3.0)}
+    finally:
+        q.stop()
