@@ -172,3 +172,30 @@ def test_filters_and_projection_reach_parquet_scan(spark, sf_dir):
     assert "l_orderkey" not in rs and "l_returnflag" not in rs
     # "*(n)" prefixes are WholeStageCodegen stage markers in simpleString
     assert "*(" in qplan
+
+
+def test_no_accidental_cartesian_in_any_registered_query(spark):
+    """Engine-wide plan invariant: no registered query may compile to a
+    shuffled CartesianProduct except the documented ground-truth verifiers
+    (quadratic BY DESIGN, never the scale path). Catches the classic
+    regression where an equi-join condition quietly degenerates (alias
+    typo, lost key column) into an all-pairs join."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    ALLOWED_CARTESIAN = {
+        "x_dedup_shingle_pairs",  # all-pairs Jaccard ground truth (doc'd)
+    }
+    # queries whose fn() EXECUTES work at build time (training, writes) —
+    # plan-audited implicitly by their own tests instead
+    SKIP_EAGER = {"ml_als_top_recs", "ml_user_crud_flow", "g4_grouping_sets"}
+
+    sf_dir = "/root/testdata/sf0.001"
+    bad = []
+    for name, spec in all_queries().items():
+        if name in SKIP_EAGER or name in ALLOWED_CARTESIAN:
+            continue
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"unexpected cartesian joins in: {bad}"
