@@ -32,8 +32,9 @@ from ..sources.loaders import register_views
     "x_json_extract_typed",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
-           json_extract(props, '$.k') IS NOT NULL AS parsed_ok
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+             AS parsed_ok
     FROM events
     """,
 )

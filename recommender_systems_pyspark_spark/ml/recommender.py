@@ -165,8 +165,16 @@ def dict_from_column(df: DataFrame, col: str, idx_col: str) -> DataFrame:
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     counts = df.groupBy(col).agg(F.count("*").alias("n_rows"))
+    # Tie-break on the STRINGIFIED value: StringIndexer sorts its label
+    # strings, so numeric columns order '10' < '2' there — the cast keeps
+    # parity for any input type (no-op for string columns).
+    tie = F.col(col).cast("string").asc()
+    # The range partitioning is cached because the offsets collected below
+    # must describe the SAME partitioning the final ranking runs over —
+    # RangePartitioner re-samples per job, so an uncached recompute could
+    # place boundaries differently and corrupt the ranks.
     ranged = (
-        counts.repartitionByRange(n_parts, F.col("n_rows").desc(), F.col(col).asc())
+        counts.repartitionByRange(n_parts, F.col("n_rows").desc(), tie)
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
@@ -179,8 +187,8 @@ def dict_from_column(df: DataFrame, col: str, idx_col: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_pid").orderBy(F.col("n_rows").desc(), F.col(col).asc())
-    return (
+    w = Window.partitionBy("_pid").orderBy(F.col("n_rows").desc(), tie)
+    dim = (
         ranged.join(F.broadcast(off_df), "_pid")
         .select(
             col,
@@ -188,6 +196,14 @@ def dict_from_column(df: DataFrame, col: str, idx_col: str) -> DataFrame:
             (F.row_number().over(w) - 1 + F.col("_off")).cast("double").alias(idx_col),
         )
     )
+    # Materialize the dictionary and truncate lineage so the helper's cache
+    # can be released NOW instead of leaking a cached block per call (the
+    # returned frame otherwise keeps `ranged` alive forever). The
+    # checkpointed blocks are the dictionary itself — freed when the caller
+    # drops the DataFrame.
+    dim = dim.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return dim
 
 
 def SparkSession_active():

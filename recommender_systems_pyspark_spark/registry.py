@@ -106,7 +106,12 @@ def all_queries() -> dict[str, QuerySpec]:
             print(f"[registry] FAILED to import query module {mod}:\n{tb}", file=sys.stderr)
     out = dict(_REGISTRY)
     for mod, tb in failures.items():
-        name = "zz_import_failure_" + mod.rsplit(".", 1)[-1]
+        # full dotted path (not just the last component): operators.windows
+        # and streaming.windows must yield DISTINCT sentinels, or correlated
+        # failures collapse to one visible row
+        name = "zz_import_failure_" + mod.removeprefix(
+            "recommender_systems_pyspark_spark."
+        ).replace(".", "_")
 
         def _raiser(spark: SparkSession, sf_dir: str, _mod: str = mod, _tb: str = tb) -> DataFrame:
             raise RuntimeError(f"query module {_mod} failed to import:\n{_tb}")

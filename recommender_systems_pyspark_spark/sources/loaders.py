@@ -41,13 +41,18 @@ DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
 NANO_TS_COLUMNS: frozenset[str] = frozenset({"ts"})
 
 
-#: Plan cache: (applicationId, sf_dir, table) → DataFrame. DataFrames are
-#: immutable logical plans, so reusing one across queries in a session is
+#: Plan cache: per-SparkSession (weakly referenced — dies with the session)
+#: → {(sf_dir, table): DataFrame}. DataFrames are immutable logical plans
+#: BOUND TO THEIR SESSION, so reusing one across queries in that session is
 #: free and saves a file-listing + footer-read + several py4j round trips
-#: per construction. Keyed by applicationId so a new session never sees
-#: stale plans. Fixture files are read-only (TESTDATA.md), so plans cannot
-#: go stale within an application.
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: per construction — but a plan must never leak to a sibling
+#: ``newSession()`` (different temp views/confs). Fixture files are
+#: read-only (TESTDATA.md), so plans cannot go stale within a session.
+import weakref
+
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -55,8 +60,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushed into the parquet reader by Catalyst."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    cache_key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _PLAN_CACHE.get(cache_key)
+    session_cache = _PLAN_CACHE.setdefault(spark, {})
+    cached = session_cache.get((sf_dir, name))
     if cached is not None:
         return cached
     try:
@@ -87,7 +92,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
-    _PLAN_CACHE[cache_key] = df
+    session_cache[(sf_dir, name)] = df
     return df
 
 

@@ -70,6 +70,40 @@ def head_rows(df: DataFrame, n: int) -> list[Row]:
 
 # -- batch upsert (MERGE-shaped) ---------------------------------------------
 
+def _swap_dirs(path: str, tmp: str) -> None:
+    """Replace ``path`` with ``tmp`` via rename, recovering from a prior
+    crashed swap first. NOT atomic (two renames — a crash between them
+    leaves ``path`` absent until the next call's recovery restores it from
+    ``__old``); production stores get real atomicity from a table format's
+    metadata commit (Delta/Iceberg) — this is the filesystem approximation,
+    made CRASH-RECOVERABLE: every entry cleans up any half-finished state."""
+    import os
+    import shutil
+
+    recover_swap(path)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def recover_swap(path: str) -> None:
+    """Repair a store whose last _swap_dirs crashed between its renames:
+    restore the ``__old`` backup if ``path`` is gone, or drop the stale
+    backup if the swap did complete. Callers that probe ``path`` existence
+    (e.g. a restarting streaming upsert sink) MUST run this first, or a
+    crashed swap reads as 'no store yet' and silently truncates history."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+
+
 def upsert_parquet(
     spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str]
 ) -> None:
@@ -77,14 +111,11 @@ def upsert_parquet(
     current rows with the same key; unmatched current rows survive.
 
     Plan: current ANTI-JOIN updates on the key (keep non-updated rows) →
-    UNION updates → write beside → atomic swap (same self-overwrite-safe
-    dance as compact_table). One shuffle on the key. This is what a table
-    format (Delta/Iceberg MERGE) does with file-level pruning on top; for
+    UNION updates → write beside → swap (see _swap_dirs for the crash
+    story). One shuffle on the key. This is what a table format
+    (Delta/Iceberg MERGE) does with file-level pruning on top; for
     partitioned stores, restrict the rewrite to the partitions the updates
     touch — the swap then moves only those directories."""
-    import os
-    import shutil
-
     current = spark.read.parquet(path)
     cond = None
     for k in key_cols:
@@ -93,10 +124,7 @@ def upsert_parquet(
     merged = current.join(updates, cond, "left_anti").unionByName(updates)
     tmp = path.rstrip("/") + "__upserting"
     merged.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_dirs(path, tmp)
 
 
 # -- small-file compaction ---------------------------------------------------
@@ -108,20 +136,16 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> int:
     Row-level appends (insert_rows — utils/user.py:150-166's pattern) leave
     one tiny file per call; scans then pay one task + one footer read per
     file. Compaction is the standard repair: read → coalesce → write beside
-    → atomic directory swap. The read is materialized BEFORE the swap (the
-    self-overwrite caveat on write_table); on a real object store the swap
-    is a manifest/metadata commit (Iceberg/Delta rewrite_data_files), same
-    shape."""
+    → directory swap (crash-recoverable, see _swap_dirs). The read is
+    materialized BEFORE the swap (the self-overwrite caveat on
+    write_table); on a real object store the swap is a manifest/metadata
+    commit (Iceberg/Delta rewrite_data_files), same shape."""
     import os
-    import shutil
 
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_dirs(path, tmp)
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )

@@ -163,29 +163,36 @@ def start_upsert_sink(
     path: str,
     checkpoint: str,
     key_cols: list[str],
+    order_col: str = "ts",
 ) -> StreamingQuery:
     """Streaming CDC sink: each micro-batch MERGEs into the parquet store
     by key (``foreachBatch`` + :func:`sinks.upsert_parquet`) — latest
-    record per key wins, exactly the pattern a change-stream materializer
-    needs. foreachBatch gives the batch writer's full API inside a stream;
-    the checkpoint makes re-delivered batches idempotent (an upsert of the
-    same rows is a no-op)."""
-    from ..sources.sinks import table_exists, upsert_parquet
+    record per key (by ``order_col``) wins, exactly the pattern a
+    change-stream materializer needs. foreachBatch gives the batch
+    writer's full API inside a stream; the checkpoint makes re-delivered
+    batches idempotent (an upsert of the same rows is a no-op). Restart
+    safety: each batch first repairs any crashed store swap
+    (sinks.recover_swap) so a mid-swap failure can never read as
+    'no store yet' and truncate history."""
+    from pyspark.sql import Window
+
+    from ..sources.sinks import recover_swap, table_exists, upsert_parquet
+
+    def latest_per_key(batch_df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        return (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        recover_swap(path)
+        latest = latest_per_key(batch_df)
         if not table_exists(spark, path):
-            batch_df.write.mode("overwrite").parquet(path)
+            latest.write.mode("overwrite").parquet(path)
         else:
-            # within-batch dedup first: keep one row per key (latest ts)
-            from pyspark.sql import Window
-
-            w = Window.partitionBy(*key_cols).orderBy(F.col("ts").desc())
-            latest = (
-                batch_df.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
-            )
             upsert_parquet(spark, path, latest, key_cols)
 
     return (
