@@ -189,3 +189,30 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[2] == 7.5 and rows[1] is None
+
+
+def test_swap_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames must not lose the store: the
+    next operation (or recover_swap directly) restores the backup."""
+    import os
+
+    from recommender_systems_pyspark_spark.sources.sinks import (
+        recover_swap,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "store")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+
+    # simulate a crash mid-swap: path was renamed to __old, new never landed
+    os.rename(path, path + "__old")
+    assert not os.path.exists(path)
+    recover_swap(path)
+    assert {r.id for r in spark.read.parquet(path).collect()} == {1}
+
+    # a stale completed-swap backup is cleaned up by the next upsert
+    spark.createDataFrame([(9, "z")], "id long, v string").write.parquet(path + "__old")
+    upsert_parquet(spark, path, spark.createDataFrame([(2, "b")], "id long, v string"), ["id"])
+    assert not os.path.exists(path + "__old")
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b"}
