@@ -84,6 +84,92 @@ def x_json_agg_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_date_spine_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('month', min(o_orderdate)) AS lo,
+             date_trunc('month', max(o_orderdate)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+      FROM bounds
+    ),
+    rev AS (
+      SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders
+      FROM orders GROUP BY month
+    )
+    SELECT spine.month, COALESCE(rev.n_orders, 0) AS n_orders,
+           rev.n_orders IS NULL AS is_gap
+    FROM spine LEFT JOIN rev USING (month)
+    ORDER BY spine.month
+    """,
+)
+def x_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine with gap-fill: generate every month between the data
+    bounds (sequence + explode — no calendar table needed), LEFT-join the
+    actual monthly rollup, zero-fill misses. The pattern that makes
+    time-series reports correct when a period has no rows — a plain
+    GROUP BY silently drops empty months. The spine is generated from a
+    1-row aggregate (broadcast), so the join cost is the rollup itself."""
+    t = tables(spark, sf_dir)
+    bounds = t["orders"].agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    rev = (
+        t["orders"]
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        spine.join(rev, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.col("n_orders").isNull().alias("is_gap"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "x_array_functions",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+             AS vocab_csv,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           list_sort(list_distinct(string_split(text, ' ')))[1] AS first_term,
+           list_reverse(list_sort(list_distinct(string_split(text, ' '))))[1]
+             AS last_term,
+           list_contains(string_split(text, ' '), 'spark') AS mentions_spark
+    FROM documents
+    """,
+)
+def x_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family in one pass: distinct → sort → index/reverse
+    access → membership, over the token arrays. All codegen; the sorted
+    distinct vocabulary per document is also the shape a corpus
+    vocabulary-build stage emits before its global aggregate."""
+    t = tables(spark, sf_dir)
+    vocab = F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
+    return t["documents"].select(
+        "doc_id",
+        # serialized for the comparator (array columns are unhashable in
+        # the pandas row-sort both gates use); full content still checked
+        F.array_join(vocab, ",").alias("vocab_csv"),
+        F.size(vocab).alias("n_distinct"),
+        F.element_at(vocab, 1).alias("first_term"),
+        F.element_at(F.reverse(vocab), 1).alias("last_term"),
+        F.array_contains(F.split(F.col("text"), " "), "spark").alias("mentions_spark"),
+    )
+
+
+@query(
     "f13_try_cast",
     oracle="""
     SELECT p_partkey,
