@@ -33,6 +33,15 @@ _SQL_SHINGLES = """
 """
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition the corpus to full parallelism before a CPU-dense
+    sketch stage. Fixture corpora are one small parquet file → one scan
+    task → the O(shingles × 64) signature folds run on a single core; at
+    production scale the file layout provides the splits and this shuffle
+    of raw text is noise next to the sketch compute it parallelizes."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+
 def shingles() -> Column:
     """Distinct 3-gram token shingles of ``text`` (0-indexed transform) —
     the unit of near-duplicate comparison. Pure codegen; no explode."""
@@ -140,7 +149,7 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planner sees every stage.
     """
     t = tables(spark, sf_dir)
-    s = t["documents"].select("doc_id", shingles().alias("sh"))
+    s = _spread(t["documents"]).select("doc_id", shingles().alias("sh"))
     sig = s.select("doc_id", "sh", minhash_signature().alias("sig"))
 
     # band b → hash of signature slots [b*R, (b+1)*R)
@@ -302,6 +311,6 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-distance 0, no cartesian product in the plan).
     """
     t = tables(spark, sf_dir)
-    s = t["documents"].select("doc_id", shingles().alias("sh"))
+    s = _spread(t["documents"]).select("doc_id", shingles().alias("sh"))
     sig = s.select("doc_id", simhash64().alias("sig"))
     return simhash_pairs_blocked(sig)
