@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     # --- new in r2 -------------------------------------------------------
     "recommender_systems_pyspark_spark.ml.users",
     "recommender_systems_pyspark_spark.operators.tpch_more",
+    "recommender_systems_pyspark_spark.operators.tpch_full",
     "recommender_systems_pyspark_spark.functions.semistructured",
     # ml.queries last among the ungraded block: its ALS end-to-end query is
     # the most expensive single grade — cheap queries go first in case the
