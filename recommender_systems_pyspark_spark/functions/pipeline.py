@@ -7,7 +7,7 @@ These are the corpus-curation stages BETWEEN the per-document text ops
 functions/similarity.py): the steps that turn a filtered document set into
 training shards. The reference repo (a recommender app) has no counterpart —
 this module is part of the engine's LLM-pipeline extension surface declared
-in SURVEY.md §2.10.
+in SURVEY.md §2.13.
 
 Scale posture (the point of every design choice here):
 - Fingerprinting, contamination n-gram extraction, and shard assignment are
