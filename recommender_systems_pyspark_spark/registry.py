@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     # position 51+ (next round's front of line): new-in-r2 modules that
     # didn't fit the 50-query window
     "recommender_systems_pyspark_spark.functions.pipeline",
+    "recommender_systems_pyspark_spark.streaming.joins",
     "recommender_systems_pyspark_spark.functions.semistructured",
     # --- graded green in r1 ----------------------------------------------
     "recommender_systems_pyspark_spark.operators.relational",

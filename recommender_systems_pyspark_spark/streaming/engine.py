@@ -239,3 +239,58 @@ def start_to_parquet(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on_left: str = "user_id", on_right: str = "c_custkey"
+) -> DataFrame:
+    """Stream-static join: enrich each streaming event with a slowly-
+    changing dimension (here customer attributes). The static side is
+    re-planned per micro-batch — so a dim refreshed by a nightly batch job
+    is picked up without restarting the stream — and the broadcast hint
+    keeps it a map-side hash join: NO state store, NO shuffle of the
+    stream side, regardless of corpus rate.
+
+    Batch face (same plan, oracle-checked): streaming.joins
+    s5_stream_static_enrich."""
+    return events.join(F.broadcast(dim), events[on_left] == dim[on_right], "left")
+
+
+def join_view_click(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    late_threshold: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each view matched to the same user's
+    clicks within ``horizon`` AFTER the view (the attribution/funnel join).
+
+    Both sides carry watermarks and the join condition bounds click_ts
+    within [view_ts, view_ts + horizon], which is exactly what lets Spark
+    PRUNE state: a buffered view is dropped once the click watermark passes
+    view_ts + horizon, a buffered click once the view watermark passes its
+    ts. Without the time bound the state store grows with the full history
+    of both streams — the difference between a join that runs for a year
+    and one that OOMs in an hour. Inner matches emit immediately; state
+    eviction needs no output watermark.
+
+    Batch face (same condition, oracle-checked): streaming.joins
+    s6_view_click_funnel."""
+    v = views.withWatermark("ts", late_threshold).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", late_threshold).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
+    )

@@ -1,0 +1,115 @@
+"""Batch faces of the streaming joins (SURVEY.md §2.13): stream-static
+enrichment and the stream-stream interval (funnel/attribution) join.
+
+Same one-definition-two-runtimes discipline as streaming.windows: these
+queries are the exact logical plans ``engine.enrich_stream`` /
+``engine.join_view_click`` execute incrementally, run here on the bounded
+``events`` fixture so the driver's DuckDB oracle can grade them; the live
+streaming forms (file-source micro-batches, watermarks, state eviction) are
+exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import exact_sum, query, sql_exact_sum
+from ..sources import load_table
+
+#: Attribution horizon for the view→click funnel join.
+_FUNNEL_HORIZON = "1 hour"
+
+
+@query(
+    "s5_stream_static_enrich",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           e.event_type,
+           date_trunc('day', e.ts) AS window_start,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('e.value', 'total_value')}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY mktsegment, e.event_type, window_start
+    """,
+)
+def s5_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, batch face: events joined to the customer
+    dimension (broadcast), then daily-window counts per (market segment,
+    event type) — the "enrich then aggregate" shape every event pipeline
+    runs. 1-day tumbling windows are epoch-aligned ⇒ equal to the oracle's
+    date_trunc('day').
+
+    Scale: the dim is broadcast (a customer table is GBs, not TBs — and a
+    genuinely huge dim flips to one shuffled hash join, still linear); the
+    only stream-side shuffle is the final aggregation on its group keys. In
+    streaming mode the same plan holds state per (segment, type, day) —
+    cardinality-bounded, watermark-evicted.
+    """
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        events.join(
+            F.broadcast(customer), events["user_id"] == customer["c_custkey"]
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            "event_type",
+            F.window("ts", "1 day").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            "mktsegment",
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "s6_view_click_funnel",
+    oracle=f"""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           v.ts AS view_ts, c.ts AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '{_FUNNEL_HORIZON}'
+    """,
+)
+def s6_view_click_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch face: every view paired with the
+    same user's clicks within {h} after it (attribution). The type filters
+    push into the scan; the join is an equi join on user_id with the time
+    band as a residual predicate — NOT a cartesian (the engine-wide
+    no-accidental-cartesian invariant test covers this query too).
+
+    Scale: per-user event lists are small relative to the horizon, so the
+    user-keyed hash join is linear with a bounded residual; skewed power
+    users fall under AQE skew splitting. The streaming form keys state the
+    same way and evicts by watermark + the interval bound — see
+    engine.join_view_click for the eviction math.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {_FUNNEL_HORIZON}")
+        ),
+    ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")

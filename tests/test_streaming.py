@@ -317,3 +317,72 @@ def test_streaming_upsert_sink_materializes_latest(spark, tmp_path):
         assert got == {100: ("click", 9.0), 200: ("view", 2.0), 300: ("view", 3.0)}
     finally:
         q.stop()
+
+
+def test_stream_static_enrich_joins_dim_per_microbatch(spark, stream_dir):
+    from recommender_systems_pyspark_spark.streaming.engine import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], "c_custkey long, c_mktsegment string"
+    )
+    _write_batch(
+        stream_dir,
+        "batch0",
+        [
+            _ev(1, "2024-01-01 00:05:00", user=1),
+            _ev(2, "2024-01-01 00:06:00", user=2),
+            _ev(3, "2024-01-01 00:07:00", user=99),  # no dim row -> left join null
+        ],
+    )
+    q = start_to_memory(
+        enrich_stream(read_event_stream(spark, stream_dir), dim), "enriched"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.event_id: r.c_mktsegment
+            for r in spark.sql("SELECT * FROM enriched").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {1: "BUILDING", 2: "MACHINERY", 3: None}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
+    import tempfile
+
+    from recommender_systems_pyspark_spark.streaming.engine import join_view_click
+
+    views_dir = tempfile.mkdtemp(prefix="views_stream_")
+    clicks_dir = tempfile.mkdtemp(prefix="clicks_stream_")
+    try:
+        views = [
+            _ev(1, "2024-01-01 00:00:00", user=1, typ="view"),
+            _ev(2, "2024-01-01 00:30:00", user=2, typ="view"),
+            _ev(3, "2024-01-01 03:00:00", user=1, typ="view"),
+        ]
+        clicks = [
+            _ev(10, "2024-01-01 00:20:00", user=1, typ="click"),  # joins view 1
+            _ev(11, "2024-01-01 02:00:00", user=2, typ="click"),  # > horizon after 2
+            _ev(12, "2024-01-01 03:10:00", user=1, typ="click"),  # joins view 3
+            _ev(13, "2024-01-01 05:00:00", user=9, typ="click"),  # advances watermark
+        ]
+        _write_batch(views_dir, "batch0", views)
+        _write_batch(clicks_dir, "batch0", clicks)
+        joined = join_view_click(
+            read_event_stream(spark, views_dir),
+            read_event_stream(spark, clicks_dir),
+        )
+        q = start_to_memory(joined, "funnel_pairs")
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.view_id, r.click_id)
+                for r in spark.sql("SELECT * FROM funnel_pairs").collect()
+            }
+        finally:
+            q.stop()
+        assert got == {(1, 10), (3, 12)}
+    finally:
+        shutil.rmtree(views_dir, ignore_errors=True)
+        shutil.rmtree(clicks_dir, ignore_errors=True)
