@@ -67,3 +67,86 @@ def land_as_parquet(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
+
+
+def read_tsv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    sep: str = "\t",
+    null_value: str = NULL_SENTINEL,
+) -> tuple[DataFrame, DataFrame]:
+    """S1 hardened: schema-enforced scan that SPLITS clean rows from
+    malformed ones instead of silently nulling them (PERMISSIVE default)
+    or killing the job (FAILFAST).
+
+    Returns ``(clean, quarantine)``: ``clean`` has exactly ``schema``;
+    ``quarantine`` carries the raw offending line for a dead-letter sink.
+    At 100 TB a handful of corrupt lines per billion is CERTAIN — the
+    pipeline must neither stop nor silently drop them; landing them beside
+    the data (with lineage) is what makes the ingest auditable.
+
+    Mechanics: the reader's PERMISSIVE mode populates a
+    ``columnNameOfCorruptRecord`` column for rows that fail schema
+    application (wrong arity / uncastable values); rows where it is null
+    parsed fully. Both outputs come from ONE scan (Spark caches nothing
+    here — the split is two lazy filters; at scale land both in one pass
+    via ``df.persist()`` or a two-sink foreachBatch).
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    # StructType.add MUTATES in PySpark — build a copy, don't grow the caller's schema
+    aug = StructType(schema.fields + [StructField("_corrupt_record", StringType())])
+    raw = (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("nullValue", null_value)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(aug)
+        .csv(path)
+    )
+    clean = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    # Quarantine keeps the partially-parsed columns alongside the raw line:
+    # (a) the triage sink can see WHICH field failed, and (b) projecting data
+    # columns is what makes the plan legal — Spark refuses a query whose only
+    # referenced file column is the internal corrupt-record column.
+    quarantine = (
+        raw.where(F.col("_corrupt_record").isNotNull())
+        .withColumnRenamed("_corrupt_record", "raw_line")
+        .withColumn("source_file", F.input_file_name())
+    )
+    return clean, quarantine
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingest with the same clean/quarantine split as
+    :func:`read_tsv_quarantine` — the wire format of most document dumps
+    (Common Crawl derivatives, API exports) that feed the documents table.
+    Schema is explicit for the same reason as S1: inference over 100 TB is
+    a full extra pass AND locks in whatever the first sampled files had."""
+    from pyspark.sql.types import StringType, StructField
+
+    aug = StructType(schema.fields + [StructField("_corrupt_record", StringType())])
+    raw = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(aug)
+        .json(path)
+    )
+    clean = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    # Quarantine keeps the partially-parsed columns alongside the raw line:
+    # (a) the triage sink can see WHICH field failed, and (b) projecting data
+    # columns is what makes the plan legal — Spark refuses a query whose only
+    # referenced file column is the internal corrupt-record column.
+    quarantine = (
+        raw.where(F.col("_corrupt_record").isNotNull())
+        .withColumnRenamed("_corrupt_record", "raw_line")
+        .withColumn("source_file", F.input_file_name())
+    )
+    return clean, quarantine

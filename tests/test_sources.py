@@ -216,3 +216,33 @@ def test_swap_crash_recovery(spark, tmp_path):
     assert not os.path.exists(path + "__old")
     got = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_tsv_quarantine_splits_clean_from_malformed(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from recommender_systems_pyspark_spark.sources.ingest import read_tsv_quarantine
+
+    schema = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    p = tmp_path / "data.tsv"
+    p.write_text("id\tname\n1\talice\nnotanum\tbob\n3\tcarol\n")
+    clean, quar = read_tsv_quarantine(spark, str(p), schema)
+    assert sorted((r.id, r.name) for r in clean.collect()) == [(1, "alice"), (3, "carol")]
+    q = quar.collect()
+    assert [r.raw_line for r in q] == ["notanum\tbob"]
+    assert q[0].id is None and q[0].name == "bob"  # partial parse kept for triage
+    assert q[0].source_file.endswith("data.tsv")
+    assert len(schema.fields) == 2  # caller's schema not mutated
+
+
+def test_jsonl_quarantine_splits_clean_from_malformed(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from recommender_systems_pyspark_spark.sources.ingest import read_jsonl
+
+    schema = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"id": 1, "name": "alice"}\nnot json at all\n{"id": 3, "name": "carol"}\n')
+    clean, quar = read_jsonl(spark, str(p), schema)
+    assert sorted((r.id, r.name) for r in clean.collect()) == [(1, "alice"), (3, "carol")]
+    assert [r.raw_line for r in quar.collect()] == ["not json at all"]
