@@ -22,6 +22,68 @@ from ..registry import query, sql_exact_sum, exact_sum
 from ..sources import tables
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """Generic as-of join: for each left row, the ``value_col`` of the
+    right row whose ``right_ts`` is latest at-or-before ``left_ts``
+    (``backward``, DuckDB's ``ASOF JOIN … >=``) or earliest at-or-after
+    (``forward``), matched within ``on``; NULL when no such row. Output is
+    every left row + one ``value_col`` column.
+
+    Implementation (the module-docstring scale argument): both sides union
+    into one stream, ONE shuffle on ``on``, and a running
+    last-ignoring-nulls window carries the as-of value — linear cost, no
+    per-key click×purchase blowup. Equal timestamps match (right row sorts
+    before the left probe at the same ts in both directions).
+
+    Property-tested against a brute-force Python reference on randomized
+    inputs (tests/test_properties.py) in both directions, on top of j6's
+    DuckDB ASOF JOIN oracle for the backward form.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    ts_type = dict(left.dtypes)[left_ts]
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.col(value_col).alias("__v"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(t).alias(f"__l_{c}") for c, t in left.dtypes],
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(dict(right.dtypes)[value_col]).alias("__v"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c).alias(f"__l_{c}") for c, _ in left.dtypes],
+    )
+    order = (
+        [F.col("__ts").asc(), F.col("__is_left").asc()]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__is_left").asc()]
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r).withColumn(
+        "__asof", F.last("__v", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("__is_left") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c, _ in left.dtypes],
+        F.col("__asof").alias(f"asof_{value_col}"),
+    )
+
+
 @query(
     "j6_asof_join",
     oracle="""
@@ -38,31 +100,18 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; ties (click at the exact purchase ts) sort before the
     purchase so ``>=`` semantics match DuckDB's ASOF JOIN."""
     ev = tables(spark, sf_dir)["events"]
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.col("ts").alias("click_ts"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(0).alias("is_purchase"),
-    )
     purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast(dict(ev.dtypes)["ts"]).alias("click_ts"),
-        "event_id",
-        F.lit(1).alias("is_purchase"),
+        "event_id", "user_id", "ts"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_purchase")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = clicks.unionByName(purchases).withColumn(
-        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
-    )
-    return merged.where(F.col("is_purchase") == 1).select(
-        "event_id", "user_id", "ts", "last_click_ts"
-    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_col="ts",
+    ).withColumnRenamed("asof_ts", "last_click_ts")
 
 
 #: Price bands for the range join — the tiny always-broadcast dimension.

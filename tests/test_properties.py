@@ -1,0 +1,110 @@
+"""Hypothesis property tests (SURVEY.md §5: property-based coverage for the
+operators whose semantics a fixture oracle can't fully pin):
+
+- asof_join (both directions) vs a brute-force Python reference on
+  randomized keyed event sets — ties, missing matches, duplicate
+  timestamps, single-sided keys all emerge from generation.
+- exact_sum bit-stability under arbitrary repartitioning — the property the
+  whole oracle-hashing contract rests on.
+- The winnowing guarantee on random strings (pure Python replica of
+  x_fingerprint_winnow's algorithm — any shared passage of length
+  >= k + w - 1 shares a fingerprint).
+
+Spark-backed properties keep max_examples small (each example is a Spark
+job); the pure-Python property runs plenty.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+# a keyed event: (key, ts) with small domains so collisions/ties are common
+_EVENT = st.tuples(st.integers(0, 3), st.integers(0, 20))
+_SPARK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_asof(left, right, direction):
+    out = {}
+    for k, lts in left:
+        if direction == "backward":
+            cands = [rts for rk, rts in right if rk == k and rts <= lts]
+            out.setdefault((k, lts), max(cands) if cands else None)
+        else:
+            cands = [rts for rk, rts in right if rk == k and rts >= lts]
+            out.setdefault((k, lts), min(cands) if cands else None)
+    return out
+
+
+@given(
+    left=st.lists(_EVENT, min_size=1, max_size=12, unique=True),
+    right=st.lists(_EVENT, min_size=0, max_size=12),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@_SPARK_SETTINGS
+def test_asof_join_matches_bruteforce(spark, left, right, direction):
+    from recommender_systems_pyspark_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(left, "k long, ts long")
+    rdf = spark.createDataFrame(right, "k long, rts long") if right else (
+        spark.createDataFrame([], "k long, rts long")
+    )
+    got = {
+        (r.k, r.ts): r.asof_val
+        for r in asof_join(
+            ldf,
+            rdf.withColumnRenamed("rts", "val"),
+            on="k",
+            left_ts="ts",
+            right_ts="val",
+            value_col="val",
+            direction=direction,
+        )
+        .withColumnRenamed("asof_val", "asof_val")
+        .collect()
+    }
+    assert got == _py_asof(left, right, direction)
+
+
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.integers(1, 7),
+)
+@_SPARK_SETTINGS
+def test_exact_sum_is_bit_stable_under_repartitioning(spark, values, parts):
+    from recommender_systems_pyspark_spark.registry import exact_sum
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    base = df.coalesce(1).agg(exact_sum(F.col("v"), "s")).collect()[0].s
+    redis = df.repartition(parts).agg(exact_sum(F.col("v"), "s")).collect()[0].s
+    # bit-identical, not approximately equal — that's the whole point
+    assert base == redis
+
+
+@given(
+    prefix=st.text(alphabet="abcdefgh ", max_size=40),
+    passage=st.text(alphabet="abcdefgh ", min_size=23 + 8, max_size=80),
+    suffix=st.text(alphabet="abcdefgh ", max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_winnow_guarantee_on_random_strings(prefix, passage, suffix):
+    """Any two docs sharing a passage of length >= k + w - 1 (= 23) share a
+    winnowing fingerprint (Schleimer et al. theorem 1); passage is drawn
+    longer so it survives edge effects at the splice points."""
+    from tests.test_pipeline_ops import _py_winnow
+
+    a = _py_winnow(prefix + passage)
+    b = _py_winnow(passage + suffix)
+    assert set(a) & set(b)
