@@ -1,0 +1,274 @@
+"""Corpus-quality and embedding-statistics operators (LLM-pipeline
+extension surface, SURVEY.md §2.13 — no reference counterpart).
+
+- Gopher-style document quality rules (Rae et al. 2021, "Scaling Language
+  Models: ... Gopher", §A1.1): word-count bounds, mean word length,
+  stopword presence, alphabetic-word fraction — the published heuristic
+  battery every web-scale text pipeline applies before training.
+- Repetition detection (same paper §A1.1): duplicate-n-gram fractions —
+  boilerplate and degenerate-generation filtering.
+- Embedding centroids + nearest-centroid assignment: the per-class mean
+  vectors and the 1-NN-to-centroid classifier used for corpus domain
+  bucketing and IVF coarse quantization.
+
+Scale notes: the quality/repetition metrics are per-document map work
+(higher-order array functions in codegen; the repetition groupBy keys on
+(doc_id, ngram) — uniform, no skew). Centroids are a posexplode + hash
+aggregate whose output is tiny (labels × dims rows); the assignment join
+broadcasts that tiny centroid table, so the classification pass is
+map-only over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tables
+from .similarity import dot
+
+#: Stopword marker set for the quality gate (fixture corpus is synthetic
+#: space-separated tokens; 'the'/'a' are its function words).
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SQL_STOPWORDS = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "x_quality_gopher",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+             / len(ws) AS mean_word_len,
+           CAST(len(list_filter(ws, x -> x IN ({_SQL_STOPWORDS}))) AS BIGINT)
+             AS stop_count,
+           CAST(len(list_filter(ws, x -> regexp_full_match(x, '[a-z]+')))
+                AS DOUBLE) / len(ws) AS alpha_frac,
+           (len(ws) BETWEEN 20 AND 100000)
+             AND (CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+                    / len(ws) BETWEEN 2 AND 12)
+             AND len(list_filter(ws, x -> x IN ({_SQL_STOPWORDS}))) >= 2
+             AND CAST(len(list_filter(ws, x -> regexp_full_match(x, '[a-z]+')))
+                      AS DOUBLE) / len(ws) >= 0.8 AS keep
+    FROM w
+    """,
+)
+def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate: per document, word count, mean word
+    length, stopword hits, alphabetic-word fraction, and the conjunctive
+    keep decision (20 ≤ words ≤ 100k, 2 ≤ mean len ≤ 12, ≥ 2 stopwords,
+    ≥ 80% alphabetic words). All metrics are higher-order array functions
+    over one split — single map-only pass, no shuffle, no UDF."""
+    t = tables(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws)
+    mean_len = (
+        F.aggregate(
+            F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / n_words
+    )
+    stop_count = F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("bigint")
+    alpha_frac = (
+        F.size(F.filter(ws, lambda w: w.rlike("^[a-z]+$"))).cast("double") / n_words
+    )
+    keep = (
+        n_words.between(20, 100000)
+        & mean_len.between(2, 12)
+        & (stop_count >= 2)
+        & (alpha_frac >= 0.8)
+    )
+    return t["documents"].select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_count.alias("stop_count"),
+        alpha_frac.alias("alpha_frac"),
+        keep.alias("keep"),
+    )
+
+
+@query(
+    "x_text_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w
+    ),
+    c AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(n) AS BIGINT) AS top_count,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n) AS dup_frac,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_frac,
+           (1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n) > 0.3)
+             OR (CAST(MAX(n) AS DOUBLE) / SUM(n) > 0.05) AS repetitive
+    FROM c GROUP BY doc_id
+    """,
+)
+def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (Gopher §A1.1 duplicate-n-gram family): per
+    document, the duplicate-bigram fraction and the top-bigram mass; docs
+    above either threshold are flagged repetitive (boilerplate /
+    degenerate text). Shape: bigram explode (map-only fan-out) → count on
+    (doc_id, bigram) — uniform composite key, one shuffle — → per-doc
+    rollup. Documents with fewer than two words have no bigrams and drop
+    out (same semantics both sides)."""
+    t = tables(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))"
+    )
+    bg = (
+        t["documents"]
+        .where(F.size(ws) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    c = bg.groupBy("doc_id", "bigram").count()
+    n_bigrams = F.sum("count")
+    n_distinct = F.count("*")
+    top_count = F.max("count")
+    agg = c.groupBy("doc_id").agg(
+        n_bigrams.alias("n_bigrams"),
+        n_distinct.alias("n_distinct"),
+        top_count.alias("top_count"),
+    )
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_bigrams")
+    top_frac = F.col("top_count").cast("double") / F.col("n_bigrams")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        "top_count",
+        dup_frac.alias("dup_frac"),
+        top_frac.alias("top_frac"),
+        ((dup_frac > 0.3) | (top_frac > 0.05)).alias("repetitive"),
+    )
+
+
+#: Centroid averaging quantum: components are floor-quantized to 1e-9
+#: before the exact bigint sum. Unlike a DECIMAL cast (whose HALF_UP vs
+#: round-half-even tie-breaking differs between engines on full-precision
+#: floats), floor(v * 1e9) of the same double is bit-identical everywhere,
+#: the bigint sum is exact and order-independent, and the single final
+#: division is one deterministic double rounding.
+_CENT_QUANTUM = 1_000_000_000.0
+
+_SQL_CENTROIDS = f"""
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           CAST(SUM(CAST(floor(v * {_CENT_QUANTUM}) AS BIGINT)) AS DOUBLE)
+             / COUNT(v) / {_CENT_QUANTUM} AS centroid
+    FROM (SELECT label,
+                 unnest(generate_series(1, len(embedding))) AS i,
+                 unnest(embedding::DOUBLE[]) AS v
+          FROM embeddings)
+    GROUP BY label, i
+"""
+
+
+def centroids_exploded(e: DataFrame) -> DataFrame:
+    """(label, dim, centroid): per-label mean vector in exploded form via
+    posexplode + exact quantized average (order-independent, so the hash
+    aggregate's partial ordering cannot move the double result; the 1e-9
+    input quantization is far below float32's precision at unit scale)."""
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v").cast("double") * _CENT_QUANTUM)).cast("double")
+                / F.count("v")
+                / _CENT_QUANTUM
+            ).alias("centroid")
+        )
+    )
+
+
+@query("x_embed_centroids", oracle=_SQL_CENTROIDS)
+def x_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, exploded to (label, dim, centroid)
+    rows — the trained coarse quantizer the IVF/ANN path probes against.
+    One posexplode (×dims map fan-out) + one hash aggregate on the uniform
+    (label, dim) key; output is labels × dims rows — tiny at any corpus
+    scale, and the natural broadcast side of every downstream use."""
+    t = tables(spark, sf_dir)
+    return centroids_exploded(t["embeddings"])
+
+
+@query(
+    "x_embed_assign",
+    oracle=f"""
+    WITH cd AS ({_SQL_CENTROIDS}),
+    cent AS (
+      SELECT label AS c_label, list(centroid ORDER BY dim) AS cvec
+      FROM cd GROUP BY label
+    ),
+    d AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             list_transform(generate_series(1, len(e.embedding)),
+                            i -> e.embedding[i]::DOUBLE - c.cvec[i]) AS diff
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    r AS (
+      SELECT vec_id, label, c_label,
+             list_dot_product(diff, diff) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(diff, diff), c_label
+             ) AS rn
+      FROM d
+    )
+    SELECT vec_id, label, c_label AS assigned_label, dist,
+           label = c_label AS is_correct
+    FROM r WHERE rn = 1
+    """,
+)
+def x_embed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment: classify every vector to its closest
+    per-label centroid (squared L2), reporting the true label, assigned
+    label, distance, and agreement — the cell-assignment step of IVF
+    indexing and the standard domain-bucketing classifier.
+
+    Plan shape: the centroid table (labels × dims → labels rows after
+    re-assembly) is broadcast; the ×|labels| candidate fan-out is a
+    BroadcastNestedLoopJoin (map-side, no shuffle of the corpus), and the
+    argmin is a per-vec_id window over |labels| rows. The distance fold
+    matches DuckDB's list_dot_product accumulation order, and centroids
+    come from the exact decimal average, so ``dist`` is bit-comparable."""
+    t = tables(spark, sf_dir)
+    e = t["embeddings"]
+    cent = (
+        centroids_exploded(e)
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("dc"))
+        .select("c_label", F.transform("dc", lambda s: s.getField("centroid")).alias("cvec"))
+    )
+    diff = F.zip_with(
+        F.col("embedding"), F.col("cvec"), lambda x, y: x.cast("double") - y
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "c_label", dot(diff, diff).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("assigned_label"),
+            "dist",
+            (F.col("label") == F.col("c_label")).alias("is_correct"),
+        )
+    )

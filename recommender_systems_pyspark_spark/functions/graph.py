@@ -1,0 +1,193 @@
+"""Dedup clustering: connected components over near-duplicate pair edges.
+
+Pair generators (exact hash, MinHash-LSH, SimHash, embedding-cosine — see
+``functions.dedup`` / ``functions.similarity``) emit EDGES; a training-data
+pipeline needs CLUSTERS ("these 7 docs are one document — keep one"). That
+closure is a connected-components computation, which the reference
+(jgchoti/recommender-systems-pyspark) has no counterpart for — it is part of
+the LLM-pipeline extension surface (SURVEY.md §2.13).
+
+Scale architecture (100 TB):
+- The components loop is min-label propagation expressed as DataFrame joins:
+  each iteration is one shuffle join edges⋈labels + one groupBy(min) — no
+  driver-side graph state, no collect. Iterations = graph diameter; dedup
+  components are near-cliques (every member is a near-copy of the same
+  content), so the diameter is tiny (2-3) regardless of corpus size.
+  For adversarially long chain graphs the standard fix is the
+  large-star/small-star algorithm (Kiveris et al., "Connected Components in
+  MapReduce and Beyond"), which converges in O(log n) rounds with the same
+  join-per-round shape.
+- Each iteration's label frame is eagerly ``localCheckpoint``-ed: the
+  logical plan references the previous labels twice per round (neighbour
+  join + convergence diff), so without lineage truncation the plan tree
+  grows ~3× per iteration and the DRIVER dies building it long before any
+  data problem. Checkpointing makes every round's plan O(1). On a
+  multi-executor cluster prefer ``checkpoint()`` to a reliable directory
+  (``sparkContext.setCheckpointDir``) so lost executors can recompute;
+  local mode has no such failure domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tables
+from .dedup import _SQL_SHINGLES, jaccard, shingles
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    ``edges`` needs columns (src, dst); ``nodes`` needs column (id) and must
+    contain every endpoint (isolated nodes become singleton components).
+    Returns (id, component) where component = min node id reachable.
+
+    Each round: every node takes the min of its own label and its
+    neighbours' labels; converged when no label changes. The symmetric edge
+    closure means labels flow both directions, so the fixpoint is the true
+    component minimum.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint()  # edge plans (e.g. an all-pairs verifier or an
+        # LSH candidate join) can be expensive — materialize once, reuse
+        # every round with a leaf-plan scan
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # eager: truncates lineage AND materializes
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "x_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the 3-gram-shingle
+    Jaccard ≥ 0.8 pair graph; every document gets a cluster_id (the min
+    doc_id in its component; non-duplicated docs are singletons).
+
+    The edge generator here is the SQL-expressible ground-truth pair join so
+    DuckDB can verify the transitive closure (recursive CTE); the scale
+    pipeline feeds the same ``connected_components`` the MinHash-LSH /
+    SimHash pair stream, which has identical (src, dst) schema and
+    sub-quadratic cost. The components loop itself is join-based and
+    driver-state-free either way."""
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    s = docs.select("doc_id", shingles().alias("sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(jaccard(F.col("a.sh"), F.col("b.sh")) >= 0.8)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+@query(
+    "x_dedup_cluster_keep",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+      SELECT d.doc_id, c.cluster_id, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, d.doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM documents d JOIN comp c USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document election: one keeper per near-dup cluster — the
+    longest text, doc_id as tiebreaker (the policy every dedup pipeline
+    needs after clustering: keep one, drop the rest). One window over the
+    clustered corpus; the dedup'd corpus is the semi-join of documents
+    against keep_doc_id."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    comp = x_dedup_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.join(comp, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+        )
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keep_doc_id"), "cluster_size")
+    )

@@ -68,6 +68,8 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.functions.pipeline",
     "recommender_systems_pyspark_spark.streaming.joins",
     "recommender_systems_pyspark_spark.functions.semistructured",
+    "recommender_systems_pyspark_spark.functions.graph",
+    "recommender_systems_pyspark_spark.functions.corpus",
     # --- graded green in r1 ----------------------------------------------
     "recommender_systems_pyspark_spark.operators.relational",
     "recommender_systems_pyspark_spark.operators.windows",

@@ -1,0 +1,169 @@
+"""Tests for connected-components dedup clustering (functions/graph.py)
+and the corpus-quality / embedding-statistics operators
+(functions/corpus.py). Oracle equality for the SQL-expressible queries is
+covered by tools/verify_local.py + the driver gate; these tests pin the
+algorithmic properties the oracle can't see."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _union_find(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Ground-truth components: plain driver-side union-find, min-id label."""
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_connected_components_matches_union_find(spark):
+    from recommender_systems_pyspark_spark.functions.graph import connected_components
+
+    rng = random.Random(42)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    nodes_df = spark.range(n).select(F.col("id"))
+    got = {
+        r.id: r.component for r in connected_components(edges_df, nodes_df).collect()
+    }
+    assert got == _union_find(n, edges)
+
+
+def test_connected_components_long_chain(spark):
+    """A 30-node path graph has diameter 29 — the worst case for min-label
+    propagation; the loop must still converge (within max_iter) to one
+    component labelled 0."""
+    from recommender_systems_pyspark_spark.functions.graph import connected_components
+
+    n = 30
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    nodes_df = spark.range(n).select(F.col("id"))
+    got = connected_components(edges_df, nodes_df, max_iter=n).collect()
+    assert {r.component for r in got} == {0}
+    assert len(got) == n
+
+
+def test_cluster_keep_partitions_corpus(spark, sf_dir):
+    """Every cluster elects exactly one keeper; cluster sizes sum to the
+    corpus size; keepers' cluster_ids are distinct."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    specs = all_queries()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    keep = specs["x_dedup_cluster_keep"].fn(spark, sf_dir).collect()
+    assert sum(r.cluster_size for r in keep) == docs_n
+    assert len({r.cluster_id for r in keep}) == len(keep)
+    # the keeper belongs to its own cluster (cluster_id = min member id ≤ keeper id)
+    assert all(r.cluster_id <= r.keep_doc_id for r in keep)
+
+
+def test_clusters_transitive_closure(spark):
+    """Crafted corpus: docs 0=1 (exact copies), 1~2 (near-dup), 2~3
+    (near-dup) but 0 vs 3 well below threshold — the component must still
+    chain all four together (transitivity is exactly what the pair join
+    alone cannot give). Doc 4 is unrelated → singleton."""
+    import tempfile
+
+    from recommender_systems_pyspark_spark.functions.graph import x_dedup_clusters
+
+    base = [f"tok{i}" for i in range(40)]
+
+    def doc(drop: int) -> str:
+        # each step replaces `drop` leading tokens — consecutive versions
+        # share most shingles, distant versions far fewer
+        return " ".join([f"alt{drop}_{j}" for j in range(drop)] + base[drop:])
+
+    texts = [doc(0), doc(0), doc(1), doc(2), " ".join(f"zzz{i}" for i in range(40))]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        comp = {r.doc_id: r.cluster_id for r in x_dedup_clusters(spark, d).collect()}
+    assert comp[0] == comp[1] == comp[2] == comp[3] == 0
+    assert comp[4] == 4
+
+
+def test_embed_assign_recovers_labels(spark, sf_dir):
+    """Fixture embeddings carry label structure (loosely — clusters
+    overlap at this dimensionality), so the nearest-centroid classifier
+    must beat the 1/n_labels chance rate by a clear margin."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    rows = all_queries()["x_embed_assign"].fn(spark, sf_dir).collect()
+    acc = sum(r.is_correct for r in rows) / len(rows)
+    n_labels = len({r.label for r in rows})
+    assert acc >= 1.5 / n_labels, f"accuracy {acc:.2f} vs chance {1 / n_labels:.2f}"
+    # every vector classified exactly once
+    assert len({r.vec_id for r in rows}) == len(rows)
+
+
+def test_embed_centroids_shape(spark, sf_dir):
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_labels = emb.select("label").distinct().count()
+    dims = len(emb.first().embedding)
+    cent = all_queries()["x_embed_centroids"].fn(spark, sf_dir)
+    assert cent.count() == n_labels * dims
+
+
+def test_quality_gopher_flags_degenerate_doc(spark):
+    """A degenerate all-numbers 'document' must fail the alphabetic-word
+    rule; normal fixture-style prose must pass."""
+    from recommender_systems_pyspark_spark.functions.corpus import x_quality_gopher
+
+    # run the same expressions over a crafted frame via the query's internals:
+    # build a one-off documents.parquet-shaped table and reuse the query fn
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        good_text = "the quick brown fox jumps over a lazy dog " * 5
+        bad_text = " ".join(str(i) for i in range(40))
+        spark.createDataFrame(
+            [(1, good_text.strip(), "en", "s", len(good_text)),
+             (2, bad_text, "en", "s", len(bad_text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = {r.doc_id: r for r in x_quality_gopher(spark, d).collect()}
+    assert rows[1].keep
+    assert not rows[2].keep
+    assert rows[2].alpha_frac == 0.0
+
+
+def test_repetition_flags_repeated_text(spark):
+    """A doc that is one phrase repeated must be flagged repetitive; varied
+    text must not."""
+    from recommender_systems_pyspark_spark.functions.corpus import x_text_repetition
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        rep = "buy now " * 30
+        varied = " ".join(f"w{i}" for i in range(60))
+        spark.createDataFrame(
+            [(1, rep.strip(), "en", "s", len(rep)),
+             (2, varied, "en", "s", len(varied))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = {r.doc_id: r for r in x_text_repetition(spark, d).collect()}
+    assert rows[1].repetitive
+    assert rows[1].dup_frac > 0.9
+    assert not rows[2].repetitive

@@ -184,6 +184,10 @@ def test_no_accidental_cartesian_in_any_registered_query(spark):
 
     ALLOWED_CARTESIAN = {
         "x_dedup_shingle_pairs",  # all-pairs Jaccard ground truth (doc'd)
+        # ground-truth edge generator for the components loop is the same
+        # documented all-pairs verifier; the scale pipeline feeds LSH pairs
+        "x_dedup_clusters",
+        "x_dedup_cluster_keep",
     }
     # queries whose fn() EXECUTES work at build time (training, writes) —
     # plan-audited implicitly by their own tests instead
