@@ -156,6 +156,78 @@ def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Probability quantum for the unigram LM score: per-token probabilities
+#: are floor-quantized to 1e-12 and summed as exact bigints, so the
+#: aggregation order cannot move the double result (same trick as the
+#: centroid average below; an ln()-based surprisal would additionally be
+#: at the mercy of libm rounding differences between engines).
+_LM_QUANTUM = 1_000_000_000_000.0
+
+
+@query(
+    "x_text_unigram_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(floor(CAST(f.n AS DOUBLE) / tot.total
+                                 * {_LM_QUANTUM}) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / {_LM_QUANTUM} AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM tok t JOIN freq f USING (token) CROSS JOIN tot
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, score, n_tokens,
+           CASE NTILE(3) OVER (ORDER BY score, doc_id)
+             WHEN 1 THEN 'tail' WHEN 2 THEN 'middle' ELSE 'head' END AS bucket
+    FROM scored
+    """,
+)
+def x_text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-fit scoring: train a unigram LM on the corpus
+    (token → probability), score each document by its mean token
+    probability, and bucket documents into tail/middle/head score tertiles
+    (CCNet, Wenzek et al. 2020, buckets by LM perplexity; the mean-unigram-
+    probability score here is the engine-portable analog — monotone in the
+    same "built from common vs rare tokens" signal).
+
+    Shape: token explode → (token) count agg (one uniform shuffle) → join
+    scores back (token-keyed; Zipf skew on the hot tokens is exactly what
+    AQE skew-join handles, and the freq table broadcasts when small) →
+    per-doc rollup. The tertile NTILE is a single total-order window at
+    the very end, over doc-level rows only."""
+    t = tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    scored = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.floor(p * _LM_QUANTUM)).cast("double")
+                / F.count("*")
+                / _LM_QUANTUM
+            ).alias("score"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    bucket = (
+        F.when(F.ntile(3).over(Window.orderBy("score", "doc_id")) == 1, "tail")
+        .when(F.ntile(3).over(Window.orderBy("score", "doc_id")) == 2, "middle")
+        .otherwise("head")
+    )
+    return scored.select("doc_id", "score", "n_tokens", bucket.alias("bucket"))
+
+
 #: Centroid averaging quantum: components are floor-quantized to 1e-9
 #: before the exact bigint sum. Unlike a DECIMAL cast (whose HALF_UP vs
 #: round-half-even tie-breaking differs between engines on full-precision

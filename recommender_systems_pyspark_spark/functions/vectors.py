@@ -1,0 +1,176 @@
+"""Vector-compression and clustering operators over ``embeddings``
+(LLM-pipeline extension surface, SURVEY.md §2.13 — no reference
+counterpart).
+
+- int8 scalar quantization + reconstruction error: the compression step
+  ANN systems apply before indexing (4× smaller than float32, cache-
+  resident codebooks); the error profile tells you whether recall will
+  survive it.
+- k-means (Lloyd's): the trained coarse quantizer for IVF — per-round one
+  broadcast-assign pass over the corpus and one tiny aggregate back.
+
+Scale notes: quantization is map-only codegen given a broadcast per-dim
+min/max table (dims rows). k-means keeps ONLY k×d doubles of driver state
+(the centroids — bounded by model size, not corpus size, the same contract
+as pyspark.ml's KMeans); each iteration is one map-side assignment pass +
+one (cell, dim)-keyed aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tables
+from .similarity import dot
+
+#: Quantization levels for int8 scalar quantization.
+_QLEVELS = 255
+
+
+@query(
+    "x_embed_quantize_error",
+    oracle=f"""
+    WITH x AS (
+      SELECT unnest(generate_series(1, len(embedding))) AS i,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT list(mn ORDER BY i) AS mnl, list(mx ORDER BY i) AS mxl
+      FROM (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i)
+    ),
+    err AS (
+      SELECT e.vec_id,
+             list_transform(generate_series(1, len(e.embedding)), i ->
+               e.embedding[i]::DOUBLE -
+               (s.mnl[i] + (LEAST({_QLEVELS}, GREATEST(0,
+                  floor((e.embedding[i]::DOUBLE - s.mnl[i])
+                        / (s.mxl[i] - s.mnl[i]) * {_QLEVELS}))) + 0.5)
+                * ((s.mxl[i] - s.mnl[i]) / {_QLEVELS + 1}))
+             ) AS d
+      FROM embeddings e CROSS JOIN stats s
+    )
+    SELECT vec_id,
+           list_dot_product(d, d) / len(d) AS mse,
+           list_max(list_transform(d, x -> abs(x))) AS max_abs_err
+    FROM err
+    """,
+)
+def x_embed_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization fidelity: per-dimension global min/max →
+    256-level uniform quantizer → per-vector reconstruction MSE and max
+    absolute error. The stats aggregate outputs dims rows (broadcast); the
+    quantize-and-measure pass is map-only fold arithmetic, bit-comparable
+    to DuckDB (floor/least/greatest are exact; the error fold matches
+    list_dot_product's accumulation order)."""
+    t = tables(spark, sf_dir)
+    e = t["embeddings"]
+    stats = (
+        e.select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min(F.col("v").cast("double")).alias("mn"),
+             F.max(F.col("v").cast("double")).alias("mx"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mn", "mx"))).alias("s"))
+        .select(
+            F.transform("s", lambda r: r.getField("mn")).alias("mnl"),
+            F.transform("s", lambda r: r.getField("mx")).alias("mxl"),
+        )
+    )
+
+    def recon_err(i: Column) -> Column:
+        v = F.col("embedding")[i].cast("double")
+        mn = F.col("mnl")[i]
+        mx = F.col("mxl")[i]
+        q = F.least(
+            F.lit(_QLEVELS).cast("double"),
+            F.greatest(F.lit(0).cast("double"), F.floor((v - mn) / (mx - mn) * _QLEVELS).cast("double")),
+        )
+        return v - (mn + (q + 0.5) * ((mx - mn) / (_QLEVELS + 1)))
+
+    d = F.transform(F.sequence(F.lit(0), F.size("embedding") - 1), recon_err)
+    return (
+        e.crossJoin(F.broadcast(stats))
+        .select("vec_id", d.alias("d"))
+        .select(
+            "vec_id",
+            (dot(F.col("d"), F.col("d")) / F.size("d")).alias("mse"),
+            F.array_max(F.transform("d", F.abs)).alias("max_abs_err"),
+        )
+    )
+
+
+def kmeans_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell, dist): nearest centroid per vector. ``cent`` is the
+    tiny (cell, cvec) table — broadcast, so this is one map pass over the
+    corpus; the argmin window sees |k| rows per vec_id."""
+    diff = F.zip_with(F.col("embedding"), F.col("cvec"), lambda x, y: x.cast("double") - y)
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cell", dot(diff, diff).alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def kmeans(e: DataFrame, k: int = 8, n_iter: int = 5) -> tuple[DataFrame, list[float]]:
+    """Lloyd's k-means over an (vec_id, embedding) frame; returns the final
+    assignment frame and the per-iteration inertia trace.
+
+    Deterministic throughout: seeds are the k lowest vec_ids, assignment
+    ties break on cell id, and the centroid update uses the floor-quantized
+    exact average (see corpus.py) so partial-aggregation order can't move
+    results. Driver state per round is k×d doubles + one inertia double —
+    model-sized, not data-sized (the same boundary pyspark.ml.KMeans
+    crosses each iteration); everything data-sized stays in executors."""
+    spark = e.sparkSession
+    quantum = 1_000_000_000.0
+    cent = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+        )
+        .withColumn("cell", F.row_number().over(Window.orderBy("cell")) - 1)
+    )
+    inertia: list[float] = []
+    assigned = kmeans_assign(e, cent)
+    for _ in range(n_iter):
+        assigned = assigned.localCheckpoint()  # truncate per-round lineage
+        inertia.append(assigned.agg(F.sum("dist")).collect()[0][0])
+        new_cent = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("v").cast("double") * quantum)).cast("double")
+                    / F.count("v")
+                    / quantum
+                ).alias("c")
+            )
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+            .select("cell", F.transform("dc", lambda s: s.getField("c")).alias("cvec"))
+        )
+        # empty cells keep their previous centroid (anti-join back in)
+        kept = cent.join(new_cent, "cell", "left_anti")
+        cent = new_cent.unionByName(kept).localCheckpoint()
+        assigned = kmeans_assign(e, cent)
+    return assigned, inertia
+
+
+@query("x_embed_kmeans")  # iterative, engine-trained model → rows-only; pytest
+def x_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means cell assignment (k=8, 5 Lloyd iterations, deterministic
+    seeding): the trained coarse quantizer the IVF path (x_knn_ivf_topk)
+    probes, replacing its label-as-cell stand-in with learned cells.
+    Rows-only check; pytest pins inertia monotonicity, assignment
+    uniqueness, and determinism across runs."""
+    t = tables(spark, sf_dir)
+    assigned, _ = kmeans(t["embeddings"].select("vec_id", "embedding"))
+    return assigned.select("vec_id", F.col("cell").cast("int").alias("cell"), "dist")

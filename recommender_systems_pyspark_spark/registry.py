@@ -70,6 +70,7 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.functions.semistructured",
     "recommender_systems_pyspark_spark.functions.graph",
     "recommender_systems_pyspark_spark.functions.corpus",
+    "recommender_systems_pyspark_spark.functions.vectors",
     # --- graded green in r1 ----------------------------------------------
     "recommender_systems_pyspark_spark.operators.relational",
     "recommender_systems_pyspark_spark.operators.windows",

@@ -167,3 +167,65 @@ def test_repetition_flags_repeated_text(spark):
     assert rows[1].repetitive
     assert rows[1].dup_frac > 0.9
     assert not rows[2].repetitive
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
+    """Lloyd's guarantees non-increasing inertia; deterministic seeding and
+    quantized centroid updates make reruns identical."""
+    from recommender_systems_pyspark_spark.functions.vectors import kmeans
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    a1, inertia = kmeans(e, k=4, n_iter=4)
+    for prev, nxt in zip(inertia, inertia[1:]):
+        assert nxt <= prev * (1 + 1e-9), f"inertia increased: {inertia}"
+    rows1 = {(r.vec_id, r.cell) for r in a1.collect()}
+    assert len(rows1) == e.count()  # every vector assigned exactly once
+    assert len({c for _, c in rows1}) <= 4
+    a2, _ = kmeans(e, k=4, n_iter=4)
+    rows2 = {(r.vec_id, r.cell) for r in a2.collect()}
+    assert rows1 == rows2
+
+
+def test_quantize_error_bounded_by_step(spark, sf_dir):
+    """Uniform 256-level quantization with clamping: max abs error per
+    dimension is at most the dim's step size (range/256 · 1.5 for the
+    clamped edge bins); MSE ≤ max_abs_err²."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    rows = all_queries()["x_embed_quantize_error"].fn(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as FF
+
+    stats = (
+        emb.select(FF.posexplode("embedding").alias("i", "v"))
+        .groupBy("i")
+        .agg((FF.max("v") - FF.min("v")).alias("rng"))
+        .agg(FF.max("rng").alias("max_rng"))
+        .collect()[0]
+    )
+    step_bound = 1.5 * stats.max_rng / 256
+    for r in rows:
+        assert 0 <= r.mse <= r.max_abs_err**2 + 1e-15
+        assert r.max_abs_err <= step_bound, (r.vec_id, r.max_abs_err, step_bound)
+
+
+def test_unigram_score_orders_common_vs_rare(spark):
+    """A doc made of the corpus's most common tokens must score higher
+    (head bucket) than a doc of hapaxes (tail bucket)."""
+    import tempfile
+
+    from recommender_systems_pyspark_spark.functions.corpus import x_text_unigram_score
+
+    common = ("the cat " * 20).strip()
+    rares = " ".join(f"rare{i}" for i in range(40))
+    mixed = ("the cat " * 10 + " ".join(f"mid{i}" for i in range(20))).strip()
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, common, "en", "s", len(common)),
+             (2, rares, "en", "s", len(rares)),
+             (3, mixed, "en", "s", len(mixed))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = {r.doc_id: r for r in x_text_unigram_score(spark, d).collect()}
+    assert rows[1].score > rows[3].score > rows[2].score
+    assert rows[1].bucket == "head" and rows[2].bucket == "tail"
