@@ -228,6 +228,52 @@ def x_text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score", "n_tokens", bucket.alias("bucket"))
 
 
+@query(
+    "x_mixture_interleave",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS pos,
+             COUNT(*) OVER (PARTITION BY source) AS n_source
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+           CAST(pos AS DOUBLE) / sqrt(CAST(n_source AS DOUBLE)) AS mix_key
+    FROM pos
+    """,
+)
+def x_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (α = 0.5): assign every document a
+    deterministic interleave key so that reading the corpus in mix_key
+    order up-samples small sources relative to proportional mixing — the
+    standard multilingual/multi-source training-mixture schedule
+    (probability ∝ n^α). Within each source, documents are pseudo-shuffled
+    by md5(doc_id); the key is pos / sqrt(n_source), so after k·sqrt(n_s)
+    keys of source s have been consumed at any prefix, sources appear in
+    n^0.5-proportional ratios.
+
+    Scale shape: ONE shuffle — the per-source window (skew bounded by the
+    largest source; salt the window by md5-prefix subshards if one source
+    dominates). Deliberately NO global row_number: a total order would
+    funnel 100 TB through one partition. Consumers materialize the order
+    with repartitionByRange(mix_key) + sortWithinPartitions — range
+    partitioning samples the key space instead of centralizing it."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return t["documents"].select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        (
+            F.row_number().over(w).cast("double")
+            / F.sqrt(F.count("*").over(Window.partitionBy("source")).cast("double"))
+        ).alias("mix_key"),
+    )
+
+
 #: Centroid averaging quantum: components are floor-quantized to 1e-9
 #: before the exact bigint sum. Unlike a DECIMAL cast (whose HALF_UP vs
 #: round-half-even tie-breaking differs between engines on full-precision

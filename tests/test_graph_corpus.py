@@ -229,3 +229,65 @@ def test_unigram_score_orders_common_vs_rare(spark):
         rows = {r.doc_id: r for r in x_text_unigram_score(spark, d).collect()}
     assert rows[1].score > rows[3].score > rows[2].score
     assert rows[1].bucket == "head" and rows[2].bucket == "tail"
+
+
+def test_star_components_match_union_find(spark):
+    """Large-star/small-star must agree with union-find on random graphs
+    and on the deep-chain worst case (where it needs O(log n) rounds, not
+    O(n))."""
+    from recommender_systems_pyspark_spark.functions.graph import (
+        connected_components_star,
+    )
+
+    for seed, n, m in ((7, 120, 80), (11, 120, 200), (13, 60, 30)):
+        rng = random.Random(seed)
+        edges = [
+            (a, b)
+            for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(m))
+            if a != b
+        ]
+        got = {
+            r.id: r.component
+            for r in connected_components_star(
+                spark.createDataFrame(edges, "src long, dst long"),
+                spark.range(n).select(F.col("id")),
+            ).collect()
+        }
+        assert got == _union_find(n, edges), f"seed={seed}"
+
+    # chain: diameter 59 must converge well inside max_iter=20 star rounds
+    n = 60
+    got = {
+        r.id: r.component
+        for r in connected_components_star(
+            spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long"),
+            spark.range(n).select(F.col("id")),
+            max_iter=20,
+        ).collect()
+    }
+    assert set(got.values()) == {0}
+
+
+def test_mixture_interleave_upsamples_small_sources(spark, sf_dir):
+    """Reading in mix_key order, a source's share of any prefix tracks
+    sqrt(n_source) ratios — small sources appear more often than their raw
+    proportion. Keys are unique and every doc gets one."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    rows = all_queries()["x_mixture_interleave"].fn(spark, sf_dir).collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs_n
+    assert len({(r.source, r.pos) for r in rows}) == docs_n
+
+    import collections
+    import math
+
+    n_by_src = collections.Counter(r.source for r in rows)
+    prefix = sorted(rows, key=lambda r: (r.mix_key, r.source, r.pos))[: docs_n // 3]
+    pref_by_src = collections.Counter(r.source for r in prefix)
+    total_sqrt = sum(math.sqrt(v) for v in n_by_src.values())
+    for src, n_s in n_by_src.items():
+        expect = len(prefix) * math.sqrt(n_s) / total_sqrt
+        assert abs(pref_by_src[src] - expect) <= max(3, 0.25 * expect), (
+            src, pref_by_src[src], expect,
+        )
