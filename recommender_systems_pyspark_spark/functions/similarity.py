@@ -192,7 +192,34 @@ def srp_probe_cells(cell: Column) -> Column:
     return F.array(cell, *[cell.bitwiseXOR(F.lit(1 << b)) for b in range(_SRP_BITS)])
 
 
-@query("x_embed_neardup_multiprobe")  # recall-widened LSH → rows-only; pytest
+#: Multi-probe cell list in DuckDB: home cell + one-bit flips (xor).
+_SQL_PROBE_CELLS = "[cell, " + ", ".join(
+    f"xor(cell, {1 << b})" for b in range(_SRP_BITS)
+) + "]"
+
+
+@query(
+    "x_embed_neardup_multiprobe",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, embedding, {_sql_srp_cell('embedding')} AS cell
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id, unnest({_SQL_PROBE_CELLS}) AS cell
+      FROM c
+    ), cand AS (
+      SELECT DISTINCT least(p.probe_id, c.vec_id) AS vec_a,
+                      greatest(p.probe_id, c.vec_id) AS vec_b
+      FROM probes p JOIN c ON p.cell = c.cell AND p.probe_id <> c.vec_id
+    )
+    SELECT vec_a, vec_b,
+           {_SQL_COSINE.format(a='a.embedding', b='b.embedding')} AS cos_sim
+    FROM cand
+    JOIN c a ON a.vec_id = cand.vec_a
+    JOIN c b ON b.vec_id = cand.vec_b
+    WHERE {_SQL_COSINE.format(a='a.embedding', b='b.embedding')} >= 0.4
+    """,
+)
 def x_embed_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with MULTI-PROBE SRP blocking: each vector
     probes its own cell and all 6 one-bit-neighbor cells, candidates are
@@ -200,7 +227,15 @@ def x_embed_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_embed_neardup_pairs minus the cell column; its pair set is a strict
     superset (pytest proves superset + recall gain vs the exact all-pairs
     ground truth at fixture scale). Plan: probe explode is a ×7 map-only
-    fan-out of (vec_id, cell); the join stays a uniform-key equi-join."""
+    fan-out of (vec_id, cell); the join stays a uniform-key equi-join.
+
+    Determinism note: cos_sim is always cosine(emb[vec_a], emb[vec_b]) —
+    the embeddings are swapped into id order BEFORE the cosine, because
+    (dot/‖a‖)/‖b‖ and (dot/‖b‖)/‖a‖ differ in final-ulp rounding, and
+    dropDuplicates keeps an arbitrary survivor of the two probe
+    directions. Ordering the operands makes the value independent of
+    which side probed, which is what lets this query carry a full value
+    oracle rather than a rows-only check."""
     t = tables(spark, sf_dir)
     e = t["embeddings"].select(
         "vec_id", "embedding", srp_cell(F.col("embedding")).alias("cell")
@@ -210,14 +245,15 @@ def x_embed_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("probe_emb"),
         F.explode(srp_probe_cells(F.col("cell"))).alias("cell"),
     )
+    swap = F.col("probe_id") > F.col("vec_id")
     cand = (
         probes.join(e, "cell")
         .where(F.col("probe_id") != F.col("vec_id"))
         .select(
             F.least("probe_id", "vec_id").alias("vec_a"),
             F.greatest("probe_id", "vec_id").alias("vec_b"),
-            F.col("probe_emb").alias("emb_a"),
-            F.col("embedding").alias("emb_b"),
+            F.when(swap, F.col("embedding")).otherwise(F.col("probe_emb")).alias("emb_a"),
+            F.when(swap, F.col("probe_emb")).otherwise(F.col("embedding")).alias("emb_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )

@@ -82,13 +82,42 @@ def s2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("s3_session_window")  # gap semantics verified in pytest vs islands SQL
+@query(
+    "s3_session_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value', 'total_value')}
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def s3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user (30-minute inactivity gap): Spark's native
     ``session_window`` operator. State per (user, open session) in
     streaming mode; sessions close when the watermark passes last+gap.
-    Checked rows-only by the driver; tests/test_streaming.py cross-checks
-    counts against a lag/cumsum gaps-and-islands computation."""
+
+    Oracle: gaps-and-islands — a session breaks when the gap STRICTLY
+    exceeds 30 minutes (verified empirically: Spark merges an event at
+    exactly last+gap), session_end = last event + gap. Events with equal
+    (user_id, ts) make lag() order ambiguous but the break flag is
+    order-independent there (zero gap never breaks).
+    tests/test_streaming.py additionally cross-checks per-user session
+    counts against the same islands computation."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
