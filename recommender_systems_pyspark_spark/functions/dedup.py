@@ -314,3 +314,112 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _spread(t["documents"]).select("doc_id", shingles().alias("sh"))
     sig = s.select("doc_id", simhash64().alias("sig"))
     return simhash_pairs_blocked(sig)
+
+
+#: Span length for exact substring-level dedup (tokens per duplicated span).
+_SPAN = 5
+
+
+@query(
+    "x_dedup_substring",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             array_to_string(toks[u.i:u.i+4], ' ') AS gram
+      FROM d, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)
+    ), fst AS (
+      SELECT gram, doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM g
+    ), cov AS (
+      SELECT DISTINCT doc_id, pos + u.k AS i
+      FROM fst, unnest(generate_series(0, 4)) AS u(k)
+      WHERE rn > 1
+    ), posn AS (
+      SELECT d.doc_id, u.i, toks[u.i + 1] AS tok
+      FROM d, unnest(generate_series(0, len(toks) - 1)) AS u(i)
+    ), kept AS (
+      SELECT p.doc_id, p.i, p.tok
+      FROM posn p
+      WHERE NOT EXISTS (SELECT 1 FROM cov c
+                        WHERE c.doc_id = p.doc_id AND c.i = p.i)
+    ), rebuilt AS (
+      SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS clean_text
+      FROM kept GROUP BY doc_id
+    ), nrem AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_removed FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           coalesce(n.n_removed, 0) AS n_removed
+    FROM d
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    LEFT JOIN nrem n ON n.doc_id = d.doc_id
+    """,
+)
+def x_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup, corpus-wide keep-first (the
+    train-data op from Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", §4.1 ExactSubstr): every 5-token span
+    that occurs anywhere earlier in the corpus (by (doc_id, pos) order) is
+    deleted from the document; the globally FIRST occurrence survives.
+    Subsumes within-document repetition removal (a span repeated inside
+    one doc keeps only its first copy) — distinct from x_dedup_exact
+    (whole-doc) and x_text_repetition (detection only, no rewrite).
+
+    Plan shape at 100 TB: the span inventory is a map-only posexplode
+    (×~n_tokens fan-out of a 2-column relation); first-occurrence election
+    is ONE shuffle keyed by the gram with a map-side-combinable min-struct
+    partial (hot boilerplate grams are absorbed in the partials, residual
+    skew is AQE's job); position-coverage explode is a bounded ×5 fan-out;
+    the rebuild is a doc_id-keyed join (uniform key). No driver state, no
+    all-pairs stage — linearithmic in corpus tokens, vs the suffix-array
+    construction the paper uses single-node.
+    """
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", F.split("text", " ").alias("toks"))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= _SPAN,
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {_SPAN}),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {_SPAN})))"
+                ),
+            ).otherwise(F.expr("cast(array() as array<string>)"))
+        ).alias("pos", "gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min(F.struct("doc_id", "pos")).alias("keep"))
+    removed = (
+        grams.join(first, "gram")
+        .where(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    covered = removed.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN - 1))).alias("i"),
+    ).distinct()
+    per_doc = covered.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("i")).alias("removed"),
+        F.count("*").cast("int").alias("n_removed"),
+    )
+    no_removed = F.expr("cast(array() as array<int>)")
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(
+                "toks",
+                lambda x, i: ~F.array_contains(
+                    F.coalesce(F.col("removed"), no_removed), i
+                ),
+            ),
+        ).alias("clean_text"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+    )
