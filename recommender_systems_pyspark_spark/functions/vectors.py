@@ -174,3 +174,150 @@ def x_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     assigned, _ = kmeans(t["embeddings"].select("vec_id", "embedding"))
     return assigned.select("vec_id", F.col("cell").cast("int").alias("cell"), "dist")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third rung of the ANN ladder
+# (x_knn_cosine_topk exact → x_knn_ivf_topk coarse cells → PQ codes)
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: m subspaces × k centroids. 64-dim fixture vectors → eight
+#: 8-dim slices, 16-entry codebooks → 8 half-byte-addressable codes/vector
+#: (stored as ints here; 8 bytes vs 256 float bytes = 32× compression).
+_PQ_M = 8
+_PQ_K = 16
+_PQ_ITERS = 3
+
+
+def _subvectors(e: DataFrame, m: int) -> DataFrame:
+    """(vec_id, sub, svec): the m contiguous subspace slices of every
+    embedding — one map-only posexplode, ×m fan-out of a 2-column
+    relation; slice width is derived from the embedding length so the
+    same code serves any dim divisible by m."""
+    return e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> transform("
+                f"slice(embedding, s * (size(embedding) div {m}) + 1,"
+                f" size(embedding) div {m}), x -> cast(x as double)))"
+            )
+        ).alias("sub", "svec"),
+    )
+
+
+def pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, sub, svec, cell, dist): nearest codebook entry per
+    (vector, subspace). ``cent`` is the (sub, cell, cvec) codebook —
+    m×k rows, broadcast — so assignment for ALL m codebooks is a single
+    map pass; the argmin window sees k rows per (vec_id, sub) key."""
+    diff = F.zip_with(F.col("svec"), F.col("cvec"), lambda x, y: x - y)
+    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cell")
+    return (
+        sub.join(F.broadcast(cent), "sub")
+        .select("vec_id", "sub", "svec", "cell", dot(diff, diff).alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def pq_train(e: DataFrame, m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITERS) -> DataFrame:
+    """Train the m PQ codebooks JOINTLY: every Lloyd iteration is ONE
+    assignment pass over the (vec_id, sub) relation for all m subspaces
+    at once plus one (sub, cell, dim)-keyed aggregate — not m separate
+    k-means runs, so the corpus is scanned n_iter times total regardless
+    of m. Determinism mirrors :func:`kmeans`: seeds are the k lowest
+    vec_ids' subvectors, assignment ties break on cell, centroid updates
+    use the floor-quantized exact average. The codebook never leaves the
+    cluster as anything bigger than an m×k-row DataFrame."""
+    sub = _subvectors(e, m)
+    quantum = 1_000_000_000.0
+    wseed = Window.partitionBy("sub").orderBy("vec_id")
+    cent = (
+        sub.withColumn("rn", F.row_number().over(wseed))
+        .where(F.col("rn") <= k)
+        .select("sub", (F.col("rn") - 1).cast("int").alias("cell"), F.col("svec").alias("cvec"))
+    )
+    assigned = pq_assign(sub, cent)
+    for _ in range(n_iter):
+        assigned = assigned.localCheckpoint()  # truncate per-round lineage
+        new_cent = (
+            assigned.select("sub", "cell", F.posexplode("svec").alias("dim", "v"))
+            .groupBy("sub", "cell", "dim")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("v") * quantum)).cast("double")
+                    / F.count("v")
+                    / quantum
+                ).alias("c")
+            )
+            .groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+            .select("sub", "cell", F.transform("dc", lambda s: s.getField("c")).alias("cvec"))
+        )
+        # empty cells keep their previous centroid
+        kept = cent.join(new_cent, ["sub", "cell"], "left_anti")
+        cent = new_cent.unionByName(kept).localCheckpoint()
+        assigned = pq_assign(sub, cent)
+    return cent
+
+
+def pq_encode(e: DataFrame, cent: DataFrame, m: int = _PQ_M) -> DataFrame:
+    """(vec_id, sub, cell) PQ codes — m small ints per vector instead of
+    d floats; the only corpus-sized relation ADC search ever touches."""
+    return pq_assign(_subvectors(e, m), cent).select("vec_id", "sub", "cell")
+
+
+#: ADC shortlist size before exact re-ranking.
+_PQ_SHORTLIST = 100
+
+
+@query("x_embed_pq_topk")  # engine-trained codebooks → rows-only; pytest recall
+def x_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ANN top-10 for the vec_id-0 query, the production two-stage
+    shape: (1) ASYMMETRIC DISTANCE shortlist — the exact ‖q_sub − c_sub‖²
+    for every (sub, cell) is an m×k lookup table built from the query and
+    the codebooks (broadcast); a vector's approximate distance is the sum
+    of its m table entries, so the corpus-sized pass reads ONLY the codes
+    (32× smaller than the embeddings) and is a broadcast join + m-row sum
+    → TakeOrdered top-100; (2) EXACT RE-RANK — only the 100 shortlisted
+    embeddings are fetched (semi-join on vec_id) and scored with the true
+    L2 distance → top-10. At 100 TB stage 1's code scan is the whole
+    cost; IVF cells (x_embed_kmeans) compose in front for sub-linear
+    probes, and stage 2 touches a constant 100 rows regardless of scale.
+    Rows-only (iteratively trained model); pytest pins recall@10 vs the
+    exact full scan, run-to-run determinism, and code-geometry invariants.
+    """
+    t = tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    cent = pq_train(e)
+    codes = pq_encode(e, cent)
+    q = _subvectors(e.where(F.col("vec_id") == 0), _PQ_M).select(
+        "sub", F.col("svec").alias("qvec")
+    )
+    qdiff = F.zip_with(F.col("cvec"), F.col("qvec"), lambda x, y: x - y)
+    adc = cent.join(F.broadcast(q), "sub").select(
+        "sub", "cell", dot(qdiff, qdiff).alias("adc")
+    )
+    shortlist = (
+        codes.where(F.col("vec_id") != 0)
+        .join(F.broadcast(adc), ["sub", "cell"])
+        .groupBy("vec_id")
+        # exact decimal sum: m addends per group, but partial-agg order must
+        # not move the double total between runs (determinism pytest)
+        .agg(F.sum(F.col("adc").cast("decimal(28,12)")).cast("double").alias("approx_dist"))
+        .orderBy("approx_dist", "vec_id")
+        .limit(_PQ_SHORTLIST)
+    )
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    d = F.zip_with(F.col("embedding"), F.col("qv"), lambda x, y: x.cast("double") - y)
+    return (
+        e.join(shortlist.select("vec_id"), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", dot(d, d).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )

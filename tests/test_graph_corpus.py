@@ -291,3 +291,54 @@ def test_mixture_interleave_upsamples_small_sources(spark, sf_dir):
         assert abs(pref_by_src[src] - expect) <= max(3, 0.25 * expect), (
             src, pref_by_src[src], expect,
         )
+
+
+def test_pq_topk_recall_determinism_geometry(spark, sf_dir):
+    """Product quantization: (a) codes lie in the m×k grid with exactly m
+    codes per vector; (b) ADC top-10 recalls a meaningful fraction of the
+    exact L2 top-10 (8×16 codebooks on 64-dim data keep coarse structure);
+    (c) the whole train→encode→search path is deterministic across runs."""
+    from pyspark.sql import functions as FF
+
+    from recommender_systems_pyspark_spark.functions.similarity import dot
+    from recommender_systems_pyspark_spark.functions.vectors import (
+        _PQ_K,
+        _PQ_M,
+        pq_encode,
+        pq_train,
+    )
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    n = e.count()
+
+    cent = pq_train(e)
+    codes = pq_encode(e, cent).collect()
+    assert len(codes) == n * _PQ_M
+    assert {r.sub for r in codes} == set(range(_PQ_M))
+    assert all(0 <= r.cell < _PQ_K for r in codes)
+
+    approx = [r.vec_id for r in all_queries()["x_embed_pq_topk"].fn(spark, sf_dir).collect()]
+    assert len(approx) == 10
+
+    q = e.where(FF.col("vec_id") == 0).select(
+        FF.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    d = FF.zip_with(FF.col("embedding"), FF.col("qv"), lambda x, y: x.cast("double") - y)
+    exact = [
+        r.vec_id
+        for r in e.where(FF.col("vec_id") != 0)
+        .crossJoin(FF.broadcast(q))
+        .select("vec_id", dot(d, d).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.5, (
+        f"PQ shortlist+rerank recall@10 too low: {recall} "
+        f"(approx={approx}, exact={exact})"
+    )
+
+    approx2 = [r.vec_id for r in all_queries()["x_embed_pq_topk"].fn(spark, sf_dir).collect()]
+    assert approx == approx2
