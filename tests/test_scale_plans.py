@@ -203,3 +203,43 @@ def test_no_accidental_cartesian_in_any_registered_query(spark):
         if "CartesianProduct" in plan:
             bad.append(name)
     assert not bad, f"unexpected cartesian joins in: {bad}"
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """Runtime-filter evidence (companion to the AQE skew test): when one
+    join side carries a selective filter, Spark injects a runtime BLOOM
+    FILTER on the probe side (`might_contain(bloom_filter_agg(...))` in
+    the optimized plan), so fact rows that cannot match are dropped AT THE
+    SCAN instead of being shuffled — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~matching
+    slice. Thresholds are lowered so fixture-scale data qualifies; the
+    shape (selective dim filter + shuffle equi-join) is the production
+    trigger."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        d = str(tmp_path)
+        spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        ).write.parquet(d + "/fact")
+        spark.range(100_000).select(F.col("id").alias("k")).write.parquet(d + "/dim")
+        fact = spark.read.parquet(d + "/fact")
+        dim = spark.read.parquet(d + "/dim").where(F.col("k") % 1000 == 0)
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, f"no runtime bloom filter injected:\n{plan[:2000]}"
+        # the filter is a pre-shuffle reduction, never a correctness device
+        assert j.count() == 100  # multiples of 1000 in [0, 100000)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
