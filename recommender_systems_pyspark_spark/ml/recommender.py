@@ -48,6 +48,13 @@ class AlsConfig:
     cold_start: str = "drop"
     cv_reg_grid: tuple[float, ...] = (0.05, 0.1)
     cv_folds: int = 3
+    #: Implicit-feedback mode (Hu/Koren/Volinsky 2008): ``rating`` is an
+    #: interaction STRENGTH (e.g. event count), preference is its sign and
+    #: confidence grows as 1 + alpha·strength. The production rec-sys
+    #: setting when no explicit stars exist — the reference only has the
+    #: explicit path (utils/recommender.py:73-80).
+    implicit: bool = False
+    alpha: float = 10.0
 
 
 @dataclass
@@ -82,7 +89,8 @@ def build_pipeline(cfg: AlsConfig) -> Pipeline:
         seed=cfg.seed,
         nonnegative=cfg.nonnegative,
         coldStartStrategy=cfg.cold_start,
-        implicitPrefs=False,
+        implicitPrefs=cfg.implicit,
+        alpha=cfg.alpha,
     )
     return Pipeline(stages=[user_idx, item_idx, als])
 

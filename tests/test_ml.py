@@ -122,3 +122,41 @@ def test_recommend_decode_via_cluster_dims(spark, trained):
     )
     assert (a.user_id.values == b.user_id.values).all()
     assert (a.item_id.values == b.item_id.values).all()
+
+
+def test_implicit_als_recs_shape_and_decode(spark, sf_dir):
+    """Implicit-feedback mode: top-3 per user, decoded ids must close over
+    the training vocabulary, and every user's recs are items the corpus
+    actually contains (coldStart=drop guarantees no NaN rows)."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    rows = all_queries()["ml_als_implicit_recs"].fn(spark, sf_dir).collect()
+    assert rows, "implicit ALS produced no recommendations"
+    per_user: dict[str, list] = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    item_vocab = {
+        r.item_id for r in ratings_from_events(spark, sf_dir).select("item_id").distinct().collect()
+    }
+    for user, recs in per_user.items():
+        assert len(recs) <= 3
+        assert sorted(r.rank for r in recs) == list(range(1, len(recs) + 1))
+        assert all(r.item_id in item_vocab for r in recs)
+
+
+def test_item_item_similarity_properties(spark, sf_dir):
+    """Related-items: ≤3 per item, contiguous ranks, cosine within [-1, 1]
+    and non-increasing down the ranks, never the item itself."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    rows = all_queries()["ml_item_item_similarity"].fn(spark, sf_dir).collect()
+    assert rows, "no similar-item pairs produced"
+    per_item: dict[str, list] = {}
+    for r in rows:
+        assert r.item_id != r.similar_item_id
+        assert -1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9
+        per_item.setdefault(r.item_id, []).append(r)
+    for item, sims in per_item.items():
+        sims.sort(key=lambda r: r.rank)
+        assert [r.rank for r in sims] == list(range(1, len(sims) + 1))
+        assert all(a.cos_sim >= b.cos_sim - 1e-12 for a, b in zip(sims, sims[1:]))

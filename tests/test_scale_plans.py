@@ -191,7 +191,13 @@ def test_no_accidental_cartesian_in_any_registered_query(spark):
     }
     # queries whose fn() EXECUTES work at build time (training, writes) —
     # plan-audited implicitly by their own tests instead
-    SKIP_EAGER = {"ml_als_top_recs", "ml_user_crud_flow", "g4_grouping_sets"}
+    SKIP_EAGER = {
+        "ml_als_top_recs",
+        "ml_als_implicit_recs",
+        "ml_item_item_similarity",
+        "ml_user_crud_flow",
+        "g4_grouping_sets",
+    }
 
     sf_dir = "/root/testdata/sf0.001"
     bad = []
