@@ -125,3 +125,46 @@ def f3_explode_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u.amt").alias("amount"),
         )
     )
+
+
+@query(
+    "a9_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS exact_med,
+           quantile_cont(l_quantity, 0.99) AS exact_p99,
+           TRUE AS approx_med_ok,
+           TRUE AS approx_p99_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a9_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8's 100 TB form: ``percentile_approx`` (KLL-style mergeable
+    sketch — map-side partials merge associatively, no global sort) next
+    to the exact percentile, gated on RANK error: the approximate median
+    must sit between the exact 40th and 60th percentiles, the approximate
+    p99 between p97 and p100 — 10×/2× the sketch's nominal 1/accuracy
+    rank error, so the gate checks the ERROR CONTRACT without coupling
+    the correctness run to one sketch implementation (same ADVICE-r1
+    pattern as a2's HLL gate; the tight bound is a pytest property).
+    Exact percentile forces a per-group sort of all values — fine at
+    fixture scale, a straggler at 100 TB; the sketch is the scale path."""
+    li = tables(spark, sf_dir)["lineitem"]
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("exact_med"),
+        F.percentile("l_quantity", 0.99).alias("exact_p99"),
+        F.percentile("l_quantity", 0.4).alias("lo_med"),
+        F.percentile("l_quantity", 0.6).alias("hi_med"),
+        F.percentile("l_quantity", 0.97).alias("lo_p99"),
+        F.max("l_quantity").alias("hi_p99"),
+        F.percentile_approx("l_quantity", 0.5, 1000).alias("ap_med"),
+        F.percentile_approx("l_quantity", 0.99, 1000).alias("ap_p99"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_med",
+        "exact_p99",
+        F.col("ap_med").between(F.col("lo_med"), F.col("hi_med")).alias("approx_med_ok"),
+        F.col("ap_p99").between(F.col("lo_p99"), F.col("hi_p99")).alias("approx_p99_ok"),
+    )

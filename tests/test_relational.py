@@ -88,3 +88,20 @@ def test_exact_sum_is_partition_invariant(spark, sf_dir):
     a = li.repartition(1).agg(exact_sum(expr, "s")).collect()[0]["s"]
     b = li.repartition(17).agg(exact_sum(expr, "s")).collect()[0]["s"]
     assert a == b  # bit-identical regardless of partial-agg order
+
+
+def test_percentile_approx_tight_rank_bound(spark, sf_dir):
+    """The sketch's contract at accuracy=1000 is ≤ 0.1% rank error; assert
+    the approximate median lands within ±1% rank of exact (10× margin) —
+    the tight twin of a9's generous oracle gate."""
+    from pyspark.sql import functions as FF
+
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        FF.percentile_approx("l_quantity", 0.5, 1000).alias("ap"),
+        FF.percentile("l_quantity", 0.49).alias("lo"),
+        FF.percentile("l_quantity", 0.51).alias("hi"),
+    ).collect()[0]
+    assert row.lo <= row.ap <= row.hi, row
