@@ -53,6 +53,11 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.multimodal.media",
     "recommender_systems_pyspark_spark.streaming.windows",
     "recommender_systems_pyspark_spark.streaming.stateful",
+    # streaming.stateful_v2 (transformWithStateInPandas) is NOT registered:
+    # its Python driver worker needs google.protobuf, absent from this
+    # container (no pip). The operator + a live cross-batch test gated on
+    # pytest.importorskip live in the module/tests — it lights up wherever
+    # protobuf exists, without an always-erring row in the driver gate.
     # --- new in r2 -------------------------------------------------------
     "recommender_systems_pyspark_spark.ml.users",
     # ml.queries here (not later): VERDICT r1 named the ungraded ml_* family

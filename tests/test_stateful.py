@@ -56,3 +56,49 @@ def test_state_carries_across_batches(spark, stream_dir):  # noqa: F811
     assert snaps[(2, 2)].total_value == pytest.approx(90.0)
     assert snaps[(2, 2)].alerts_crossed == 0
     assert str(snaps[(1, 4)].last_ts) == "2024-01-01 00:05:00"
+
+
+def test_transform_with_state_carries_across_batches(spark, stream_dir):  # noqa: F811
+    """transformWithStateInPandas twin of the classic-API test: same
+    operator semantics through Spark 4's StatefulProcessor contract with
+    RocksDB-backed named value state. Skips where google.protobuf (the
+    TWS python-worker wire protocol) is absent — see stateful_v2's module
+    docstring."""
+    pytest.importorskip("google.protobuf")
+    from recommender_systems_pyspark_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        cumulative_user_stats_v2,
+    )
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = cumulative_user_stats_v2(read_event_stream(spark, stream_dir))
+        _write_batch(
+            stream_dir,
+            "batch0",
+            [
+                _ev(1, "2024-01-01 00:00:10", user=1, value=40.0),
+                _ev(2, "2024-01-01 00:01:00", user=1, value=70.0),
+            ],
+        )
+        q = start_to_memory(stream, "tws_totals", output_mode="update")
+        try:
+            q.processAllAvailable()
+            _write_batch(
+                stream_dir,
+                "batch1",
+                [_ev(3, "2024-01-01 00:05:00", user=1, value=100.0)],
+            )
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM tws_totals").collect()
+        finally:
+            q.stop()
+        snaps = {(r.user_id, r.n_events): r for r in rows}
+        assert snaps[(1, 2)].total_value == pytest.approx(110.0)
+        assert snaps[(1, 2)].alerts_crossed == 1
+        assert snaps[(1, 3)].total_value == pytest.approx(210.0)
+        assert snaps[(1, 3)].alerts_crossed == 1
+    finally:
+        if prior:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
