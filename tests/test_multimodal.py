@@ -56,16 +56,42 @@ def test_features_match_pure_python(spark):
         assert r.max_sample == int(buf.max())
 
 
+def _expected_thumb(buf: np.ndarray) -> list[int]:
+    n_out = THUMB_SIDE * THUMB_SIDE
+    idx = np.arange(n_out, dtype=np.int64) * (len(buf) - 1) // (n_out - 1)
+    return buf[idx].astype(np.int32).tolist()
+
+
 def test_resize_shape_and_determinism(spark):
-    rows = x_media_resize(spark, SF).collect()
+    from recommender_systems_pyspark_spark.multimodal.media import (
+        RESIZE_SCHEMA,
+        media_table,
+        resize_thumbnail,
+    )
+
+    m = media_table(spark, SF).where("media_type = 'image' AND byte_len > 0")
+    rows = m.mapInPandas(resize_thumbnail, schema=RESIZE_SCHEMA).collect()
     assert rows, "image-typed media expected in fixture"
     payloads = _docs_bytes(spark)
     for r in rows:
         assert len(r.thumb) == THUMB_SIDE * THUMB_SIDE
         assert r.thumb_w == THUMB_SIDE and r.thumb_h == THUMB_SIDE
         buf = np.frombuffer(payloads[r.doc_id], dtype=np.uint8)
-        idx = np.linspace(0, len(buf) - 1, THUMB_SIDE * THUMB_SIDE).astype(np.int64)
-        assert r.thumb == buf[idx].astype(np.int32).tolist()
+        assert r.thumb == _expected_thumb(buf)
+
+
+def test_resize_registered_query_scalars(spark):
+    # The registered query projects the array away (driver canonicalizer
+    # can't hash list cells) — check md5/sum against a pure recompute.
+    rows = x_media_resize(spark, SF).collect()
+    assert rows
+    payloads = _docs_bytes(spark)
+    for r in rows:
+        buf = np.frombuffer(payloads[r.doc_id], dtype=np.uint8)
+        thumb = _expected_thumb(buf)
+        joined = ",".join(str(v) for v in thumb)
+        assert r.thumb_md5 == hashlib.md5(joined.encode()).hexdigest()
+        assert r.thumb_sum == sum(thumb)
 
 
 def test_frame_sample_checksums(spark):

@@ -47,6 +47,19 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     s, o = canon(sdf), canon(odf)
     for col in s.columns:
         sv, ov = s[col], o[col]
+        # The driver's hash is dtype-sensitive: DuckDB HUGEINT (e.g. an
+        # uncast SUM over ints) lands in pandas as float64 while Spark
+        # returns int64 — numerically equal, hash-mismatched (this is
+        # exactly how tpch_q12_style failed r2 while passing here). Treat
+        # any int-vs-float kind split as a failure.
+        kinds = {sv.dtype.kind, ov.dtype.kind}
+        if kinds == {"i", "f"} or kinds == {"u", "f"}:
+            errs.append(
+                f"col {col}: dtype kind differs (spark={sv.dtype}, "
+                f"oracle={ov.dtype}) — driver hash would mismatch; "
+                f"CAST the oracle aggregate (HUGEINT→BIGINT?)"
+            )
+            continue
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             sa, oa = sv.astype(float).to_numpy(), ov.astype(float).to_numpy()
             import numpy as np
