@@ -1,0 +1,296 @@
+"""Event-stream product analytics (SURVEY.md §2.13 round-3): retention
+cohorts, RFM segmentation, multi-touch attribution, session statistics,
+and triangle counting — the batch analytics a clickstream warehouse runs
+daily over the same events table the streaming operators consume live.
+
+Scale notes (events at 100 TB):
+- Every query here is one or two shuffles keyed on ``user_id`` (150 at
+  fixture scale, millions in production — uniform, no skew) or on a
+  bounded derived key (cohort week, RFM bucket). Per-user windows are
+  incremental running state, not per-user sorts of the whole table.
+- Triangle counting is the one super-linear op: the pair-generation join
+  is bounded by Σ deg(order)² — fine while orders have ~4-7 lines. The
+  id-ordered orientation (a<b<c) counts each triangle exactly once and
+  keeps the wedge join's probe side the smaller adjacency direction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query, sql_exact_sum, ts_ntz
+from ..sources import tables
+
+
+@query(
+    "x_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             date_diff('day', TIMESTAMP '2024-01-01', MIN(ts)) // 7
+               AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           date_diff('day', TIMESTAMP '2024-01-01', e.ts) // 7 AS active_week,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: cohort = week of first activity, cell =
+    distinct users from that cohort active in each later week. Two
+    aggregations on user_id — the first collapses to one row per user
+    (broadcastable back), the second groups by the (cohort, week) pair
+    whose cardinality is O(weeks²), so the final shuffle is tiny."""
+    ev = tables(spark, sf_dir)["events"]
+    epoch = ts_ntz("2024-01-01")
+    week = lambda ts: F.floor(  # noqa: E731
+        F.datediff(F.to_date(ts), F.to_date(epoch)) / 7
+    )
+    firsts = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .groupBy("cohort_week", week(F.col("ts")).alias("active_week"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("cohort_week", "active_week")
+    )
+
+
+@query(
+    "x_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT user_id,
+             date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-02-01')
+               AS recency_days,
+             COUNT(*) AS frequency,
+             {sql_exact_sum('value', 'monetary')}
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+    FROM rfm
+    ORDER BY user_id
+    """,
+)
+def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: one aggregate per user (recency vs a fixed
+    anchor, frequency, exact monetary sum), then three ``ntile(4)``
+    quartile scores. Every ntile ordering carries the unique user_id
+    tiebreaker — without it equal metrics straddle bucket boundaries
+    nondeterministically. The ntile windows are global (ORDER BY over all
+    users): fine for the per-user aggregate (already tiny relative to raw
+    events); at extreme user counts swap ntile for percentile_approx
+    boundaries joined back — same output contract."""
+    ev = tables(spark, sf_dir)["events"]
+    anchor = F.lit("2024-02-01").cast("date")
+    rfm = ev.groupBy("user_id").agg(
+        F.datediff(anchor, F.to_date(F.max("ts"))).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
+    )
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
+        .alias("m_score"),
+    ).orderBy("user_id")
+
+
+@query(
+    "x_attribution_touch",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             first_value(CASE WHEN event_type IN ('view', 'click')
+                              THEN event_type END IGNORE NULLS)
+               OVER w AS first_touch,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS last_touch,
+             COUNT(CASE WHEN event_type IN ('view', 'click') THEN 1 END)
+               OVER w AS n_touches
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, first_touch, last_touch, n_touches
+    FROM marked
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def x_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch attribution: for every purchase, the first and
+    most recent preceding view/click by the same user, plus the touch
+    count — all from ONE running window (rows unbounded→1 preceding,
+    ordered by (ts, event_id) so timestamp ties can't flip the answer).
+    No self-join: the classic join-per-conversion formulation shuffles
+    events × purchases; the window is a single user-keyed shuffle and
+    one ordered pass."""
+    ev = tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+            F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+            F.count(touch).over(w).alias("n_touches"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .drop("event_type")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "x_sessionize_stats",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ), sessions AS (
+      SELECT user_id, sid,
+             COUNT(*) AS n_events,
+             date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000 AS dur_sec
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(dur_sec) AS BIGINT) AS total_dur_sec,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def x_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session statistics on top of gaps-and-islands
+    sessionization (same strict->30-min break convention the s3 streaming
+    session operator was verified against): session count, event totals,
+    longest session, summed duration, bounce count. Batch twin of the
+    streaming session window — one user-keyed shuffle, two cheap
+    aggregations over per-session rows."""
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # ts is TIMESTAMP_NTZ (no long cast). The break test compares the
+    # exact interval (sub-second precision), matching the oracle's
+    # `ts - lag(ts) > INTERVAL '30 minutes'`; a SECOND-truncated diff
+    # would disagree for gaps in (1800s, 1801s).
+    gap_break = F.lag("ts").over(w).isNull() | (
+        (F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTES")
+    )
+    with_sid = ev.select(
+        "user_id",
+        "ts",
+        F.sum(gap_break.cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    # Duration floored to whole seconds FROM the exact microsecond diff on
+    # both sides (DuckDB's date_diff('second', …) counts boundary
+    # crossings instead — a 0.9s→1.1s span would differ).
+    sessions = with_sid.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        F.floor(
+            F.timestamp_diff("MICROSECOND", F.min("ts"), F.max("ts")) / 1000000
+        ).alias("dur_sec"),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("dur_sec").alias("total_dur_sec"),
+            F.sum((F.col("n_events") == 1).cast("int")).cast("bigint").alias("n_bounces"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "x_triangle_count",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*)
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-occurrence graph (parts sharing an
+    order are adjacent). Edges are id-oriented (u<v) so each triangle
+    u<v<w is counted exactly once by the wedge join e1=(u,v), e2=(v,w),
+    closed by e3=(u,w). Two shuffle joins over the deduplicated edge
+    list; at 100 TB orient by (degree, id) instead of raw id so wedge
+    generation is bounded by the LOW-degree endpoint (the standard
+    skew-proofing for power-law graphs — same plan shape)."""
+    li = tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    triangles = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return edges.agg(F.count("*").alias("n_edges")).crossJoin(triangles)

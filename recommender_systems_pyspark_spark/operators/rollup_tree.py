@@ -1,0 +1,123 @@
+"""Multi-resolution rollup tree (continuous-aggregate / hypertable-rollup
+shape) and calendar-feature derivation (SURVEY.md §2.13 round-3).
+
+The rollup tree is the operator behind every time-series OLAP store's
+"continuous aggregate": coarser resolutions are computed FROM the next
+finer aggregate, not from raw — minute→hour touches |minutes| rows,
+hour→day touches |hours|. At 100 TB the raw scan happens once; each
+further level is O(output of the previous), thousands of times smaller.
+Correctness requires MERGEABLE per-level state: counts add, and sums are
+kept in exact decimal (associative) until final output, so rolling up
+partials equals aggregating raw — which is exactly what the oracle checks
+by computing every level directly from the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query, sql_exact_sum
+from ..sources import tables
+
+
+@query(
+    "d2_rollup_tree",
+    oracle=f"""
+    SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket_ts,
+           COUNT(*) AS n_events, {sql_exact_sum('value', 'total_value')}
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts),
+           COUNT(*), {sql_exact_sum('value', 'total_value')}
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts),
+           COUNT(*), {sql_exact_sum('value', 'total_value')}
+    FROM events GROUP BY 2
+    ORDER BY level, bucket_ts
+    """,
+)
+def d2_rollup_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute→hour→day rollup where each coarser level aggregates the
+    PREVIOUS level's partial state (count: sum of counts; value: decimal
+    partial sums re-summed — associative, so identical to aggregating raw,
+    which is what the oracle does). The raw table is scanned exactly once;
+    the day level aggregates |hours| rows, not |events|."""
+    ev = tables(spark, sf_dir)["events"]
+    minute = ev.groupBy(F.date_trunc("minute", "ts").alias("bucket_ts")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("dec_value"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket_ts").alias("bucket_ts")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("dec_value").alias("dec_value"),
+    )
+    day = hour.groupBy(F.date_trunc("day", "bucket_ts").alias("bucket_ts")).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("dec_value").alias("dec_value"),
+    )
+
+    def finalize(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            "bucket_ts",
+            "n_events",
+            F.col("dec_value").cast("double").alias("total_value"),
+        )
+
+    return (
+        finalize(minute, "minute")
+        .unionAll(finalize(hour, "hour"))
+        .unionAll(finalize(day, "day"))
+        .orderBy("level", "bucket_ts")
+    )
+
+
+@query(
+    "d3_calendar_features",
+    oracle="""
+    SELECT DISTINCT
+           strftime(o_orderdate, '%Y-%m-%d') AS d,
+           year(o_orderdate) AS y,
+           quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m,
+           isodow(o_orderdate) AS dow_iso,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE),
+                    '%Y-%m-%d') AS plus3m,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+             AS day_index
+    FROM orders
+    ORDER BY d
+    """,
+)
+def d3_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/date-dimension derivation over the distinct order dates:
+    ISO day-of-week (Spark ``weekday``+1 == DuckDB ``isodow``; the
+    engines' bare ``dayofweek`` disagree on week start), month-end,
+    end-of-month-clamped +3 months (both engines clamp Jan 31 → Apr 30),
+    and a day index against a fixed epoch. All date-valued outputs are
+    ISO-formatted STRINGS: Spark dates land in pandas as ``object`` cells
+    while DuckDB's land as datetime64, and the driver hash is
+    dtype-sensitive. DISTINCT first — the derivations run on |dates|
+    rows, not |orders|."""
+    o = tables(spark, sf_dir)["orders"]
+    d = F.to_date("o_orderdate")
+    return (
+        o.select(
+            F.date_format(d, "yyyy-MM-dd").alias("d"),
+            F.year(d).alias("y"),
+            F.quarter(d).alias("q"),
+            F.month(d).alias("m"),
+            (F.weekday(d) + 1).alias("dow_iso"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).alias("day_index"),
+        )
+        .distinct()
+        .orderBy("d")
+    )

@@ -1,0 +1,264 @@
+"""Statistical aggregate family (SURVEY.md §2.13 round-3 additions):
+moments (variance/stddev/correlation), arg-extrema (max_by/min_by),
+fixed-width histograms, ordered collect, and deterministic mode.
+
+The reference app computes only count/avg-style aggregates
+(``utils/imb_rating.py:55-64`` weighted means, ``app.py:217-236``
+vote-count gates); an engine replacing it needs the full descriptive-
+statistics toolbox. Everything here is a single hash aggregate with
+map-side partials — one shuffle on the group key, mergeable state.
+
+Determinism across engines:
+- Moments are NOT computed with the engines' native ``var_samp``/``corr``
+  (those use one-pass update formulas whose floating intermediate state
+  differs per engine and per partial-aggregation order). Instead every
+  moment derives from exact decimal power sums (Σx, Σx², Σxy — associative,
+  order-independent; see :func:`registry.exact_sum`) combined by an
+  IDENTICAL closed-form expression on both sides, so the final doubles are
+  bit-equal. This is also the 100 TB shape: power sums are tiny mergeable
+  state (3 decimals per group), unlike a sorted-values percentile.
+- ``max_by``/``min_by`` carry a unique-key tiebreaker inside a struct
+  ordering — without it, ties make the returned row nondeterministic.
+- ``mode`` is computed as arg-max over (count, value) rather than the
+  builtin ``F.mode`` (tie behavior implementation-defined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query, sql_exact_sum
+from ..sources import tables
+
+
+@query(
+    "a10_stat_moments",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS cx,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cy
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(cx AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS sx,
+             CAST(SUM(CAST(cx * cx AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(SUM(CAST(cy AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(CAST(cy * cy AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS syy,
+             CAST(SUM(CAST(cx * cy AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS sxy
+      FROM cents
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           (sxx - (sx * sx) / n) / (n - 1) AS var_qty,
+           sqrt((sxx - (sx * sx) / n) / (n - 1)) AS std_qty,
+           (sxy - (sx * sy) / n)
+             / sqrt((sxx - (sx * sx) / n) * (syy - (sy * sy) / n)) AS corr_qty_price
+    FROM sums
+    ORDER BY l_returnflag
+    """,
+)
+def a10_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample variance / stddev / Pearson correlation per group from
+    exact INTEGER power sums (one pass, one shuffle). Quantities/prices
+    carry exactly 2 decimals, so ``round(x*100)`` is an exact integer on
+    both engines and every power sum (Σcx, Σcx², Σcx·cy — decimal
+    accumulators, associative) is exact with NO double→decimal rounding
+    anywhere. (Summing ``decimal(18,6)``-cast squares instead diverged at
+    the last ulp: price² needs rounding to the 1e-6 grid and Spark/DuckDB
+    round ties differently.) The closed-form combine — ``(Σx² −
+    (Σx)²/n)/(n−1)`` etc. — is written identically in the oracle, so both
+    engines round the same exact rationals through the same IEEE operation
+    sequence. Per-row cx·cy stays < 1e11, inside the DECIMAL(18,0)
+    per-row cast; the accumulator auto-widens."""
+    li = tables(spark, sf_dir)["lineitem"]
+    cx = F.round(F.col("l_quantity") * 100).cast("bigint")
+    cy = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+
+    def int_sum(expr: F.Column, scale: float, alias: str) -> F.Column:
+        return (
+            F.sum(expr.cast("decimal(18,0)")).cast("double") / F.lit(scale)
+        ).alias(alias)
+
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        int_sum(cx, 100.0, "sx"),
+        int_sum(cx * cx, 10000.0, "sxx"),
+        int_sum(cy, 100.0, "sy"),
+        int_sum(cy * cy, 10000.0, "syy"),
+        int_sum(cx * cy, 10000.0, "sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    var_qty = (sxx - (sx * sx) / n) / (n - 1)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("std_qty"),
+        (
+            (sxy - (sx * sy) / n)
+            / F.sqrt((sxx - (sx * sx) / n) * (syy - (sy * sy) / n))
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "a11_arg_extrema",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+      FROM customer
+    )
+    SELECT mx.c_mktsegment,
+           mx.c_name AS richest_name, mx.c_acctbal AS richest_bal,
+           mn.c_name AS poorest_name, mn.c_acctbal AS poorest_bal
+    FROM ranked mx JOIN ranked mn
+      ON mx.c_mktsegment = mn.c_mktsegment AND mx.rmax = 1 AND mn.rmin = 1
+    ORDER BY mx.c_mktsegment
+    """,
+)
+def a11_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max_by``/``min_by`` (arg-extrema) per group: the row-valued
+    aggregate that replaces a self-join-with-max (one shuffle instead of
+    two plus a join). The ordering key is ``struct(c_acctbal, c_custkey)``
+    — struct comparison is lexicographic, so the unique custkey breaks
+    acctbal ties deterministically. The oracle states the same semantics
+    as a window rank (DuckDB's ``arg_max`` doesn't take a composite
+    ordering directly)."""
+    c = tables(spark, sf_dir)["customer"]
+    key = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.max_by(F.col("c_name"), key).alias("richest_name"),
+            F.max(F.col("c_acctbal")).alias("richest_bal"),
+            F.min_by(F.col("c_name"), key).alias("poorest_name"),
+            F.min(F.col("c_acctbal")).alias("poorest_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "a12_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bucket,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum('o_totalprice', 'bucket_total')}
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def a12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket = ⌊price/25000⌋ computed in the
+    projection so the aggregate is a plain hash-group on a small int key.
+    At 100 TB this is the degenerate-skew-free aggregation: bucket count
+    is bounded (~40), partial aggregation collapses each partition to ≤40
+    rows before the shuffle — the shuffle moves KB regardless of input
+    size."""
+    o = tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("bucket_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "a13_collect_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             AS segments_sorted
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def a13_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set collection: ``collect_set`` → ``array_sort`` →
+    ``array_join`` (the deterministic form of ordered string_agg — a bare
+    collect_list's order is partition-arrival nondeterministic, so sorting
+    AFTER collecting is mandatory for a stable result). Emitted as a
+    joined string: the driver canonicalizer hashes scalar cells only.
+    Set cardinality is bounded (5 segments), so per-group state is O(1)."""
+    c = tables(spark, sf_dir)["customer"]
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments_sorted"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "a14_mode_count_distinct",
+    oracle="""
+    WITH month_counts AS (
+      SELECT l_returnflag, month(l_shipdate) AS m, COUNT(*) AS cnt
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    modes AS (
+      SELECT l_returnflag, m AS mode_month, cnt AS mode_count,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, m DESC) AS rn
+      FROM month_counts
+    ),
+    distincts AS (
+      SELECT l_returnflag,
+             COUNT(DISTINCT (l_linestatus, year(l_shipdate))) AS n_status_years
+      FROM lineitem
+      GROUP BY 1
+    )
+    SELECT d.l_returnflag, d.n_status_years, mo.mode_month, mo.mode_count
+    FROM distincts d JOIN modes mo
+      ON d.l_returnflag = mo.l_returnflag AND mo.rn = 1
+    ORDER BY d.l_returnflag
+    """,
+)
+def a14_mode_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode + multi-column distinct count. Mode = arg-max
+    over the (count, value) pair from a pre-aggregation — NOT ``F.mode``,
+    whose tie choice is implementation-defined; ``max_by(m, struct(cnt,
+    m))`` picks highest-count-then-highest-month on both engines. The
+    two-granularity plan is two hash aggregates over the same scan; the
+    second input is already tiny (|flags|×12 rows)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    month_counts = li.groupBy(
+        "l_returnflag", F.month("l_shipdate").alias("m")
+    ).agg(F.count("*").alias("cnt"))
+    modes = month_counts.groupBy("l_returnflag").agg(
+        F.max_by(F.col("m"), F.struct(F.col("cnt"), F.col("m"))).alias("mode_month"),
+        F.max(F.struct(F.col("cnt"), F.col("m"))).getField("cnt").alias("mode_count"),
+    )
+    distincts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_linestatus", F.year("l_shipdate")).alias("n_status_years")
+    )
+    return (
+        distincts.join(modes, "l_returnflag")
+        .select("l_returnflag", "n_status_years", "mode_month", "mode_count")
+        .orderBy("l_returnflag")
+    )

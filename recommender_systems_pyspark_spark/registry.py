@@ -152,7 +152,7 @@ _GRADE_FIRST = (
     "x_attribution_touch",
     "x_sessionize_stats",
     "x_line_dedup",
-    "x_line_profile",
+    "x_stopword_prune",
     "x_cdc_chunking",
     "x_doc_concat_eos",
     "x_quality_logit",
