@@ -321,3 +321,68 @@ def x_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction
+# ---------------------------------------------------------------------------
+
+_RP_DIMS = 16
+
+
+def _rp_sign(k: int, d) -> Column:
+    """Deterministic ±1 sign for output dim k, input dim d: bit 16 of the
+    Knuth multiplicative hash (d+1)·(k+1)·2654435761 — near-iid signs
+    (measured pairwise-distance correlation ≈ true-random ±1 matrices on
+    the fixture corpus; simple mod-97 parity mixes were visibly shifted
+    copies across k). Exact integer arithmetic, < 2^63 — bit-identical
+    in any engine."""
+    return (
+        F.when(
+            F.shiftright((d + 1) * F.lit((k + 1) * 2654435761), 16) % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+    )
+
+
+def _rp_fn(k: int):
+    """Single-arg lambda factory (same trap as similarity._hp_fn: a
+    two-arg lambda would receive the array index as the second arg)."""
+    return lambda d: _rp_sign(k, d)
+
+
+@query(
+    "x_embed_rp_project",
+    oracle="""
+    SELECT vec_id, """
+    + ",\n           ".join(
+        "list_dot_product(embedding::DOUBLE[], "
+        "list_transform(range(0, len(embedding)), d -> "
+        f"CAST(CASE WHEN (d + 1) * {(k + 1) * 2654435761} // 65536 % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END AS DOUBLE))) AS proj_{k}"
+        for k in range(_RP_DIMS)
+    )
+    + """
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def x_embed_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign random projection 64-d → 16-d (Achlioptas ±1 variant):
+    proj_k = ⟨v, s_k⟩ with deterministic integer-hash signs, preserving
+    pairwise distances in expectation (Johnson-Lindenstrauss) at a 4×
+    storage cut — the cheap pre-filter in front of exact re-ranking, and
+    the same construction the SRP cell quantizer uses for single bits
+    (functions/similarity.py), here keeping the magnitudes. Map-only
+    whole-stage codegen: one corpus pass, no shuffle, no trained state;
+    the fold-ordered dot() keeps every projected double bit-equal to
+    DuckDB's list_dot_product."""
+    e = tables(spark, sf_dir)["embeddings"]
+    cols = [
+        dot(
+            F.col("embedding"),
+            F.transform(F.sequence(F.lit(0), F.size("embedding") - 1), _rp_fn(k)),
+        ).alias(f"proj_{k}")
+        for k in range(_RP_DIMS)
+    ]
+    return e.select("vec_id", *cols).orderBy("vec_id")
