@@ -122,27 +122,68 @@ _BAND_ROWS = 4
 
 def minhash_signature() -> Column:
     """16-slot MinHash signature: per permutation i, min over shingles of
-    xxhash64(i ⧺ shingle). Higher-order functions only — the signature is
-    computed inside codegen with no shuffle and no explode."""
+    md5(i ⧺ shingle) — the min is LEXICOGRAPHIC on the hex string, which
+    equals numeric min of the big-endian digest, so any engine computes
+    the identical signature (md5 hex is canonical everywhere; xxhash64,
+    the previous choice, is Spark-private). Higher-order functions only —
+    the signature is computed inside codegen with no shuffle and no
+    explode."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
         lambda i: F.array_min(
             F.transform(
                 F.col("sh"),
-                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit(":"), s)),
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
             )
         ),
     )
 
 
-@query("x_dedup_minhash_lsh")  # engine-specific hashes → rows-only; pytest
+@query(
+    "x_dedup_minhash_lsh",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, {_NUM_HASHES}), i ->
+               list_min(list_transform(sh,
+                 t -> md5(CAST(i AS VARCHAR) || ':' || t)))) AS sig
+      FROM s
+    ),
+    bands AS (
+      SELECT doc_id, b.i AS band,
+             md5(array_to_string(
+               sig[b.i * {_BAND_ROWS} + 1 : b.i * {_BAND_ROWS} + {_BAND_ROWS}],
+               ',')) AS band_hash
+      FROM sig,
+           LATERAL (SELECT unnest(range(0, {_NUM_HASHES // _BAND_ROWS})) AS i) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard_sim
+    FROM cand c
+    JOIN s sa ON sa.doc_id = c.doc_a
+    JOIN s sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
+    """,
+)
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, the scale path: signature (map-only) →
     band buckets (one shuffle on band hash) → same-bucket candidate pairs →
     exact-Jaccard verification of candidates only. Output schema matches
     x_dedup_shingle_pairs; precision is exact (verified), recall is the LSH
-    band probability. No SQL oracle (xxhash64 is engine-specific); the test
-    suite checks candidates ⊆ ground truth and recall=1 for j ≥ 0.95 pairs.
+    band probability. Full DuckDB oracle since round 3: md5-string
+    minhashes are engine-portable (lexicographic min == numeric min of the
+    digest), so the oracle replays signature → banding → candidate →
+    verify exactly. The pytest suite additionally checks candidates ⊆
+    ground truth and recall=1 for j ≥ 0.95 pairs.
 
     vs. reference: the reference has no dedup at all; this is the
     MinHashLSH pattern from pyspark.ml.feature re-expressed relationally so
@@ -159,13 +200,10 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(_NUM_HASHES // _BAND_ROWS - 1)),
-                lambda b: F.xxhash64(
+                lambda b: F.md5(
                     F.concat_ws(
                         ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * _BAND_ROWS + 1, _BAND_ROWS),
-                            lambda v: v.cast("string"),
-                        ),
+                        F.slice(F.col("sig"), b * _BAND_ROWS + 1, _BAND_ROWS),
                     )
                 ),
             )
@@ -197,9 +235,12 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash64() -> Column:
-    """64-bit SimHash over shingle xxhash64 values: for each bit, sum ±1
-    across shingles, take the sign. Folded with aggregate/zip_with — a
-    per-row O(shingles × 64) computation, no explode, no shuffle."""
+    """64-bit SimHash over shingle md5 digests: bit b of a shingle's hash
+    is bit (b mod 4) of hex nibble (b div 4) — engine-portable (md5 hex is
+    canonical; the former xxhash64 was Spark-private, blocking the
+    oracle). For each bit, sum ±1 across shingles, take the sign. Folded
+    with aggregate/zip_with — a per-row O(shingles × 64) computation, no
+    explode, no shuffle."""
     # SQL expr (not the Python wrappers): SQL shiftright/shiftleft accept a
     # column bit count, the pyspark functions only a literal int.
     return F.expr(
@@ -207,10 +248,12 @@ def simhash64() -> Column:
         aggregate(
           zip_with(
             aggregate(
-              transform(sh, s -> xxhash64(s)),
+              transform(sh, s -> md5(s)),
               array_repeat(0L, 64),
               (acc, h) -> zip_with(acc, sequence(0, 63),
-                                   (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))
+                (a, b) -> a + IF((shiftright(
+                     cast(conv(substr(h, (b div 4) + 1, 1), 16, 10) as int),
+                     b % 4) & 1) = 1, 1, -1))
             ),
             sequence(0, 63),
             (c, b) -> IF(c > 0, shiftleft(1L, b), 0L)
@@ -220,6 +263,30 @@ def simhash64() -> Column:
         )
         """
     )
+
+
+#: DuckDB twin of simhash64 as a SQL fragment over a shingle-exploded
+#: relation: same nibble-bit convention, bit_or-merged powers (bit 63 is
+#: the signed min-long literal — DuckDB refuses 1<<63).
+_SQL_SIMHASH = """
+    bits AS (
+      SELECT doc_id, b.i AS bit,
+             SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                    substr(md5(t), b.i // 4 + 1, 1)) - 1
+                             >> (b.i % 4)) & 1) = 1
+                      THEN 1 ELSE -1 END) AS c
+      FROM (SELECT doc_id, unnest(sh) AS t FROM s) hx,
+           LATERAL (SELECT unnest(range(0, 64)) AS i) b
+      GROUP BY doc_id, b.i
+    ),
+    sig AS (
+      SELECT doc_id,
+             bit_or(CASE WHEN c <= 0 THEN 0
+                         WHEN bit = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << bit) END) AS sig
+      FROM bits GROUP BY doc_id
+    )
+"""
 
 
 #: SimHash near-dup threshold and pigeonhole block count. With 8 blocks of
@@ -301,14 +368,27 @@ def simhash_pairs_allpairs(sig_df: DataFrame, max_hamming: int = _SIMHASH_MAX_HA
     )
 
 
-@query("x_dedup_simhash")  # engine-specific hashes → rows-only; pytest
+@query(
+    "x_dedup_simhash",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    {_SQL_SIMHASH}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+)
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit sketch per doc (map-only codegen),
     pairs with hamming distance ≤ 6 found by the PIGEONHOLE blocked join
     (see simhash_pairs_blocked) — one uniform-key shuffle, no cartesian,
-    provably the same pair set as the all-pairs verifier. Rows-only check
-    + pytest properties (pair-set equality vs the quadratic twin,
-    self-distance 0, no cartesian product in the plan).
+    provably the same pair set as the all-pairs verifier. Full DuckDB
+    oracle since round 3 (md5-nibble bits are engine-portable; the oracle
+    recomputes every sketch and checks the pair set via its own all-pairs
+    join — quadratic is fine at oracle scale). Pytest adds pair-set
+    equality vs the quadratic Spark twin, self-distance 0, and the
+    no-cartesian plan assertion.
     """
     t = tables(spark, sf_dir)
     s = _spread(t["documents"]).select("doc_id", shingles().alias("sh"))
