@@ -33,6 +33,10 @@ HEADLINE = [
     "x_knn_cosine_topk",
     "x_text_quality",
     "s1_tumbling_window",
+    # Round-3 headliners (set their own baseline on first recorded run):
+    # the heaviest new aggregate shape and the token-shuffle text op.
+    "a10_stat_moments",
+    "x_line_dedup",
 ]
 
 
