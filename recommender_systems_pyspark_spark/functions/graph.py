@@ -283,3 +283,99 @@ def x_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("cluster_id", F.col("doc_id").alias("keep_doc_id"), "cluster_size")
     )
+
+
+@query(
+    "x_dedup_e2e",
+    oracle="""
+    WITH RECURSIVE
+    s AS (SELECT doc_id, """
+    + _SQL_SHINGLES
+    + """ AS sh FROM documents),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(sh,
+                 t -> md5(CAST(i AS VARCHAR) || ':' || t)))) AS sig
+      FROM s
+    ),
+    bands AS (
+      SELECT doc_id, b.i AS band,
+             md5(array_to_string(sig[b.i * 4 + 1 : b.i * 4 + 4], ',')) AS band_hash
+      FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS i) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a AS src, c.doc_b AS dst
+      FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+                  JOIN s sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+      SELECT d.doc_id, c.cluster_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM documents d JOIN comp c USING (doc_id)
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster_id) AS n_clusters,
+           CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM ranked
+    """,
+)
+def x_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END scale-path dedup: MinHash-LSH candidate pairs (md5
+    signatures → banded buckets → exact-Jaccard verify, sub-quadratic) →
+    join-based connected components → longest-text keeper election →
+    corpus reduction summary. Every stage is the production configuration
+    — no ground-truth quadratic pair join anywhere in the Spark plan —
+    and since round 3's portable md5 minhash the ENTIRE pipeline replays
+    in the oracle (LSH in SQL + recursive-CTE closure). One row out:
+    docs, clusters, dropped count, chars before/after.
+
+    This is the composition the standalone queries certify piecewise
+    (x_dedup_minhash_lsh, x_dedup_clusters, x_dedup_cluster_keep); a
+    pipeline user calls THIS."""
+    from pyspark.sql import Window
+
+    from .dedup import x_dedup_minhash_lsh
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = x_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = (
+        docs.join(
+            comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")),
+            "doc_id",
+        )
+        .select("doc_id", "cluster_id", "n_chars", F.row_number().over(w).alias("rn"))
+    )
+    return ranked.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum((F.col("rn") != 1).cast("int")).cast("bigint").alias("n_dropped"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )

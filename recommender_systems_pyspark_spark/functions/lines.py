@@ -500,3 +500,115 @@ def x_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+#: Co-occurrence window (tokens at distance 1..PMI_WINDOW count as a pair).
+PMI_WINDOW = 3
+
+
+@query(
+    "x_pmi_cooccur",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKENS}),
+    pairs AS (
+      SELECT CASE WHEN a.tok < b.tok THEN a.tok ELSE b.tok END AS w1,
+             CASE WHEN a.tok < b.tok THEN b.tok ELSE a.tok END AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id
+       AND b.pos - a.pos BETWEEN 1 AND {PMI_WINDOW}
+    ),
+    pc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2),
+    tc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs,
+                 (SELECT COUNT(*) FROM toks) AS n_toks)
+    SELECT w1, w2, c_ab,
+           (CAST(c_ab AS DOUBLE) / n.n_pairs)
+             / ((CAST(ta.c AS DOUBLE) / n.n_toks)
+                * (CAST(tb.c AS DOUBLE) / n.n_toks)) AS pmi_ratio
+    FROM pc JOIN tc ta ON ta.tok = pc.w1
+            JOIN tc tb ON tb.tok = pc.w2, n
+    ORDER BY c_ab DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def x_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence PMI (top-50 pairs): tokens within ±3
+    positions in a document co-occur; the association score is the raw
+    PMI RATIO p(a,b)/(p(a)p(b)) — deliberately NOT log-transformed, since
+    ln() is a libm call whose last ulp differs across engines while the
+    ratio is pure IEEE arithmetic (rank order is identical; downstream
+    log is monotone). The pair generator is a per-doc position self-join
+    bounded by the window width (fan-out ≤ W per token, linear not
+    quadratic); totals are two aggregates and a broadcast-size join."""
+    docs = tables(spark, sf_dir)["documents"]
+    toks = _tokens(docs)
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") - F.col("a.pos")).between(1, PMI_WINDOW),
+    ).select(
+        F.least(F.col("a.tok"), F.col("b.tok")).alias("w1"),
+        F.greatest(F.col("a.tok"), F.col("b.tok")).alias("w2"),
+    )
+    pairs = pairs.persist()
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    tc = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n_pairs = pairs.count()
+    n_toks = toks.count()
+    ta = tc.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    tb = tc.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    ratio = (F.col("c_ab").cast("double") / F.lit(n_pairs)) / (
+        (F.col("c_a").cast("double") / F.lit(n_toks))
+        * (F.col("c_b").cast("double") / F.lit(n_toks))
+    )
+    return (
+        pc.join(F.broadcast(ta), "w1")
+        .join(F.broadcast(tb), "w2")
+        .select("w1", "w2", "c_ab", ratio.alias("pmi_ratio"))
+        .orderBy(F.col("c_ab").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+@query(
+    "x_inverted_index",
+    oracle="""
+    SELECT tok,
+           COUNT(DISTINCT doc_id) AS df,
+           COUNT(*) AS tf_total,
+           string_agg(DISTINCT CAST(doc_id AS VARCHAR), ',' ORDER BY
+                      CAST(doc_id AS VARCHAR)) AS postings
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY tok
+    """,
+)
+def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: token → (document frequency, total term
+    frequency, sorted posting list). The posting list is emitted as a
+    comma-joined STRING sorted LEXICOGRAPHICALLY by the rendered doc_id
+    (what ordered string_agg can express on both engines — numeric-order
+    postings are one transform away). One token-keyed hash aggregate:
+    uniform key, map-side partial collect_set; at corpus scale the
+    posting lists of stop-tokens are the skew — cap or tier them (the DF
+    column is exactly the signal)."""
+    docs = tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("tf_total"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("doc_id").cast("string"))), ","
+            ).alias("postings"),
+        )
+        .orderBy("tok")
+    )

@@ -160,6 +160,14 @@ _GRADE_FIRST = (
     "x_triangle_count",
     "x_levenshtein_blocked",
     "x_bigram_lm",
+    # --- positions 51+: next round's front of line (added after the r3
+    # window filled): new composites + the two dedup queries whose oracles
+    # were upgraded from rows-only after their r2 grading slot ------------
+    "x_dedup_e2e",
+    "x_pmi_cooccur",
+    "x_inverted_index",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
 )
 
 
