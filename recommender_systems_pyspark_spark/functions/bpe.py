@@ -1,0 +1,155 @@
+"""Distributed BPE tokenizer training (SURVEY.md §2.13 round-3): learn
+byte-pair-encoding merges over the corpus word-frequency table, then
+encode with the learned merges — the tokenizer-construction step of an
+LLM data pipeline (Sennrich et al. 2016 shape).
+
+Scale architecture: BPE trains on the WORD-TYPE table (word, count) —
+millions of rows at 100 TB corpus scale, not trillions (the corpus
+collapses through one hash aggregate first). Each merge iteration is:
+(1) one distributed aggregate — adjacent-symbol-pair counts weighted by
+word frequency (map-side explode of ≤|word| pairs per type, uniform
+keys); (2) ONE ROW collected to the driver (the arg-max pair — bounded
+driver state, same contract as k-means centroids); (3) a map-only fold
+rewriting each word's symbol array. The learned merge table is K rows.
+Iterations are sequential by nature (each merge changes the pair
+distribution); K bounds the loop.
+
+Determinism: the winning pair is max by (count, left, right) — total
+order, no RNG anywhere; the left-to-right non-overlapping merge fold is
+the reference greedy semantics ("aaa" + merge(a,a) → ["aa","a"]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tables
+
+#: End-of-word sentinel (kept out of the corpus alphabet by construction).
+_EOW = "</w>"
+
+#: Number of merges to learn.
+_BPE_MERGES = 12
+
+
+def word_table(docs: DataFrame) -> DataFrame:
+    """(word, count) word-type table with initial symbol sequences:
+    characters + end-of-word marker."""
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit(_EOW))
+            ).alias("syms"),
+        )
+    )
+
+
+def _pair_counts(wt: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency — the per-iteration
+    distributed aggregate."""
+    pairs = wt.select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("syms") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i + 1).alias("l"),
+                    F.element_at(F.col("syms"), i + 2).alias("r"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+        F.sum("cnt").alias("pair_count")
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping merge of (left, right) → left+right,
+    as a single array fold (map-only, codegen)."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (s == right),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = _BPE_MERGES) -> list[tuple[str, str, int]]:
+    """Learn up to ``n_merges`` merges; returns [(left, right, count), …]
+    in learning order. Stops early when no pair repeats (count < 2)."""
+    wt = word_table(docs)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            _pair_counts(wt)
+            .orderBy(F.col("pair_count").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].pair_count < 2:
+            break
+        l, r, c = best[0].l, best[0].r, int(best[0].pair_count)
+        merges.append((l, r, c))
+        wt = wt.select(
+            "word", "cnt", _apply_merge(F.col("syms"), l, r).alias("syms")
+        )
+        # bound the lineage: each iteration stacks a fold over the last —
+        # 12 deep is fine for codegen, but checkpoint keeps the plan flat
+        # if n_merges grows (same device as connected_components)
+        if len(merges) % 8 == 0:
+            wt = wt.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Apply learned merges in order to every word occurrence: map-only
+    stacked folds (the learned table is a plan constant — broadcast-free)."""
+    wt = word_table(docs).select("word", "cnt", "syms")
+    syms = F.col("syms")
+    for l, r, _ in merges:
+        syms = _apply_merge(syms, l, r)
+    return wt.select("word", "cnt", syms.alias("syms"))
+
+
+@query("x_bpe_train")  # iterative trainer, driver-looped → rows-only; pytest
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning over the corpus: the merge table (step, left,
+    right, merged, pair_count) plus the resulting encoding compression —
+    avg symbols per word occurrence before/after. Rows-only (each
+    iteration's arg-max depends on the last — no closed-form SQL); the
+    pytest suite replays the identical greedy algorithm in pure Python on
+    the collected word table and asserts the merge sequence and encoded
+    symbol counts match exactly."""
+    docs = tables(spark, sf_dir)["documents"]
+    merges = bpe_train(docs)
+    enc = bpe_encode(docs, merges)
+    stats = enc.agg(
+        (
+            F.sum(F.size("syms").cast("bigint") * F.col("cnt"))
+            / F.sum(F.col("cnt"))
+        ).alias("avg_syms_per_word")
+    ).collect()[0]
+    rows = [
+        (i + 1, l, r, l + r, c, float(stats.avg_syms_per_word))
+        for i, (l, r, c) in enumerate(merges)
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "step int, left string, right string, merged string, "
+        "pair_count bigint, avg_syms_per_word double",
+    )

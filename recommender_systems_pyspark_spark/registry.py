@@ -91,6 +91,7 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.operators.rollup_tree",
     "recommender_systems_pyspark_spark.functions.events_analytics",
     "recommender_systems_pyspark_spark.functions.lines",
+    "recommender_systems_pyspark_spark.functions.bpe",
 )
 
 #: Round-3 grading window (the driver grades the FIRST 50 entries of
@@ -168,6 +169,7 @@ _GRADE_FIRST = (
     "x_inverted_index",
     "x_dedup_minhash_lsh",
     "x_dedup_simhash",
+    "x_bpe_train",
 )
 
 
