@@ -262,3 +262,163 @@ def a14_mode_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "n_status_years", "mode_month", "mode_count")
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "a15_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM lineitem)
+    SELECT k AS l_suppkey, cnt,
+           CAST(cnt AS DOUBLE) / tot.n AS support,
+           TRUE AS approx_found
+    FROM counts, tot
+    ORDER BY cnt DESC, k
+    LIMIT 10
+    """,
+)
+def a15_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: exact top-10 keys by frequency next to Spark's
+    ``freqItems`` sketch (Karp-Papadimitriou-Shenker single-pass frequent
+    items). The gate column asserts every exact heavy hitter above the
+    sketch's support threshold IS in the sketch result — the sketch's
+    one-sided guarantee (no false negatives above support) is the ERROR
+    CONTRACT the oracle checks, the a2/a9 pattern for approximate
+    operators. Exact side: one hash aggregate + TakeOrdered; sketch side:
+    one pass, fixed state, mergeable — the 100 TB shape when the key
+    space itself doesn't fit an aggregate."""
+    li = tables(spark, sf_dir)["lineitem"]
+    # KPS sketch with support 0.1%: keys above support are guaranteed out
+    sketch = set(li.freqItems(["l_suppkey"], support=0.001).collect()[0][0])
+    n = li.count()
+    counts = li.groupBy(F.col("l_suppkey")).agg(F.count("*").alias("cnt"))
+    top = (
+        counts.select(
+            "l_suppkey",
+            "cnt",
+            (F.col("cnt").cast("double") / F.lit(n)).alias("support"),
+        )
+        .orderBy(F.col("cnt").desc(), "l_suppkey")
+        .limit(10)
+    )
+    found = F.when(
+        F.col("support") >= 0.001, F.col("l_suppkey").isin(list(sketch))
+    ).otherwise(F.lit(True))
+    return top.select("l_suppkey", "cnt", "support", found.alias("approx_found"))
+
+
+@query(
+    "a16_skew_profile",
+    oracle="""
+    WITH g AS (SELECT l_orderkey, COUNT(*) AS sz FROM lineitem GROUP BY 1)
+    SELECT COUNT(*) AS n_keys,
+           CAST(MIN(sz) AS BIGINT) AS min_sz,
+           CAST(MAX(sz) AS BIGINT) AS max_sz,
+           quantile_cont(sz, 0.5) AS p50_sz,
+           quantile_cont(sz, 0.99) AS p99_sz,
+           CAST(MAX(sz) AS DOUBLE)
+             / (CAST(SUM(sz) AS DOUBLE) / COUNT(*)) AS skew_factor
+    FROM g
+    """,
+)
+def a16_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/groupBy-key skew diagnostics: the group-size distribution of a
+    prospective shuffle key (min/max/p50/p99 group size and max/mean skew
+    factor). This is the query you run BEFORE committing a 100 TB join to
+    a key — skew_factor ≫ 1 means salting or AQE skew-join handling
+    (tests/test_scale_plans.py proves the engine applies it). Two
+    aggregates: per-key sizes, then the tiny distribution summary."""
+    li = tables(spark, sf_dir)["lineitem"]
+    g = li.groupBy("l_orderkey").agg(F.count("*").alias("sz"))
+    return g.agg(
+        F.count("*").alias("n_keys"),
+        F.min("sz").alias("min_sz"),
+        F.max("sz").alias("max_sz"),
+        F.percentile("sz", 0.5).alias("p50_sz"),
+        F.percentile("sz", 0.99).alias("p99_sz"),
+        (
+            F.max("sz").cast("double")
+            / (F.sum("sz").cast("double") / F.count("*"))
+        ).alias("skew_factor"),
+    )
+
+
+@query(
+    "a17_table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def a17_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (ANALYZE-style data-quality summary): null count,
+    distinct count, min/max per profiled column, one row per column —
+    values rendered as strings so heterogeneous column types stack in one
+    relation. ALL columns profile in a single scan (one aggregate
+    computes every column's stats; the per-column rows are a constant
+    unpivot of that one row). At 100 TB swap exact distinct for the HLL
+    sketch (a2) — same output contract with a tolerance gate."""
+    o = tables(spark, sf_dir)["orders"]
+    agg = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("string").alias("min_ck"),
+        F.max("o_custkey").cast("string").alias("max_ck"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.min("o_orderstatus").alias("min_st"),
+        F.max("o_orderstatus").alias("max_st"),
+        F.count("o_orderpriority").alias("nn_pr"),
+        F.countDistinct("o_orderpriority").alias("nd_pr"),
+        F.min("o_orderpriority").alias("min_pr"),
+        F.max("o_orderpriority").alias("max_pr"),
+    )
+    row = F
+    cols = [
+        ("o_custkey", "nn_ck", "nd_ck", "min_ck", "max_ck"),
+        ("o_orderpriority", "nn_pr", "nd_pr", "min_pr", "max_pr"),
+        ("o_orderstatus", "nn_st", "nd_st", "min_st", "max_st"),
+    ]
+    profile = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        (F.col("n") - F.col(nn)).alias("n_null"),
+                        F.col(nd).alias("n_distinct"),
+                        F.col(mn).alias("min_v"),
+                        F.col(mx).alias("max_v"),
+                    )
+                    for c, nn, nd, mn, mx in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return profile.select(
+        F.col("p.col").alias("col"),
+        F.col("p.n_null").alias("n_null"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_v").alias("min_v"),
+        F.col("p.max_v").alias("max_v"),
+    ).orderBy("col")

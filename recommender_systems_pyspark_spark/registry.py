@@ -170,6 +170,9 @@ _GRADE_FIRST = (
     "x_dedup_minhash_lsh",
     "x_dedup_simhash",
     "x_bpe_train",
+    "a15_heavy_hitters",
+    "a16_skew_profile",
+    "a17_table_profile",
 )
 
 
