@@ -275,3 +275,13 @@ def test_rp_projection_deterministic_and_distance_preserving(spark, sf_dir):
     r = float(np.corrcoef(d_hi, d_lo)[0, 1])
     assert r > 0.25, f"projected distances uncorrelated with originals: r={r}"
     assert not math.isnan(r)
+
+
+def test_grade_first_names_all_resolve():
+    # A typo'd name in the grading-order list would silently vanish from
+    # the driver's window instead of being graded.
+    from recommender_systems_pyspark_spark.registry import _GRADE_FIRST, _REGISTRY
+
+    missing = [n for n in _GRADE_FIRST if n not in _REGISTRY]
+    assert not missing, f"_GRADE_FIRST names not in registry: {missing}"
+    assert len(set(_GRADE_FIRST)) == len(_GRADE_FIRST), "duplicates in _GRADE_FIRST"
