@@ -95,12 +95,27 @@ def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     → global frequency agg (segment-keyed, uniform) → broadcast-size join
     back → per-doc reassembly. Three shuffles, all on unskewed keys."""
     docs = tables(spark, sf_dir)["documents"]
-    toks = _tokens(docs)
+    # Segments are built MAP-ONLY by slicing the in-row token array —
+    # grouping exploded (doc, pos, tok) rows back into segments would
+    # spend a full shuffle+sort rebuilding what split() already holds.
+    toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
     segs = (
-        toks.groupBy(
-            "doc_id", (F.col("pos") / SEG_TOKENS).cast("int").alias("seg_idx")
+        docs.select("doc_id", toks_arr.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("toks") / F.lit(SEG_TOKENS)).cast("int") - 1,
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i * SEG_TOKENS + 1, SEG_TOKENS)
+                    ),
+                )
+            ).alias("seg_idx", "seg_text"),
         )
-        .agg(_ordered_join("pos", "tok").alias("seg_text"))
     )
     freq = segs.groupBy("seg_text").agg(
         F.countDistinct("doc_id").alias("n_docs")
