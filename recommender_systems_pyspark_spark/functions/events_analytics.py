@@ -294,3 +294,130 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     return edges.agg(F.count("*").alias("n_edges")).crossJoin(triangles)
+
+
+@query(
+    "x_interval_overlap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ), sessions AS (
+      SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+      FROM s GROUP BY user_id, sid
+    ), pairs AS (
+      SELECT a.user_id AS ua, a.sid AS sa, b.user_id AS ub
+      FROM sessions a JOIN sessions b
+        ON a.user_id < b.user_id
+       AND a.t0 <= b.t1 AND b.t0 <= a.t1
+    ), sym AS (
+      SELECT ua AS user_id, sa AS sid, ub AS partner FROM pairs
+      UNION ALL
+      SELECT p.ub, b.sid, p.ua
+      FROM pairs p JOIN sessions a ON a.user_id = p.ua AND a.sid = p.sa
+                   JOIN sessions b ON b.user_id = p.ub
+      WHERE a.t0 <= b.t1 AND b.t0 <= a.t1
+    ), per_session AS (
+      SELECT DISTINCT user_id, sid FROM sym
+    ), per_user AS (
+      SELECT user_id,
+             COUNT(DISTINCT sid) AS n_overlapped_sessions,
+             COUNT(DISTINCT partner) AS n_partner_users
+      FROM sym GROUP BY user_id
+    )
+    SELECT s.user_id,
+           COUNT(*) AS n_sessions,
+           COALESCE(ANY_VALUE(pu.n_overlapped_sessions), 0)
+             AS n_overlapped_sessions,
+           COALESCE(ANY_VALUE(pu.n_partner_users), 0) AS n_partner_users
+    FROM sessions s LEFT JOIN per_user pu USING (user_id)
+    GROUP BY s.user_id
+    ORDER BY s.user_id
+    """,
+)
+def x_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join at scale: which users' sessions ran
+    CONCURRENTLY with other users'? Candidate pairs come from an
+    HOUR-BUCKET equi-join — each session explodes into the hour indices
+    it spans (fan-out = duration/1h, bounded), overlapping intervals
+    necessarily share a bucket (lossless blocking), and only same-bucket
+    candidates reach the exact predicate `a.t0 ≤ b.t1 ∧ b.t0 ≤ a.t1`.
+    The quadratic interval self-join this replaces is the classic
+    scale-killer; the bucket join is one uniform shuffle (time buckets
+    skew only if the workload does — then bucket finer). The oracle
+    verifies via its own quadratic join — fine at oracle scale."""
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_break = F.lag("ts").over(w).isNull() | (
+        (F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTES")
+    )
+    with_sid = ev.select(
+        "user_id",
+        "ts",
+        F.sum(gap_break.cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    sessions = with_sid.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    epoch = ts_ntz("2024-01-01")
+    hour_idx = lambda c: F.floor(  # noqa: E731
+        F.timestamp_diff("MICROSECOND", epoch, c) / (3600 * 1000 * 1000)
+    )
+    buckets = sessions.select(
+        "user_id",
+        "sid",
+        "t0",
+        "t1",
+        F.explode(F.sequence(hour_idx(F.col("t0")), hour_idx(F.col("t1")))).alias("h"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.t0") <= F.col("b.t1"))
+            & (F.col("b.t0") <= F.col("a.t1")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"),
+            F.col("a.sid").alias("sa"),
+            F.col("b.user_id").alias("ub"),
+            F.col("b.sid").alias("sb"),
+        )
+        .dropDuplicates(["ua", "sa", "ub", "sb"])  # >1 shared hour bucket
+    )
+    sym = pairs.select(
+        F.col("ua").alias("user_id"), F.col("sa").alias("sid"), F.col("ub").alias("partner")
+    ).unionAll(
+        pairs.select(
+            F.col("ub").alias("user_id"), F.col("sb").alias("sid"), F.col("ua").alias("partner")
+        )
+    )
+    per_user = sym.groupBy("user_id").agg(
+        F.countDistinct("sid").alias("n_overlapped_sessions"),
+        F.countDistinct("partner").alias("n_partner_users"),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .join(per_user, "user_id", "left")
+        .select(
+            "user_id",
+            "n_sessions",
+            F.coalesce("n_overlapped_sessions", F.lit(0)).alias("n_overlapped_sessions"),
+            F.coalesce("n_partner_users", F.lit(0)).alias("n_partner_users"),
+        )
+        .orderBy("user_id")
+    )

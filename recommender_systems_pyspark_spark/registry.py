@@ -173,6 +173,7 @@ _GRADE_FIRST = (
     "a15_heavy_hitters",
     "a16_skew_profile",
     "a17_table_profile",
+    "x_interval_overlap",
 )
 
 
