@@ -285,3 +285,48 @@ def test_grade_first_names_all_resolve():
     missing = [n for n in _GRADE_FIRST if n not in _REGISTRY]
     assert not missing, f"_GRADE_FIRST names not in registry: {missing}"
     assert len(set(_GRADE_FIRST)) == len(_GRADE_FIRST), "duplicates in _GRADE_FIRST"
+
+
+def test_interval_overlap_matches_replay(spark, sf_dir):
+    # Sessionize in Python (same strict >30min break), then brute-force
+    # overlap pairs; compare the per-user concurrency summary.
+    from collections import defaultdict
+    from datetime import timedelta
+
+    ev = sorted(
+        tables(spark, sf_dir)["events"].select("user_id", "ts").collect(),
+        key=lambda r: (r.user_id, r.ts),
+    )
+    sessions = []
+    cur = None
+    for r in ev:
+        if cur and cur[0] == r.user_id and (r.ts - cur[2]) <= timedelta(minutes=30):
+            cur = (cur[0], cur[1], r.ts)
+        else:
+            if cur:
+                sessions.append(cur)
+            cur = (r.user_id, r.ts, r.ts)
+    if cur:
+        sessions.append(cur)
+    n_sessions: dict = defaultdict(int)
+    overlapped: dict = defaultdict(set)
+    partners: dict = defaultdict(set)
+    for u, t0, t1 in sessions:
+        n_sessions[u] += 1
+    for i, (ua, a0, a1) in enumerate(sessions):
+        for ub, b0, b1 in sessions[i + 1 :]:
+            if ua != ub and a0 <= b1 and b0 <= a1:
+                overlapped[ua].add((a0, a1))
+                overlapped[ub].add((b0, b1))
+                partners[ua].add(ub)
+                partners[ub].add(ua)
+    got = {
+        r.user_id: (r.n_sessions, r.n_overlapped_sessions, r.n_partner_users)
+        for r in SPECS["x_interval_overlap"].fn(spark, sf_dir).collect()
+    }
+    for u in n_sessions:
+        assert got[u] == (
+            n_sessions[u],
+            len(overlapped.get(u, ())),
+            len(partners.get(u, ())),
+        ), u
