@@ -40,7 +40,7 @@ from .dedup import _SQL_SHINGLES, jaccard, shingles
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
-    max_iter: int = 25,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
@@ -52,6 +52,12 @@ def connected_components(
     neighbours' labels; converged when no label changes. The symmetric edge
     closure means labels flow both directions, so the fixpoint is the true
     component minimum.
+
+    ``max_iter`` defaults to the node count (propagation needs ≤ diameter
+    ≤ n-1 rounds, so the default can NEVER stop early — it is purely a
+    runaway backstop; ADVICE r3 flagged the old fixed 25, which a sparse
+    200-node random graph legitimately exceeds). Pass an explicit bound
+    only when an unconverged-beyond-that-bound graph should be an error.
     """
     sym = (
         edges.select("src", "dst")
@@ -61,6 +67,9 @@ def connected_components(
         # every round with a leaf-plan scan
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
+    if max_iter is None:
+        max_iter = max(8, labels.count())  # one cheap count on the leaf plan
+    changed = -1
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.src == labels.id)
@@ -86,6 +95,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Unconverged labels would silently corrupt every downstream dedup
+        # decision (and hash-mismatch the exact-transitive-closure oracles
+        # in x_dedup_e2e) — fail loudly instead (ADVICE r3). min-label
+        # propagation converges in <= graph diameter rounds, so hitting
+        # this means pathological chain-shaped dup clusters: raise
+        # max_iter, or switch the caller to large-star/small-star
+        # (O(log n) rounds) if diameters like this are expected.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels
 
 

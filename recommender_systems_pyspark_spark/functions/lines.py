@@ -566,7 +566,12 @@ def x_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("a.tok"), F.col("b.tok")).alias("w1"),
         F.greatest(F.col("a.tok"), F.col("b.tok")).alias("w2"),
     )
-    pairs = pairs.persist()
+    # localCheckpoint, not persist(): the returned plan still reads `pairs`
+    # (so an immediate unpersist would defeat the cache), and a persist with
+    # no owner leaks its blocks for the whole verify/bench session (ADVICE
+    # r3). Checkpoint blocks are reference-counted with the DataFrame and
+    # freed by the ContextCleaner once the query result is dropped.
+    pairs = pairs.localCheckpoint(eager=True)
     pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
     tc = toks.groupBy("tok").agg(F.count("*").alias("c"))
     n_pairs = pairs.count()

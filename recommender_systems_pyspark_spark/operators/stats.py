@@ -393,7 +393,6 @@ def a17_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderpriority").alias("min_pr"),
         F.max("o_orderpriority").alias("max_pr"),
     )
-    row = F
     cols = [
         ("o_custkey", "nn_ck", "nd_ck", "min_ck", "max_ck"),
         ("o_orderpriority", "nn_pr", "nd_pr", "min_pr", "max_pr"),
