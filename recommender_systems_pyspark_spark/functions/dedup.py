@@ -190,7 +190,16 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planner sees every stage.
     """
     t = tables(spark, sf_dir)
-    s = _spread(t["documents"]).select("doc_id", shingles().alias("sh"))
+    return lsh_pairs(t["documents"])
+
+
+def lsh_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH verified near-dup pairs ``(doc_a, doc_b, jaccard_sim)``
+    over any ``(doc_id, text)`` frame — the reusable scale path behind
+    ``x_dedup_minhash_lsh`` (full corpus) and ``x_corpus_e2e`` (the
+    quality-surviving subset). Signature → band buckets → same-bucket
+    candidates → exact-Jaccard verify; sub-quadratic throughout."""
+    s = _spread(docs).select("doc_id", shingles().alias("sh"))
     sig = s.select("doc_id", "sh", minhash_signature().alias("sig"))
 
     # band b → hash of signature slots [b*R, (b+1)*R)

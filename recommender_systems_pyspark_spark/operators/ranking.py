@@ -97,3 +97,39 @@ def with_global_ntile(
             r <= rem * big, F.floor((r - 1) / big) + 1
         ).otherwise(rem + F.floor((r - rem * big - 1) / q) + 1)
     return ranked.withColumn(alias, bucket.cast("int")).drop(rn)
+
+
+# ---------------------------------------------------------------------------
+# Registered query: certifies the distributed rank primitive itself against
+# a real ROW_NUMBER() oracle (the helper backs every global rank/tile in the
+# engine — x_rfm_segments, x_text_unigram_score, ml dictionary encoding).
+# ---------------------------------------------------------------------------
+
+def _register() -> None:
+    from ..registry import query
+    from ..sources import tables
+
+    @query(
+        "x_global_rank",
+        oracle="""
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents
+        ORDER BY rank
+        """,
+    )
+    def x_global_rank(spark, sf_dir):  # noqa: ANN001, ANN202
+        """Global total-order rank of every document by size (unique
+        doc_id tiebreaker), via :func:`with_global_row_number` — the
+        distributed two-phase plan. Byte-identical to the SQL
+        ``ROW_NUMBER()`` the oracle runs, with no single-partition sort
+        anywhere: the range shuffle is the only data movement, and driver
+        state is one (partition → offset) list."""
+        docs = tables(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+        ranked, _ = with_global_row_number(
+            docs, [F.col("n_chars").desc(), F.col("doc_id")], alias="rank"
+        )
+        return ranked.select("doc_id", "n_chars", "rank").orderBy("rank")
+
+
+_register()
