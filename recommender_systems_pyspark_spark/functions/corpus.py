@@ -279,42 +279,9 @@ def x_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Centroid averaging quantum: components are floor-quantized to 1e-9
-#: before the exact bigint sum. Unlike a DECIMAL cast (whose HALF_UP vs
-#: round-half-even tie-breaking differs between engines on full-precision
-#: floats), floor(v * 1e9) of the same double is bit-identical everywhere,
-#: the bigint sum is exact and order-independent, and the single final
-#: division is one deterministic double rounding.
-_CENT_QUANTUM = 1_000_000_000.0
-
-_SQL_CENTROIDS = f"""
-    SELECT label, CAST(i - 1 AS INT) AS dim,
-           CAST(SUM(CAST(floor(v * {_CENT_QUANTUM}) AS BIGINT)) AS DOUBLE)
-             / COUNT(v) / {_CENT_QUANTUM} AS centroid
-    FROM (SELECT label,
-                 unnest(generate_series(1, len(embedding))) AS i,
-                 unnest(embedding::DOUBLE[]) AS v
-          FROM embeddings)
-    GROUP BY label, i
-"""
-
-
-def centroids_exploded(e: DataFrame) -> DataFrame:
-    """(label, dim, centroid): per-label mean vector in exploded form via
-    posexplode + exact quantized average (order-independent, so the hash
-    aggregate's partial ordering cannot move the double result; the 1e-9
-    input quantization is far below float32's precision at unit scale)."""
-    return (
-        e.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(
-            (
-                F.sum(F.floor(F.col("v").cast("double") * _CENT_QUANTUM)).cast("double")
-                / F.count("v")
-                / _CENT_QUANTUM
-            ).alias("centroid")
-        )
-    )
+# Centroid machinery lives in functions/centroids.py (leaf module shared
+# with similarity.x_knn_ivf_topk); re-exported here for compatibility.
+from .centroids import _CENT_QUANTUM, _SQL_CENTROIDS, centroids_exploded  # noqa: E402,F401
 
 
 @query("x_embed_centroids", oracle=_SQL_CENTROIDS)

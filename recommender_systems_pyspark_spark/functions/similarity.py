@@ -264,27 +264,51 @@ def x_embed_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_knn_ivf_topk")  # approximate by design → rows-only; pytest recall
+def _sql_ivf_topk() -> str:
+    from .centroids import _SQL_CENTROIDS
+
+    return f"""
+    WITH cd AS ({_SQL_CENTROIDS}),
+    cent AS (
+      SELECT label, list(centroid ORDER BY dim) AS centroid
+      FROM cd GROUP BY label
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probed AS (
+      SELECT label FROM cent, q
+      ORDER BY {_SQL_COSINE.format(a='centroid', b='qv')} DESC, label
+      LIMIT 3
+    )
+    SELECT e.vec_id, e.label,
+           {_SQL_COSINE.format(a='e.embedding', b='q.qv')} AS cos_sim
+    FROM embeddings e JOIN probed USING (label), q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("x_knn_ivf_topk", oracle=_sql_ivf_topk())
 def x_knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-10 for vec_id 0: coarse-quantize by
     centroid (labels play the cell assignment; production would k-means
     once and persist), probe the 3 nearest cells, brute-force only inside
-    them. Centroids are a tiny aggregate (posexplode → per-dimension avg)
-    that broadcasts; the probed scan is the only data touched — with the
-    corpus partitioned by cell on disk, that is partition pruning, not a
-    filter. Rows-only check; pytest measures recall vs the exact query."""
+    them. Centroids are a tiny aggregate (posexplode → per-dimension exact
+    quantized average) that broadcasts; the probed scan is the only data
+    touched — with the corpus partitioned by cell on disk, that is
+    partition pruning, not a filter.
+
+    Full oracle since r4: the centroid is the same engine-portable
+    quantized average x_embed_centroids hash-matches, and the cosine fold
+    matches DuckDB's list_dot_product accumulation, so the whole probe —
+    cell ranking included — replays in SQL. (The previous F.avg centroid
+    was order-dependent in the last ulp, which is all that kept this
+    rows-only.) pytest additionally measures recall vs the exact query."""
+    from .centroids import centroids_assembled
+
     t = tables(spark, sf_dir)
     e = t["embeddings"]
-
-    # centroid per cell: mean vector via posexplode + groupBy(label, dim)
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(F.avg("v").alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
-        .select("label", F.transform("dc", lambda s: s.getField("c")).alias("centroid"))
-    )
+    cent = centroids_assembled(e)
 
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     probed = (

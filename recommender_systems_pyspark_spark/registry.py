@@ -132,10 +132,11 @@ _GRADE_FIRST = (
     # 12-13: re-grade after this round's distributed-NTILE rewrite
     "x_rfm_segments",
     "x_text_unigram_score",
-    # 14-15: new in r4
+    # 14-16: new in r4 (+ the IVF probe's rows-only → full-oracle upgrade)
     "x_corpus_e2e",
     "x_global_rank",
-    # 16-50: rotating re-grades (r1-vintage greens on since-edited files)
+    "x_knn_ivf_topk",
+    # 17-50: rotating re-grades (r1-vintage greens on since-edited files)
     "flagship_top_orders",
     "tpch_q3",
     "tpch_q5",
@@ -170,7 +171,6 @@ _GRADE_FIRST = (
     "p4_range_filter",
     "p6_regex_filter",
     "f1_split_array_ops",
-    "f9_conditional_buckets",
 )
 
 
