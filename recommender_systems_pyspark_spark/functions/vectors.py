@@ -164,16 +164,97 @@ def kmeans(e: DataFrame, k: int = 8, n_iter: int = 5) -> tuple[DataFrame, list[f
     return assigned, inertia
 
 
-@query("x_embed_kmeans")  # iterative, engine-trained model → rows-only; pytest
+def _sql_kmeans(k: int = 8, n_iter: int = 5) -> str:
+    """DuckDB replica of :func:`kmeans`, the 5 Lloyd iterations UNROLLED
+    as a CTE chain. Possible only because every step of the trainer is
+    engine-portable by construction: deterministic seeds (k lowest
+    vec_ids), the same left-fold squared-L2 as list_dot_product,
+    (dist, cell)-ordered argmin ties, and the floor-quantized exact
+    centroid average — so c0→a0→c1→…→a5 replays bit-for-bit."""
+    q = "1000000000.0"
+    sq_dist = (
+        "list_dot_product("
+        "list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cvec[i]), "
+        "list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cvec[i]))"
+    )
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+
+    def assign(c: str, a: str) -> list[str]:
+        return [
+            f"""{a}_all AS (
+              SELECT e.vec_id, e.v, c.cell, {sq_dist} AS dist
+              FROM e CROSS JOIN {c} c
+            )""",
+            f"""{a} AS (
+              SELECT vec_id, v, cell, dist FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY dist, cell) AS rn
+                FROM {a}_all
+              ) WHERE rn = 1
+            )""",
+        ]
+
+    def update(a: str, cprev: str, c: str) -> list[str]:
+        return [
+            f"""{c}_new AS (
+              SELECT cell, list(cd ORDER BY dim) AS cvec FROM (
+                SELECT cell, dim,
+                       CAST(SUM(CAST(floor(v_el * {q}) AS BIGINT)) AS DOUBLE)
+                         / COUNT(v_el) / {q} AS cd
+                FROM (SELECT cell,
+                             unnest(generate_series(1, len(v))) AS dim,
+                             unnest(v) AS v_el
+                      FROM {a})
+                GROUP BY cell, dim
+              ) GROUP BY cell
+            )""",
+            f"""{c} AS (
+              SELECT cell, cvec FROM {c}_new
+              UNION ALL
+              SELECT p.cell, p.cvec FROM {cprev} p
+              WHERE p.cell NOT IN (SELECT cell FROM {c}_new)
+            )""",
+        ]
+
+    parts += assign("c0", "a0")
+    for i in range(1, n_iter + 1):
+        parts += update(f"a{i-1}", f"c{i-1}", f"c{i}")
+        parts += assign(f"c{i}", f"a{i}")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT vec_id, CAST(cell AS INT) AS cell, dist
+    FROM a{n_iter}
+    ORDER BY vec_id
+    """
+    )
+
+
+@query("x_embed_kmeans", oracle=_sql_kmeans())
 def x_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means cell assignment (k=8, 5 Lloyd iterations, deterministic
     seeding): the trained coarse quantizer the IVF path (x_knn_ivf_topk)
     probes, replacing its label-as-cell stand-in with learned cells.
-    Rows-only check; pytest pins inertia monotonicity, assignment
-    uniqueness, and determinism across runs."""
+
+    Full oracle since r4: the Lloyd loop is deterministic AND
+    engine-portable (quantized-exact centroid updates, portable distance
+    fold, total-order ties), so the oracle simply unrolls all five
+    iterations as SQL CTEs and the driver hash-gates the TRAINED MODEL'S
+    assignment — not just row counts. pytest additionally pins inertia
+    monotonicity, assignment uniqueness, and determinism across runs."""
     t = tables(spark, sf_dir)
     assigned, _ = kmeans(t["embeddings"].select("vec_id", "embedding"))
-    return assigned.select("vec_id", F.col("cell").cast("int").alias("cell"), "dist")
+    return (
+        assigned.select("vec_id", F.col("cell").cast("int").alias("cell"), "dist")
+        .orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------
