@@ -354,7 +354,114 @@ def pq_encode(e: DataFrame, cent: DataFrame, m: int = _PQ_M) -> DataFrame:
 _PQ_SHORTLIST = 100
 
 
-@query("x_embed_pq_topk")  # engine-trained codebooks → rows-only; pytest recall
+def _sql_pq_topk(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITERS) -> str:
+    """DuckDB replica of the WHOLE PQ-ANN path — joint codebook training
+    (Lloyd iterations unrolled, same scheme as :func:`_sql_kmeans`),
+    encoding, ADC shortlist, exact re-rank. Portable for the same reasons
+    as the k-means oracle; the subspace slice v[s·w+1 : s·w+w] matches
+    Spark's 1-based ``slice`` exactly."""
+    q = "1000000000.0"
+    sq = (
+        "list_dot_product("
+        "list_transform(generate_series(1, len(s.svec)), i -> s.svec[i] - c.cvec[i]), "
+        "list_transform(generate_series(1, len(s.svec)), i -> s.svec[i] - c.cvec[i]))"
+    )
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""sub AS (
+          SELECT vec_id, m.sub,
+                 v[m.sub * (len(v) // {m}) + 1 : m.sub * (len(v) // {m}) + (len(v) // {m})] AS svec
+          FROM e, LATERAL (SELECT unnest(range(0, {m})) AS sub) m
+        )""",
+        f"""c0 AS (
+          SELECT sub, CAST(rn - 1 AS INT) AS cell, svec AS cvec FROM (
+            SELECT sub, svec,
+                   ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+            FROM sub
+          ) WHERE rn <= {k}
+        )""",
+    ]
+
+    def assign(c: str, a: str) -> list[str]:
+        return [
+            f"""{a}_all AS (
+              SELECT s.vec_id, s.sub, s.svec, c.cell, {sq} AS dist
+              FROM sub s JOIN {c} c ON c.sub = s.sub
+            )""",
+            f"""{a} AS (
+              SELECT vec_id, sub, svec, cell, dist FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY dist, cell) AS rn
+                FROM {a}_all
+              ) WHERE rn = 1
+            )""",
+        ]
+
+    def update(a: str, cprev: str, c: str) -> list[str]:
+        return [
+            f"""{c}_new AS (
+              SELECT sub, cell, list(cd ORDER BY dim) AS cvec FROM (
+                SELECT sub, cell, dim,
+                       CAST(SUM(CAST(floor(v_el * {q}) AS BIGINT)) AS DOUBLE)
+                         / COUNT(v_el) / {q} AS cd
+                FROM (SELECT sub, cell,
+                             unnest(generate_series(1, len(svec))) AS dim,
+                             unnest(svec) AS v_el
+                      FROM {a})
+                GROUP BY sub, cell, dim
+              ) GROUP BY sub, cell
+            )""",
+            f"""{c} AS (
+              SELECT sub, cell, cvec FROM {c}_new
+              UNION ALL
+              SELECT p.sub, p.cell, p.cvec
+              FROM {cprev} p ANTI JOIN {c}_new n
+                ON n.sub = p.sub AND n.cell = p.cell
+            )""",
+        ]
+
+    parts += assign("c0", "a0")
+    for i in range(1, n_iter + 1):
+        parts += update(f"a{i-1}", f"c{i-1}", f"c{i}")
+        parts += assign(f"c{i}", f"a{i}")
+    cfin = f"c{n_iter}"
+    parts += [
+        f"codes AS (SELECT vec_id, sub, cell FROM a{n_iter})",
+        f"""qsub AS (SELECT sub, svec AS qvec FROM sub WHERE vec_id = 0)""",
+        f"""adc AS (
+          SELECT c.sub, c.cell,
+                 list_dot_product(
+                   list_transform(generate_series(1, len(c.cvec)), i -> c.cvec[i] - t.qvec[i]),
+                   list_transform(generate_series(1, len(c.cvec)), i -> c.cvec[i] - t.qvec[i])) AS adc
+          FROM {cfin} c JOIN qsub t ON t.sub = c.sub
+        )""",
+        f"""shortlist AS (
+          SELECT codes.vec_id,
+                 CAST(SUM(CAST(adc AS DECIMAL(28,12))) AS DOUBLE) AS approx_dist
+          FROM codes JOIN adc ON adc.sub = codes.sub AND adc.cell = codes.cell
+          WHERE codes.vec_id <> 0
+          GROUP BY codes.vec_id
+          ORDER BY approx_dist, vec_id
+          LIMIT {_PQ_SHORTLIST}
+        )""",
+        """qv AS (SELECT v FROM e WHERE vec_id = 0)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT e.vec_id,
+           list_dot_product(
+             list_transform(generate_series(1, len(e.v)), i -> e.v[i] - qv.v[i]),
+             list_transform(generate_series(1, len(e.v)), i -> e.v[i] - qv.v[i])) AS dist
+    FROM e SEMI JOIN shortlist ON shortlist.vec_id = e.vec_id, qv
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """
+    )
+
+
+@query("x_embed_pq_topk", oracle=_sql_pq_topk())
 def x_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ANN top-10 for the vec_id-0 query, the production two-stage
     shape: (1) ASYMMETRIC DISTANCE shortlist — the exact ‖q_sub − c_sub‖²
@@ -367,8 +474,10 @@ def x_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     L2 distance → top-10. At 100 TB stage 1's code scan is the whole
     cost; IVF cells (x_embed_kmeans) compose in front for sub-linear
     probes, and stage 2 touches a constant 100 rows regardless of scale.
-    Rows-only (iteratively trained model); pytest pins recall@10 vs the
-    exact full scan, run-to-run determinism, and code-geometry invariants.
+    Full oracle since r4: training, encoding, ADC and re-rank all replay
+    in SQL (the PQ trainer is deterministic and engine-portable exactly
+    like :func:`kmeans`); pytest additionally pins recall@10 vs the exact
+    full scan, run-to-run determinism, and code-geometry invariants.
     """
     t = tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")

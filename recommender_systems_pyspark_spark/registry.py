@@ -132,13 +132,14 @@ _GRADE_FIRST = (
     # 12-13: re-grade after this round's distributed-NTILE rewrite
     "x_rfm_segments",
     "x_text_unigram_score",
-    # 14-17: new in r4 + the two rows-only → full-oracle upgrades (IVF
-    # probe; k-means trainer with the Lloyd loop unrolled in SQL)
+    # 14-18: new in r4 + the three rows-only → full-oracle upgrades (IVF
+    # probe; k-means and PQ trainers with their Lloyd loops unrolled in SQL)
     "x_corpus_e2e",
     "x_global_rank",
     "x_knn_ivf_topk",
     "x_embed_kmeans",
-    # 18-50: rotating re-grades (r1-vintage greens on since-edited files)
+    "x_embed_pq_topk",
+    # 19-50: rotating re-grades (r1-vintage greens on since-edited files)
     "flagship_top_orders",
     "tpch_q3",
     "tpch_q5",
@@ -171,7 +172,6 @@ _GRADE_FIRST = (
     "p1_project_rename",
     "p3_eq_filter",
     "p4_range_filter",
-    "p6_regex_filter",
 )
 
 
