@@ -73,23 +73,43 @@ def run_streaming(spark, sf_dir: str) -> dict[str, float]:
                 .parquet(src)
             )
 
+        from recommender_systems_pyspark_spark.streaming.stateful import (
+            cumulative_user_stats,
+        )
+
         cust = load_table(spark, sf_dir, "customer")
+        # applyInPandasWithState carries timestamp_ntz state; no watermark →
+        # ntz is legal there (the windowed plans need TIMESTAMP for the
+        # watermark, hence the LTZ staging above).
         plans = {
-            "stream_s1_tumbling": lambda: se.windowed_counts(stream()),
-            "stream_s3_session": lambda: se.session_counts(stream()),
-            "stream_s5_enrich": lambda: se.enrich_stream(stream(), cust),
-            "stream_s6_join": lambda: se.join_view_click(
-                stream().where(F.col("event_type") == "view"),
-                stream().where(F.col("event_type") == "click"),
+            "stream_s1_tumbling": (lambda: se.windowed_counts(stream()), "append"),
+            "stream_s2_sliding": (
+                lambda: se.windowed_counts(stream(), slide="30 minutes"),
+                "append",
+            ),
+            "stream_s3_session": (lambda: se.session_counts(stream()), "append"),
+            "stream_s4_stateful": (
+                lambda: cumulative_user_stats(
+                    stream().withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+                ),
+                "update",
+            ),
+            "stream_s5_enrich": (lambda: se.enrich_stream(stream(), cust), "append"),
+            "stream_s6_join": (
+                lambda: se.join_view_click(
+                    stream().where(F.col("event_type") == "view"),
+                    stream().where(F.col("event_type") == "click"),
+                ),
+                "append",
             ),
         }
-        for i, (name, plan) in enumerate(plans.items()):
+        for i, (name, (plan, mode)) in enumerate(plans.items()):
             t0 = time.perf_counter()
             q = (
                 plan()
                 .writeStream.format("noop")
                 .option("checkpointLocation", f"{d}/ck{i}")
-                .outputMode("append")
+                .outputMode(mode)
                 .start()
             )
             q.processAllAvailable()
