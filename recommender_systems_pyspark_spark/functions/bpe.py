@@ -126,15 +126,87 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame
     return wt.select("word", "cnt", syms.alias("syms"))
 
 
-@query("x_bpe_train")  # iterative trainer, driver-looped → rows-only; pytest
+def _sql_bpe_train(n_merges: int = _BPE_MERGES) -> str:
+    """DuckDB replica of the BPE trainer, every merge iteration UNROLLED
+    (same scheme as the k-means/PQ oracles). The greedy left-to-right
+    non-overlapping merge fold is expressed with ``list_reduce`` over a
+    separator-joined string accumulator (chr(30) cannot occur in corpus
+    tokens), which replicates Spark's array fold exactly — including the
+    "aaa" + merge(a,a) → ["aa","a"] case, because a just-merged tail
+    token no longer equals the left symbol. Early stop (best pair count
+    < 2) is handled structurally: an empty best CTE makes every later
+    step a no-op LEFT JOIN, so the merge table simply ends there. CTEs
+    are MATERIALIZED — default inlining re-evaluates the chain
+    exponentially (2^n_merges)."""
+    sep = "chr(30)"
+    parts = [
+        "w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)",
+        f"""wt0 AS MATERIALIZED (
+          SELECT word, COUNT(*) AS cnt,
+                 list_append(string_split(word, ''), '{_EOW}') AS syms
+          FROM w WHERE word <> '' GROUP BY word
+        )""",
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f"""pc{i} AS (
+          SELECT syms[j] AS l, syms[j+1] AS r,
+                 CAST(SUM(cnt) AS BIGINT) AS pair_count
+          FROM wt{p}, LATERAL (SELECT unnest(range(1, len(syms))) AS j) t
+          GROUP BY l, r
+        )""")
+        parts.append(f"""best{i} AS MATERIALIZED (
+          SELECT l, r, pair_count FROM pc{i}
+          WHERE pair_count >= 2
+          ORDER BY pair_count DESC, l, r LIMIT 1
+        )""")
+        parts.append(f"""wt{i} AS MATERIALIZED (
+          SELECT word, cnt,
+                 CASE WHEN b.l IS NULL THEN syms
+                      ELSE string_split(
+                             list_reduce(syms, (acc, s) -> CASE
+                               WHEN (acc = b.l OR ends_with(acc, {sep} || b.l))
+                                    AND s = b.r
+                               THEN substr(acc, 1, len(acc) - len(b.l))
+                                      || b.l || b.r
+                               ELSE acc || {sep} || s END),
+                             {sep})
+                 END AS syms
+          FROM wt{p} LEFT JOIN best{i} b ON TRUE
+        )""")
+        parts.append(
+            f"m{i} AS (SELECT {i} AS step, l, r, l || r AS merged, pair_count"
+            f" FROM best{i})"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, n_merges + 1))
+    parts.append(f"merges AS ({union})")
+    parts.append(
+        f"stats AS (SELECT SUM(len(syms) * cnt) / SUM(cnt) AS a FROM wt{n_merges})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT CAST(step AS INT) AS step, l AS "left", r AS "right", merged,
+           pair_count, (SELECT a FROM stats) AS avg_syms_per_word
+    FROM merges ORDER BY step
+    """
+    )
+
+
+@query("x_bpe_train", oracle=_sql_bpe_train())
 def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge learning over the corpus: the merge table (step, left,
     right, merged, pair_count) plus the resulting encoding compression —
-    avg symbols per word occurrence before/after. Rows-only (each
-    iteration's arg-max depends on the last — no closed-form SQL); the
-    pytest suite replays the identical greedy algorithm in pure Python on
-    the collected word table and asserts the merge sequence and encoded
-    symbol counts match exactly."""
+    avg symbols per word occurrence after all merges.
+
+    Full oracle since r4 (was rows-only): every iteration's arg-max is a
+    total order and the merge fold is engine-portable, so the oracle
+    unrolls the whole training loop in SQL — the driver hash-gates the
+    LEARNED MERGE TABLE and the final compression ratio. The pytest
+    suite additionally replays the identical greedy algorithm in pure
+    Python on the collected word table and asserts the merge sequence
+    and encoded symbol counts match exactly."""
     docs = tables(spark, sf_dir)["documents"]
     merges = bpe_train(docs)
     enc = bpe_encode(docs, merges)

@@ -178,8 +178,8 @@ def _sql_kmeans(k: int = 8, n_iter: int = 5) -> str:
         "list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cvec[i]))"
     )
     parts = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"""c0 AS (
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
           SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
         )""",
@@ -191,7 +191,7 @@ def _sql_kmeans(k: int = 8, n_iter: int = 5) -> str:
               SELECT e.vec_id, e.v, c.cell, {sq_dist} AS dist
               FROM e CROSS JOIN {c} c
             )""",
-            f"""{a} AS (
+            f"""{a} AS MATERIALIZED (
               SELECT vec_id, v, cell, dist FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                              ORDER BY dist, cell) AS rn
@@ -202,7 +202,7 @@ def _sql_kmeans(k: int = 8, n_iter: int = 5) -> str:
 
     def update(a: str, cprev: str, c: str) -> list[str]:
         return [
-            f"""{c}_new AS (
+            f"""{c}_new AS MATERIALIZED (
               SELECT cell, list(cd ORDER BY dim) AS cvec FROM (
                 SELECT cell, dim,
                        CAST(SUM(CAST(floor(v_el * {q}) AS BIGINT)) AS DOUBLE)
@@ -214,7 +214,7 @@ def _sql_kmeans(k: int = 8, n_iter: int = 5) -> str:
                 GROUP BY cell, dim
               ) GROUP BY cell
             )""",
-            f"""{c} AS (
+            f"""{c} AS MATERIALIZED (
               SELECT cell, cvec FROM {c}_new
               UNION ALL
               SELECT p.cell, p.cvec FROM {cprev} p
@@ -368,12 +368,12 @@ def _sql_pq_topk(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITERS) -> str
     )
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"""sub AS (
+        f"""sub AS MATERIALIZED (
           SELECT vec_id, m.sub,
                  v[m.sub * (len(v) // {m}) + 1 : m.sub * (len(v) // {m}) + (len(v) // {m})] AS svec
           FROM e, LATERAL (SELECT unnest(range(0, {m})) AS sub) m
         )""",
-        f"""c0 AS (
+        f"""c0 AS MATERIALIZED (
           SELECT sub, CAST(rn - 1 AS INT) AS cell, svec AS cvec FROM (
             SELECT sub, svec,
                    ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
@@ -388,7 +388,7 @@ def _sql_pq_topk(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITERS) -> str
               SELECT s.vec_id, s.sub, s.svec, c.cell, {sq} AS dist
               FROM sub s JOIN {c} c ON c.sub = s.sub
             )""",
-            f"""{a} AS (
+            f"""{a} AS MATERIALIZED (
               SELECT vec_id, sub, svec, cell, dist FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                                              ORDER BY dist, cell) AS rn
@@ -399,7 +399,7 @@ def _sql_pq_topk(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITERS) -> str
 
     def update(a: str, cprev: str, c: str) -> list[str]:
         return [
-            f"""{c}_new AS (
+            f"""{c}_new AS MATERIALIZED (
               SELECT sub, cell, list(cd ORDER BY dim) AS cvec FROM (
                 SELECT sub, cell, dim,
                        CAST(SUM(CAST(floor(v_el * {q}) AS BIGINT)) AS DOUBLE)
@@ -411,7 +411,7 @@ def _sql_pq_topk(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITERS) -> str
                 GROUP BY sub, cell, dim
               ) GROUP BY sub, cell
             )""",
-            f"""{c} AS (
+            f"""{c} AS MATERIALIZED (
               SELECT sub, cell, cvec FROM {c}_new
               UNION ALL
               SELECT p.sub, p.cell, p.cvec
@@ -426,7 +426,7 @@ def _sql_pq_topk(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITERS) -> str
         parts += assign(f"c{i}", f"a{i}")
     cfin = f"c{n_iter}"
     parts += [
-        f"codes AS (SELECT vec_id, sub, cell FROM a{n_iter})",
+        f"codes AS MATERIALIZED (SELECT vec_id, sub, cell FROM a{n_iter})",
         f"""qsub AS (SELECT sub, svec AS qvec FROM sub WHERE vec_id = 0)""",
         f"""adc AS (
           SELECT c.sub, c.cell,
