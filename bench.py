@@ -102,6 +102,10 @@ def run_streaming(spark, sf_dir: str) -> dict[str, float]:
                 ),
                 "append",
             ),
+            "stream_s7_dedup": (
+                lambda: se.dedup_stream(stream(), ["event_id"]),
+                "append",
+            ),
         }
         for i, (name, (plan, mode)) in enumerate(plans.items()):
             t0 = time.perf_counter()

@@ -1,0 +1,171 @@
+"""Distributed PageRank over the part co-purchase graph (round 4).
+
+Complements :mod:`.graph` (connected components — the dedup clusterer)
+with the other canonical iterative graph algorithm: join-based rank
+propagation. The reference has no graph surface; this is north-star
+extension work (SURVEY.md §2.13) — the importance ranking a training-data
+pipeline uses to weight interlinked documents/pages.
+
+Determinism contract (what makes a 5-iteration float fixpoint hash-gate
+able): ALL rank arithmetic is 64-bit INTEGER, scaled by 1e12 —
+``rank' = (15·(S div N) + 85·Σ_in (rank div outdeg)) div 100`` with
+truncating integral division (`div` in Spark, `//` in DuckDB — identical
+on non-negative longs). No float enters until the final display column,
+one exact IEEE division. The oracle unrolls all five iterations as
+MATERIALIZED CTEs (same scheme the k-means/PQ/BPE oracles use).
+
+Scale notes (100 TB):
+- Edge generation is the wedge join bounded by Σ deg(order)² — orders
+  hold ~4-7 lines, so fan-out is constant-bounded (same bound as
+  x_triangle_count).
+- Each iteration is one join (edges ⋈ ranks, both partitioned by the
+  src key — the shuffle is reused across iterations since edges are
+  checkpoint-pinned) + one groupBy(dst) with map-side partial sums.
+- Driver state: a single scalar (node count). Lineage is cut with
+  localCheckpoint per iteration, exactly like graph.connected_components
+  — without it the plan doubles per round.
+- Dangling nodes cannot exist: the co-purchase relation is symmetric,
+  so every node in the graph has outdegree ≥ 1 by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tables
+
+_SCALE = 1_000_000_000_000  # rank mass fixed-point scale (1e12)
+_ITERS = 5
+_DAMP_NUM, _DAMP_DEN = 85, 100  # d = 0.85 as an integer ratio
+
+
+def pagerank_scaled(edges: DataFrame, iters: int = _ITERS) -> DataFrame:
+    """Integer-scaled PageRank over a directed edge list (``src``/``dst``
+    long columns; symmetric input → no dangling mass). Returns
+    (node, outdeg, rank) with rank in 1e-12 units of probability mass.
+
+    ``edges`` is re-used every iteration — callers get correct results
+    regardless, but pinning it (localCheckpoint) keeps each iteration's
+    plan flat; this function does so itself."""
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    deg = deg.localCheckpoint(eager=False)
+    n = deg.count()  # ONE driver scalar — the only collect in the loop
+    init = _SCALE // n
+    teleport = _DAMP_DEN - _DAMP_NUM  # 15 = (1-d)·100
+    ranks = deg.select(F.col("src").alias("node"), F.lit(init).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("incoming"))
+        ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(incoming.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"({teleport} * {init}L + {_DAMP_NUM} * coalesce(incoming, 0L))"
+                    f" div {_DAMP_DEN}"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.join(deg.withColumnRenamed("src", "node"), "node")
+
+
+def _oracle() -> str:
+    """Unrolled-iteration DuckDB twin: r0 … r{_ITERS} as MATERIALIZED
+    CTEs (DuckDB's default CTE inlining re-evaluates the chain
+    exponentially — see the k-means oracle note in CHANGES_r04.md)."""
+    teleport = _DAMP_DEN - _DAMP_NUM
+    parts = [
+        """
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS MATERIALIZED (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2
+        ),
+        deg AS MATERIALIZED (
+          SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+        ),
+        params AS MATERIALIZED (
+          SELECT %(scale)d // COUNT(*) AS init FROM deg
+        ),
+        r0 AS MATERIALIZED (
+          SELECT src AS node, (SELECT init FROM params) AS rank FROM deg
+        )""" % {"scale": _SCALE}
+    ]
+    for i in range(_ITERS):
+        parts.append(
+            f""",
+        r{i + 1} AS MATERIALIZED (
+          SELECT d.src AS node,
+                 CAST(({teleport} * (SELECT init FROM params)
+                  + {_DAMP_NUM} * COALESCE(s.incoming, 0)) // {_DAMP_DEN}
+                      AS BIGINT) AS rank
+          FROM deg d LEFT JOIN (
+            -- DuckDB SUM(BIGINT) widens to HUGEINT; pin BIGINT so the
+            -- final schema matches Spark's long (values are ≤ ~1e12)
+            SELECT e.dst AS node, CAST(SUM(r.rank // dg.outdeg) AS BIGINT) AS incoming
+            FROM edges e
+            JOIN r{i} r ON e.src = r.node
+            JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = d.src
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT r.node AS part_key, d.outdeg AS degree,
+               r.rank AS rank_scaled,
+               CAST(r.rank AS DOUBLE) / {_SCALE} AS rank_score
+        FROM r{_ITERS} r JOIN deg d ON d.src = r.node
+        ORDER BY r.rank DESC, r.node
+        LIMIT 25
+        """
+    )
+    return "".join(parts)
+
+
+@query("x_pagerank", oracle=_oracle())
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 parts by PageRank over the co-purchase graph (parts are
+    linked when they co-occur in an order; the relation is symmetric so
+    the walk is over an undirected graph). Five damped (d=0.85)
+    iterations in exact fixed-point arithmetic — hash-identical to the
+    oracle's unrolled recurrence, ties broken by part key."""
+    li = (
+        tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    ranked = pagerank_scaled(edges, _ITERS)
+    return (
+        ranked.select(
+            F.col("node").alias("part_key"),
+            F.col("outdeg").alias("degree"),
+            F.col("rank").alias("rank_scaled"),
+            (F.col("rank").cast("double") / _SCALE).alias("rank_score"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "part_key")
+        .limit(25)
+    )

@@ -94,6 +94,11 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.functions.bpe",
     # --- new in r4 --------------------------------------------------------
     "recommender_systems_pyspark_spark.operators.ranking",
+    # late-r4 additions: registered AFTER the 50-slot grading window is
+    # full — they queue at positions 51+ for the round-5 window (the
+    # local verify gate still hash-checks them every run).
+    "recommender_systems_pyspark_spark.functions.warehouse",
+    "recommender_systems_pyspark_spark.functions.pagerank",
 )
 
 #: Round-4 grading window (the driver grades the FIRST 50 entries of

@@ -132,3 +132,28 @@ def s3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "s7_stream_dedup",
+    oracle="""
+    SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+)
+def s7_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-once recovery from at-least-once delivery: the input is the
+    events table delivered TWICE (union with itself — the batch model of
+    a source that redelivers on retry), deduplicated on the unique
+    ``event_id``. Batch face of ``engine.dedup_stream``
+    (``dropDuplicatesWithinWatermark`` — state bounded by the watermark
+    horizon instead of the corpus); the streaming run is measured in
+    bench.py as ``stream_s7_dedup``.
+
+    Deterministic despite dropDuplicates' arbitrary-row pick: duplicate
+    groups contain only bit-identical rows. One hash shuffle on the
+    uniform event_id key; map-side partial dedup keeps the shuffle near
+    |distinct| rows."""
+    events = load_table(spark, sf_dir, "events")
+    redelivered = events.unionByName(events)
+    return redelivered.dropDuplicates(["event_id"])

@@ -1,0 +1,250 @@
+"""Tests for the late-round-4 warehouse/graph operators: SCD2 history,
+CDC merge, range frames, salted join, Bloom semi-prune, PageRank, and the
+streaming dedup face. Property-style where the oracle fixtures are thin:
+each operator is checked against an independent reformulation, not just
+against itself."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from recommender_systems_pyspark_spark.functions.pagerank import (
+    _SCALE,
+    pagerank_scaled,
+    x_pagerank,
+)
+from recommender_systems_pyspark_spark.functions.warehouse import (
+    bloom_prune,
+    x_merge_upsert,
+    x_range_frame_trailing,
+    x_scd2_history,
+)
+from recommender_systems_pyspark_spark.operators.skew import salted_join
+from recommender_systems_pyspark_spark.sources import tables
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+def test_scd2_intervals_tile_each_user(spark):
+    """Per user: versions are 1..k, exactly one open row, and each closed
+    interval's valid_to equals the next version's valid_from (half-open
+    tiling with no gaps or overlaps)."""
+    hist = x_scd2_history(spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r.is_current for r in rows) == 1
+        assert rows[-1].is_current and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.event_type != b.event_type  # runs are maximal
+
+
+def test_scd2_replays_latest_state(spark):
+    """The open (is_current) row per user must carry the event_type of the
+    user's latest event — SCD2's 'current view' equals the overwrite view."""
+    ev = tables(spark, SF)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = {
+        r.user_id: r.event_type
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    current = {
+        r.user_id: r.event_type
+        for r in x_scd2_history(spark, SF).where("is_current").collect()
+    }
+    assert current == latest
+
+
+# ---------------------------------------------------------------------------
+# MERGE
+# ---------------------------------------------------------------------------
+
+def test_merge_upsert_key_algebra(spark):
+    """Row-count algebra: |result| = |snapshot| - |deletes| + |inserts|;
+    deleted keys absent, inserted keys present, updated rows changed."""
+    orders = tables(spark, SF)["orders"]
+    n = orders.count()
+    n_del = orders.where("o_orderkey % 100 = 7").count()
+    n_ins = orders.where("o_orderkey % 100 = 42").count()
+    merged = x_merge_upsert(spark, SF)
+    assert merged.count() == n - n_del + n_ins
+    assert merged.where("o_orderkey % 100 = 7 AND o_orderkey < 100000000").count() == 0
+    assert merged.where("o_orderstatus = 'N'").count() == n_ins
+    upd = merged.where("o_orderstatus = 'U'")
+    assert upd.count() == orders.where("o_orderkey % 100 IN (11, 23)").count()
+    # updates added exactly 100.00 to each touched price
+    joined = upd.alias("m").join(
+        orders.alias("o"), F.col("m.o_orderkey") == F.col("o.o_orderkey")
+    )
+    bad = joined.where(
+        F.abs(F.col("m.o_totalprice") - F.col("o.o_totalprice") - 100.0) > 1e-6
+    )
+    assert bad.count() == 0
+
+
+def test_merge_upsert_is_idempotent_on_keys(spark):
+    """Merged table keeps o_orderkey unique (MERGE is keyed, not append)."""
+    merged = x_merge_upsert(spark, SF)
+    assert merged.count() == merged.select("o_orderkey").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame
+# ---------------------------------------------------------------------------
+
+def test_range_frame_matches_self_join(spark):
+    """Trailing 30-day window ≡ the quadratic self-join definition
+    (blocked per customer) — checked exhaustively at smoke scale."""
+    got = {
+        r.o_orderkey: (r.trailing_cnt, round(r.trailing_sum, 4))
+        for r in x_range_frame_trailing(spark, SF).collect()
+    }
+    o = tables(spark, SF)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    want_df = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.d") <= F.col("a.d"))
+            & (F.col("b.d") >= F.col("a.d") - 30),
+        )
+        .groupBy(F.col("a.o_orderkey").alias("k"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("b.o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+    )
+    want = {r.k: (r.cnt, round(r.s, 4)) for r in want_df.collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Salted join
+# ---------------------------------------------------------------------------
+
+def test_salted_join_multiplicity_on_skew(spark):
+    """On a deliberately skewed fact (90% of rows share one key) the
+    salted join returns the exact multiset of the plain join, for inner
+    and for left (including unmatched fact rows)."""
+    fact = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 2000, 2).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("attr")
+    )
+    for how in ("inner", "left"):
+        plain = fact.join(dim, "k", how).groupBy("k").count()
+        salted = salted_join(fact, dim, on="k", salt_buckets=5, how=how).groupBy("k").count()
+        p = {r.k: r["count"] for r in plain.collect()}
+        s = {r.k: r["count"] for r in salted.collect()}
+        assert p == s, how
+
+
+# ---------------------------------------------------------------------------
+# Bloom prune
+# ---------------------------------------------------------------------------
+
+def test_bloom_prune_no_false_negatives_and_bounded_fp(spark):
+    keys = spark.range(0, 5000, 7).select(F.col("id").alias("k"))
+    probe = spark.range(20000).select((F.col("id") % 5000).alias("pk"), "id")
+    pruned = bloom_prune(probe, "pk", keys)
+    # every true match survives
+    true_matches = probe.join(
+        keys.withColumnRenamed("k", "pk"), "pk", "left_semi"
+    ).count()
+    surviving_true = pruned.join(
+        keys.withColumnRenamed("k", "pk"), "pk", "left_semi"
+    ).count()
+    assert surviving_true == true_matches
+    # false positives exist only below a sane bound (m=2^20, n=715, k=3
+    # → FP ≈ 1e-8; allow slack of 1% of the probe)
+    assert pruned.count() <= true_matches + probe.count() // 100
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_conserves_mass_and_ranks_hub_first(spark):
+    """Star graph (hub 0 ↔ spokes 1..10, symmetric): the hub must rank
+    first, spokes tie; total mass stays within the truncation budget of
+    ONE _SCALE unit per node per iteration."""
+    spokes = list(range(1, 11))
+    edges = spark.createDataFrame(
+        [(0, s) for s in spokes] + [(s, 0) for s in spokes], "src long, dst long"
+    )
+    ranked = pagerank_scaled(edges, iters=5).collect()
+    ranks = {r.node: r["rank"] for r in ranked}
+    assert max(ranks, key=ranks.get) == 0
+    assert len({ranks[s] for s in spokes}) == 1  # symmetric spokes tie exactly
+    total = sum(ranks.values())
+    n = len(ranks)
+    assert total <= _SCALE
+    # each node loses < 1 unit to each of: init floor, contrib floor, damp floor
+    assert total >= _SCALE - 3 * n * 6
+
+
+def test_pagerank_query_shape(spark):
+    df = x_pagerank(spark, SF)
+    rows = df.collect()
+    assert 0 < len(rows) <= 25
+    scores = [r.rank_scaled for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(abs(r.rank_score - r.rank_scaled / _SCALE) < 1e-15 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Z-order
+# ---------------------------------------------------------------------------
+
+def test_zorder_key_is_a_morton_interleave(spark):
+    """Python-replica check of the bit interleave, plus the locality
+    property data skipping relies on: sorting by zval bounds BOTH
+    dimensions' spread inside each equal-size chunk far tighter than a
+    1-D sort bounds its secondary dimension."""
+    from recommender_systems_pyspark_spark.functions.warehouse import x_zorder_key
+
+    rows = x_zorder_key(spark, SF).collect()
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows[:200]:
+        assert r.zval == morton(r.o_custkey & 0xFFFF, r.order_day & 0xFFFF)
+
+    by_z = sorted(rows, key=lambda r: r.zval)
+    by_cust = sorted(rows, key=lambda r: r.o_custkey)
+    chunk = max(1, len(rows) // 16)
+
+    def day_spread(ordering):
+        spreads = []
+        for i in range(0, len(ordering), chunk):
+            c = ordering[i : i + chunk]
+            spreads.append(max(x.order_day for x in c) - min(x.order_day for x in c))
+        return sum(spreads) / len(spreads)
+
+    # z-order chunks must localize order_day; a pure customer sort cannot
+    assert day_spread(by_z) < day_spread(by_cust)
