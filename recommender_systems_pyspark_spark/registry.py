@@ -99,6 +99,7 @@ _QUERY_MODULES = (
     # local verify gate still hash-checks them every run).
     "recommender_systems_pyspark_spark.functions.warehouse",
     "recommender_systems_pyspark_spark.functions.pagerank",
+    "recommender_systems_pyspark_spark.functions.search",
 )
 
 #: Round-4 grading window (the driver grades the FIRST 50 entries of

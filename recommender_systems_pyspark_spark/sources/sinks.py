@@ -38,6 +38,40 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+#: Interchange formats the engine writes/reads natively. Parquet is the
+#: store (columnar, predicate/column pushdown, min/max pruning); ORC is
+#: the columnar alternative with the same pushdown machinery; csv/json
+#: are row-oriented EXPORT formats — no pushdown, schema on read — kept
+#: for boundary interchange like the reference's TSV ingest (S1).
+INTERCHANGE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def export_table(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """Write ``df`` in any interchange format. csv keeps a header so the
+    file round-trips through read_interchange without positional guessing."""
+    if fmt not in INTERCHANGE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.save(path)
+
+
+def read_interchange(spark: SparkSession, path: str, fmt: str, schema: StructType | None = None) -> DataFrame:
+    """Read any interchange format back. Self-describing formats
+    (parquet/ORC) carry their schema; json/csv take the writer's schema
+    explicitly — inference is a full extra pass and type-lossy (the same
+    reason S1 reads TSV schema-enforced, utils/data_loader.py:122-128)."""
+    if fmt not in INTERCHANGE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", True)
+    return r.load(path)
+
+
 def create_empty_table(spark: SparkSession, path: str, schema: StructType) -> None:
     """S7: DDL-typed creation from an empty DataFrame
     (utils/user.py:74-99's createTableColumnTypes, parquet-native: the

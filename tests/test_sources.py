@@ -246,3 +246,41 @@ def test_jsonl_quarantine_splits_clean_from_malformed(spark, tmp_path):
     clean, quar = read_jsonl(spark, str(p), schema)
     assert sorted((r.id, r.name) for r in clean.collect()) == [(1, "alice"), (3, "carol")]
     assert [r.raw_line for r in quar.collect()] == ["not json at all"]
+
+
+def test_interchange_formats_roundtrip(spark, tmp_path):
+    """export_table/read_interchange round-trip every supported format.
+    parquet/ORC are self-describing; json/csv re-read with the writer's
+    schema (csv cannot carry nested types, so the sample stays flat)."""
+    from pyspark.sql import functions as F
+
+    from recommender_systems_pyspark_spark.sources.sinks import (
+        INTERCHANGE_FORMATS,
+        export_table,
+        read_interchange,
+    )
+
+    df = (
+        spark.range(100)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("grp"),
+            (F.col("id") * 1.5).alias("val"),
+            F.concat(F.lit("row-"), F.col("id")).alias("name"),
+        )
+    )
+    expected = {(r.id, r.grp, r.val, r.name) for r in df.collect()}
+    for fmt in INTERCHANGE_FORMATS:
+        path = str(tmp_path / f"t_{fmt}")
+        export_table(df, path, fmt)
+        back = read_interchange(spark, path, fmt, schema=df.schema)
+        # nullability is a reader property (files come back nullable);
+        # names and types must survive exactly
+        assert [(f.name, f.dataType) for f in back.schema] == [
+            (f.name, f.dataType) for f in df.schema
+        ], fmt
+        assert {tuple(r) for r in back.collect()} == expected, fmt
+    import pytest
+
+    with pytest.raises(ValueError):
+        export_table(df, str(tmp_path / "nope"), "avro")

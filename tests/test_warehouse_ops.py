@@ -248,3 +248,51 @@ def test_zorder_key_is_a_morton_interleave(spark):
 
     # z-order chunks must localize order_day; a pure customer sort cannot
     assert day_spread(by_z) < day_spread(by_cust)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+def test_bm25_matches_python_replica(spark):
+    """Exact python replay of the BM25 scoring (rational idf, k1/b
+    saturation, decimal-quantized term sums) over the smoke corpus."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from recommender_systems_pyspark_spark.functions.search import (
+        _B,
+        _K1,
+        _QUERY_TERMS,
+        _TOP_K,
+        x_bm25_topk,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in tables(spark, SF)["documents"].collect()
+    }
+    n_docs = len(docs)
+    avgdl = float(sum(len(t) for t in docs.values())) / n_docs
+    tf: dict[tuple[int, str], int] = {}
+    for d, toks in docs.items():
+        for t in toks:
+            if t in _QUERY_TERMS:
+                tf[(d, t)] = tf.get((d, t), 0) + 1
+    df: dict[str, int] = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    scores: dict[int, Decimal] = {}
+    matched: dict[int, int] = {}
+    for (d, t), f in tf.items():
+        idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+        s = idf * (f * (_K1 + 1)) / (f + _K1 * ((1 - _B) + _B * len(docs[d]) / avgdl))
+        # replicate Spark's double→decimal cast (exact binary value, not repr)
+        q = Decimal(s).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        scores[d] = scores.get(d, Decimal(0)) + q
+        matched[d] = matched.get(d, 0) + 1
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOP_K]
+    got = x_bm25_topk(spark, SF).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r in got:
+        assert r.n_terms_matched == matched[r.doc_id]
+        assert abs(r.score - float(scores[r.doc_id])) < 1e-12
