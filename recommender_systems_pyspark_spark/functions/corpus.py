@@ -528,6 +528,14 @@ def x_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("repetitive", F.lit(False)).alias("repetitive"),
         )
     )
+    # flags feeds BOTH the filter funnel and the final per-doc verdict
+    # join; s1x likewise appears twice. Pinning them (lazy localCheckpoint,
+    # same discipline as graph.connected_components) makes each a single
+    # materialized relation instead of a re-planned subtree — without it
+    # the composed plan re-scans documents ~21× (measured via
+    # tools/plan_audit.py). At 100 TB these are the narrow per-doc
+    # relations a production funnel would persist between stages.
+    flags = flags.localCheckpoint(eager=False)
     s1 = flags.where(
         F.col("gopher_keep") & F.col("logit_keep") & ~F.col("repetitive")
     )
@@ -538,7 +546,7 @@ def x_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exk, "h")
         .withColumn("exact_keep", F.col("doc_id") == F.col("keep_id"))
         .drop("h", "keep_id")
-    )
+    ).localCheckpoint(eager=False)
     s2 = s1x.where("exact_keep").select("doc_id", "text", "n_chars")
     pairs = lsh_pairs(s2.select("doc_id", "text")).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

@@ -318,21 +318,24 @@ def bloom_prune(probe: DataFrame, probe_key: str, build_keys: DataFrame) -> Data
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
+    # The bitmap subtree must stay BYTE-IDENTICAL across the k probes —
+    # per-probe column renames would make each copy a distinct plan and
+    # defeat Exchange/Broadcast reuse, re-aggregating the bitmap k+1
+    # times. With identical subtrees Spark plans ONE build and k
+    # ReusedExchange references.
     out = probe
     for i, pos in enumerate(_bloom_positions(F.col(probe_key))):
-        w, m, p = f"__bw{i}", f"__bm{i}", f"__bp{i}"
+        p, m = f"__bp{i}", f"__bm{i}"
         out = (
             out.withColumn(p, pos)
-            .withColumn(w, (F.col(p) / 32).cast("long"))
             .withColumn(m, mask_of(p))
-            .drop(p)
             .join(
-                F.broadcast(bitmap.withColumnRenamed("word", w).withColumnRenamed("bits", f"__bb{i}")),
-                w,
+                F.broadcast(bitmap),
+                (F.col(p) / 32).cast("long") == F.col("word"),
                 "left",
             )
-            .where(F.expr(f"(coalesce(__bb{i}, cast(0 as bigint)) & {m}) = {m}"))
-            .drop(w, m, f"__bb{i}")
+            .where(F.expr(f"(coalesce(bits, cast(0 as bigint)) & {m}) = {m}"))
+            .drop(p, m, "word", "bits")
         )
     return out
 

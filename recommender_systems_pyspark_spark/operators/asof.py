@@ -151,3 +151,78 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         exact_sum(F.col("o_totalprice"), "band_revenue"),
     )
+
+
+@query(
+    "j8_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS next_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def j8_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every purchase, the EARLIEST click by the
+    same user at-or-after the purchase (the follow-up-action lookup; NULL
+    when none). Same union → one shuffle → running-window plan as j6,
+    with the scan order reversed — certified against DuckDB's forward
+    ``ASOF LEFT JOIN … <=``."""
+    ev = tables(spark, sf_dir)["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_col="ts",
+        direction="forward",
+    ).withColumnRenamed("asof_ts", "next_click_ts")
+
+
+@query(
+    "j9_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL '1 hour'
+                THEN c.ts END AS recent_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j9_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 1-hour tolerance (pandas
+    ``merge_asof(tolerance=...)`` semantics): the latest prior click
+    counts only when it happened within the hour before the purchase —
+    stale matches become NULL instead of attributing week-old clicks.
+    The tolerance is a post-filter on the as-of value, so the plan is
+    identical to j6's single-shuffle running window."""
+    ev = tables(spark, sf_dir)["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    matched = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_col="ts",
+    )
+    # TIMESTAMP_NTZ has no BIGINT cast; timestamp subtraction yields a
+    # day-time interval directly comparable to an interval literal
+    within = F.col("asof_ts").isNotNull() & F.expr(
+        "ts - asof_ts <= INTERVAL '1' HOUR"
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("asof_ts")).alias("recent_click_ts"),
+    )

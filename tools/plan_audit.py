@@ -1,0 +1,136 @@
+"""Physical-plan audit: renders the formatted Spark plan for a set of
+queries plus the scale indicators that matter at 100 TB — shuffle
+(Exchange) count, broadcast joins, whole-stage-codegen coverage, and
+whether filters/projections reached the parquet scan.
+
+Usage:
+    PYTHONPATH=. python tools/plan_audit.py [sf_dir] [query ...] > PLANS.md
+
+With no query names: audits the bench headliners plus the scale-critical
+extension pipelines. This is evidence generation, not a gate — the hard
+assertions live in tests/test_scale_plans.py (AQE skew split, bucketed
+Exchange elimination, pushdown reaching the scan, no-cartesian and
+no-unpartitioned-window invariants over every registered query).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+DEFAULT_QUERIES = [
+    # bench headliners
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "flagship_top_orders",
+    "d1_month_rollup",
+    "j1_inner_join_agg",
+    "t1_topk_orders",
+    "a1_a4_global_aggs",
+    "x_dedup_exact",
+    "x_line_dedup",
+    "a10_stat_moments",
+    "x_knn_cosine_topk",
+    # scale-critical extension pipelines
+    "x_dedup_minhash_lsh",
+    "x_corpus_e2e",
+    "x_pagerank",
+    "x_bloom_semi_prune",
+    "x_global_rank",
+    "x_rfm_segments",
+    "j6_asof_join",
+    "x_interval_overlap",
+    "x_bm25_topk",
+]
+
+
+def formatted_plan(df, execute: bool = True) -> str:
+    """Simple-mode plan of the EXECUTED query: AQE's final plan is what
+    actually ran — runtime exchange/broadcast reuse and skew splits only
+    appear there (the initial static plan duplicates shared subtrees
+    that AQE later collapses into ReusedExchange). Simple mode keeps
+    operator arguments inline, so the indicators parse one section."""
+    if execute:
+        # collect() (not count()) — count() plans a DIFFERENT query, so
+        # the df's own AQE final plan would never materialize
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    # keep only the final plan; the trailing "Initial Plan" section would
+    # double-count every indicator
+    return plan.split("== Initial Plan ==")[0]
+
+
+def indicators(plan: str) -> dict[str, object]:
+    # simple-mode spellings: "Exchange hashpartitioning(...)",
+    # "FileScan parquet [...] PushedFilters: [...]", "*(N)" codegen ids
+    scans = len(re.findall(r"FileScan parquet", plan))
+    pushed = len(
+        [m for m in re.findall(r"PushedFilters: \[([^\],.]+)", plan) if m.strip()]
+    )
+    return {
+        "shuffles": len(
+            re.findall(
+                r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning)",
+                plan,
+            )
+        ),
+        "single_partition_exchanges": len(re.findall(r"Exchange SinglePartition", plan)),
+        "broadcasts": len(re.findall(r"\bBroadcastExchange\b", plan)),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "parquet_scans": scans,
+        "scans_with_pushed_filters": pushed,
+        "sorts": len(re.findall(r"\bSort \[", plan)),
+        "cartesian": len(re.findall(r"CartesianProduct", plan)),
+        "reused_exchanges": len(re.findall(r"\bReusedExchange\b", plan)),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    specs = all_queries()
+    print(f"# Physical-plan audit ({sf_dir}, shuffle.partitions="
+          f"{spark.conf.get('spark.sql.shuffle.partitions')})\n")
+    print("Indicators per query (AQE re-plans at runtime; these are the "
+          "static plans Catalyst commits to):\n")
+    print("| query | shuffles | 1-part exch. | broadcasts | reused exch. "
+          "| codegen spans | scans | scans w/ pushdown | sorts | cartesian |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
+    details: list[tuple[str, str]] = []
+    for name in names:
+        spec = specs.get(name)
+        if spec is None:
+            print(f"| {name} | (unknown query) | | | | | | | | |")
+            continue
+        try:
+            plan = formatted_plan(spec.fn(spark, sf_dir))
+        except Exception as exc:  # pragma: no cover - audit robustness
+            print(f"| {name} | ERROR: {type(exc).__name__} | | | | | | | | |")
+            continue
+        ind = indicators(plan)
+        print(
+            f"| {name} | {ind['shuffles']} | {ind['single_partition_exchanges']} "
+            f"| {ind['broadcasts']} | {ind['reused_exchanges']} | {ind['codegen_spans']} "
+            f"| {ind['parquet_scans']} | {ind['scans_with_pushed_filters']} "
+            f"| {ind['sorts']} | {ind['cartesian']} |"
+        )
+        details.append((name, plan))
+    print("\n---\n")
+    for name, plan in details:
+        print(f"## {name}\n\n```\n{plan}\n```\n")
+
+
+if __name__ == "__main__":
+    main()
