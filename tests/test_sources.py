@@ -284,3 +284,46 @@ def test_interchange_formats_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError):
         export_table(df, str(tmp_path / "nope"), "avro")
+
+
+def test_versioned_snapshot_time_travel(spark, tmp_path):
+    """write → publish → time travel → crash-orphan invisibility → vacuum."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from recommender_systems_pyspark_spark.sources import versioned as V
+
+    path = str(tmp_path / "dim")
+    assert V.published_version(path) is None
+    with pytest.raises(FileNotFoundError):
+        V.read_snapshot(spark, path)
+
+    for n in (10, 20, 30):
+        df = spark.range(n).select("id", F.lit(n).alias("gen"))
+        V.write_snapshot(df, path)
+    assert V.list_versions(path) == [1, 2, 3]
+    assert V.published_version(path) == 3
+    assert V.read_snapshot(spark, path).count() == 30          # latest
+    assert V.read_snapshot(spark, path, version=1).count() == 10  # time travel
+
+    # simulate a writer that crashed after landing data, before publish:
+    # readers must not see v=4
+    spark.range(5).write.parquet(os.path.join(path, "v=4"))
+    assert V.published_version(path) == 3
+    assert V.list_versions(path) == [1, 2, 3]
+    with pytest.raises(FileNotFoundError):
+        V.read_snapshot(spark, path, version=4)
+    # the next successful write claims v=5 and publishes it
+    v = V.write_snapshot(spark.range(50).select("id", F.lit(50).alias("gen")), path)
+    assert v == 5
+    assert V.read_snapshot(spark, path).count() == 50
+
+    # vacuum keeps the last 2 published, sweeps old + the orphan
+    removed = V.vacuum(path, keep_last=2)
+    assert sorted(removed) == [1, 2, 4]
+    assert V.list_versions(path) == [3, 5]
+    assert V.read_snapshot(spark, path, version=3).count() == 30
+    with pytest.raises(FileNotFoundError):
+        V.read_snapshot(spark, path, version=1)
