@@ -429,3 +429,129 @@ def x_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "x_funnel_steps",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER w AS views_before,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER w AS clicks_before
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN event_type = 'click' AND views_before > 0
+                      THEN 1 ELSE 0 END) AS s2,
+             MAX(CASE WHEN event_type = 'purchase' AND clicks_before > 0
+                       AND views_before > 0
+                      THEN 1 ELSE 0 END) AS s3
+      FROM flagged GROUP BY user_id
+    )
+    SELECT CAST(SUM(s1) AS BIGINT) AS users_viewed,
+           CAST(SUM(s2) AS BIGINT) AS users_clicked_after_view,
+           CAST(SUM(s3) AS BIGINT) AS users_purchased_after_click
+    FROM per_user
+    """,
+)
+def x_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step conversion funnel (view → later click → later
+    purchase, strict event-time order with event_id tiebreak): users
+    reaching each step. The step-2/3 conditions use running PRECEDING
+    counts, so the whole funnel is ONE user-keyed window pass + one
+    per-user aggregate — never a join per step (the naive 3-way
+    self-join shuffles the events table once per funnel stage).
+
+    Approximation note (shared with the oracle, so hash-exact): step 3
+    requires a prior click and a prior view, not a prior
+    click-that-itself-followed-a-view — the strict-path variant needs
+    one more running flag, same plan shape."""
+    ev = tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_ = lambda t: F.when(F.col("event_type") == t, 1).otherwise(0)  # noqa: E731
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(is_("view")).over(w).alias("views_before"),
+        F.sum(is_("click")).over(w).alias("clicks_before"),
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.max(is_("view")).alias("s1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("views_before") > 0), 1
+            ).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("clicks_before") > 0)
+                & (F.col("views_before") > 0),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    return per_user.agg(
+        F.sum("s1").cast("long").alias("users_viewed"),
+        F.sum("s2").cast("long").alias("users_clicked_after_view"),
+        F.sum("s3").cast("long").alias("users_purchased_after_click"),
+    )
+
+
+@query(
+    "x_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type) AS p
+    FROM c
+    ORDER BY prev_type, next_type
+    """,
+)
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: counts and
+    row-normalized probabilities over consecutive event pairs per user
+    (ts order, event_id tiebreak). One user-keyed window for the lag,
+    one bounded-key aggregate (|types|² rows), one tiny partitioned
+    window for the normalizer — the per-prev_type SUM is over ≤|types|
+    rows, never the event stream. The probability is a single double
+    division of exact counts, so it is bit-identical cross-engine."""
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return (
+        c.select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

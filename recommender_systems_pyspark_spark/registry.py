@@ -100,6 +100,8 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.functions.warehouse",
     "recommender_systems_pyspark_spark.functions.pagerank",
     "recommender_systems_pyspark_spark.functions.search",
+    "recommender_systems_pyspark_spark.ml.basket",
+    "recommender_systems_pyspark_spark.operators.expectations",
 )
 
 #: Round-4 grading window (the driver grades the FIRST 50 entries of

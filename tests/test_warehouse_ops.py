@@ -296,3 +296,65 @@ def test_bm25_matches_python_replica(spark):
     for r in got:
         assert r.n_terms_matched == matched[r.doc_id]
         assert abs(r.score - float(scores[r.doc_id])) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Basket mining / expectations / funnel / transitions
+# ---------------------------------------------------------------------------
+
+def test_fpgrowth_pairs_bounded_by_singles(spark):
+    """Anti-monotonicity: every frequent pair's support <= the support of
+    each of its items (Apriori property), and all supports >= minCount."""
+    import math
+
+    from recommender_systems_pyspark_spark.ml.basket import (
+        _MIN_SUPPORT,
+        x_fpgrowth_itemsets,
+    )
+
+    rows = x_fpgrowth_itemsets(spark, SF).collect()
+    assert rows
+    li = tables(spark, SF)["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n_txn = li.select("l_orderkey").distinct().count()
+    min_count = math.ceil(_MIN_SUPPORT * n_txn)
+    singles = {r.itemset: r.freq for r in rows if r.k == 1}
+    for r in rows:
+        assert r.freq >= min_count
+        if r.k == 2:
+            a, b = r.itemset.split(",")
+            assert r.freq <= singles.get(a, 0) and r.freq <= singles.get(b, 0)
+
+
+def test_expectations_pass_on_clean_fixture(spark):
+    from recommender_systems_pyspark_spark.operators.expectations import (
+        x_expectations_orders,
+    )
+
+    rows = {r.constraint_name: r for r in x_expectations_orders(spark, SF).collect()}
+    assert len(rows) == 6
+    for name, r in rows.items():
+        assert r.passed and r.violations == 0, name
+
+
+def test_funnel_steps_are_monotone(spark):
+    from recommender_systems_pyspark_spark.functions.events_analytics import (
+        x_funnel_steps,
+    )
+
+    [r] = x_funnel_steps(spark, SF).collect()
+    assert r.users_viewed >= r.users_clicked_after_view >= r.users_purchased_after_click
+    assert r.users_viewed > 0
+
+
+def test_event_transitions_rows_normalize(spark):
+    from recommender_systems_pyspark_spark.functions.events_analytics import (
+        x_event_transitions,
+    )
+
+    rows = x_event_transitions(spark, SF).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert 0 < r.p <= 1
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-9, prev
