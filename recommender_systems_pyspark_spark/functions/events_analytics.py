@@ -555,3 +555,99 @@ def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "x_session_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ), r AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ), p AS (
+      SELECT user_id, sid,
+             string_agg(event_type, ',' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id, sid
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def x_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session opening paths: sessionize per user (30-minute
+    inactivity gap, same islands rule the s3 oracle certifies), take each
+    session's first three event types in (ts, event_id) order, count
+    path frequencies. The ordered-list aggregation uses the
+    sort-struct-then-project idiom (``array_sort`` on (rn, type) structs)
+    because ``collect_list`` has no ordering contract — engine-portable
+    and shuffle-count-identical to an ordered string_agg.
+
+    Scale: two user-keyed windows share one partitioning; the path agg
+    keys on (user, session) — uniform; the final count keys on the path
+    string (≤ |types|³ distinct values)."""
+    ev = tables(spark, sf_dir)["events"]
+    w_scan = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w_scan)
+    e = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            lag_ts.isNull()
+            | ((F.col("ts") - lag_ts) > F.expr("INTERVAL '30' MINUTE")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    s = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("brk")
+        .over(w_scan.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    r = s.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id", "sid").orderBy("ts", "event_id"))
+        .alias("rn"),
+    ).where(F.col("rn") <= 3)
+    p = (
+        r.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ",",
+            ).alias("path")
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

@@ -358,3 +358,19 @@ def test_event_transitions_rows_normalize(spark):
         by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
     for prev, total in by_prev.items():
         assert abs(total - 1.0) < 1e-9, prev
+
+
+def test_session_paths_shapes(spark):
+    from recommender_systems_pyspark_spark.functions.events_analytics import (
+        x_session_paths,
+    )
+
+    rows = x_session_paths(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    types = {"view", "click", "purchase", "signup", "error"}
+    for r in rows:
+        parts = r.path.split(",")
+        assert 1 <= len(parts) <= 3
+        assert set(parts) <= types
