@@ -145,3 +145,32 @@ def g3_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
     )
+
+
+@query(
+    "g5_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS value FROM lineitem
+    UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           l_extendedprice FROM lineitem
+    UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+           l_discount FROM lineitem
+    UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+           l_tax FROM lineitem
+    """,
+)
+def g5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of g3's pivot: lineitem's four measure
+    columns become (metric, value) rows keyed by (order, line). Spark's
+    native ``unpivot`` is a map-only Expand (each input row emits 4
+    output rows in place — no shuffle, no join); the oracle states the
+    same relation as the textbook 4-way UNION ALL. At scale prefer this
+    operator over the union form: one scan instead of four."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )

@@ -421,3 +421,64 @@ def a17_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.min_v").alias("min_v"),
         F.col("p.max_v").alias("max_v"),
     ).orderBy("col")
+
+
+@query(
+    "a18_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(d.med) AS med,
+           MIN(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def a18_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier profile: median + MAD (median absolute
+    deviation) per event_type, and the count of values beyond the
+    3σ-equivalent robust gate (1.4826·MAD ≈ σ under normality). Unlike
+    mean/stddev (a10), a single corrupt value cannot drag the gate.
+
+    Exact interpolated medians (same ``percentile``/``quantile_cont``
+    parity a8 certifies); two grouped aggregates over the bounded
+    event_type key plus one broadcast-size join back — the per-group
+    sorted-collect state is the a8 caveat: at very large groups switch
+    the medians to ``percentile_approx`` and the oracle to a tolerance
+    gate."""
+    ev = tables(spark, sf_dir)["events"]
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
