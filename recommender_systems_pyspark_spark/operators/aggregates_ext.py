@@ -168,3 +168,26 @@ def a9_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ap_med").between(F.col("lo_med"), F.col("hi_med")).alias("approx_med_ok"),
         F.col("ap_p99").between(F.col("lo_p99"), F.col("hi_p99")).alias("approx_p99_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (Apache DataSketches HLL, built in
+# since Spark 3.5: hll_sketch_agg / hll_union_agg / hll_sketch_estimate)
+# ---------------------------------------------------------------------------
+
+def distinct_sketch(df: DataFrame, col: str, group_col: str | None = None) -> DataFrame:
+    """Per-group (or global) HLL sketch of ``col`` as a binary column —
+    the MERGEABLE form of approx_count_distinct. At 100 TB this is what
+    incremental pipelines store: per-shard/per-day sketches union in
+    O(sketch) instead of rescanning history (a2's approx_count_distinct
+    answers once; a sketch column answers forever)."""
+    agg = F.expr(f"hll_sketch_agg({col})").alias("sketch")
+    return df.groupBy(group_col).agg(agg) if group_col else df.agg(agg)
+
+
+def merge_distinct_sketches(sketches: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Union previously-stored sketches (e.g. one per shard/day) and
+    estimate: ``hll_union_agg`` then ``hll_sketch_estimate`` — the
+    read-side of :func:`distinct_sketch`."""
+    agg = F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("estimate")
+    return sketches.groupBy(group_col).agg(agg) if group_col else sketches.agg(agg)

@@ -108,3 +108,42 @@ def test_winnow_guarantee_on_random_strings(prefix, passage, suffix):
     a = _py_winnow(prefix + passage)
     b = _py_winnow(passage + suffix)
     assert set(a) & set(b)
+
+
+# ---------------------------------------------------------------------------
+# Distributed two-phase rank ≡ single-partition window rank (hypothesis)
+# ---------------------------------------------------------------------------
+
+@given(
+    vals=st.lists(st.integers(0, 5), min_size=1, max_size=60),
+    n_parts=st.integers(1, 7),
+    n_tiles=st.integers(1, 6),
+)
+@_SPARK_SETTINGS
+def test_global_rank_and_ntile_property(spark, vals, n_parts, n_tiles):
+    """with_global_row_number / with_global_ntile must equal the
+    single-partition window forms on arbitrary duplicate-heavy data and
+    arbitrary partition counts — the equivalence that justifies banning
+    unpartitioned windows engine-wide (plans.guardrails)."""
+    from pyspark.sql import Window
+
+    from recommender_systems_pyspark_spark.operators.ranking import (
+        with_global_ntile,
+        with_global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(n_parts)
+    order = [F.col("v").desc(), F.col("id")]
+    got_rn, total = with_global_row_number(df, order, alias="rn", n_parts=n_parts)
+    assert total == len(vals)
+    want_rn = df.select("id", F.row_number().over(Window.orderBy(*order)).alias("rn"))
+    assert {(r.id, r.rn) for r in got_rn.select("id", "rn").collect()} == {
+        (r.id, r.rn) for r in want_rn.collect()
+    }
+    got_t = with_global_ntile(df, n_tiles, order, "t", n_parts=n_parts)
+    want_t = df.select("id", F.ntile(n_tiles).over(Window.orderBy(*order)).alias("t"))
+    assert {(r.id, r.t) for r in got_t.select("id", "t").collect()} == {
+        (r.id, r.t) for r in want_t.collect()
+    }

@@ -374,3 +374,32 @@ def test_session_paths_shapes(spark):
         parts = r.path.split(",")
         assert 1 <= len(parts) <= 3
         assert set(parts) <= types
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch mergeability
+# ---------------------------------------------------------------------------
+
+def test_hll_sketches_merge_across_shards(spark):
+    """The sketch union over per-shard sketches must estimate the SAME
+    cardinality as one sketch over the concatenated data (mergeability —
+    what lets incremental pipelines avoid rescans), and land within HLL
+    error of the exact count."""
+    from recommender_systems_pyspark_spark.operators.aggregates_ext import (
+        distinct_sketch,
+        merge_distinct_sketches,
+    )
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 4).alias("shard"), (F.col("id") % 13_177).alias("v")
+    )
+    per_shard = distinct_sketch(df, "v", "shard")
+    [merged] = merge_distinct_sketches(per_shard).collect()
+    [direct] = (
+        distinct_sketch(df, "v")
+        .select(F.expr("hll_sketch_estimate(sketch)").alias("estimate"))
+        .collect()
+    )
+    exact = 13_177
+    assert abs(merged.estimate - exact) / exact < 0.05
+    assert abs(direct.estimate - exact) / exact < 0.05
