@@ -53,6 +53,12 @@ def pagerank_scaled(edges: DataFrame, iters: int = _ITERS) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     deg = deg.localCheckpoint(eager=False)
     n = deg.count()  # ONE driver scalar — the only collect in the loop
+    if n == 0:  # empty graph: no nodes, no ranks (not a division by zero)
+        return deg.select(
+            F.col("src").alias("node"),
+            F.lit(0).cast("long").alias("rank"),
+            "outdeg",
+        )
     init = _SCALE // n
     teleport = _DAMP_DEN - _DAMP_NUM  # 15 = (1-d)·100
     ranks = deg.select(F.col("src").alias("node"), F.lit(init).cast("long").alias("rank"))

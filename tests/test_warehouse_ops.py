@@ -403,3 +403,18 @@ def test_hll_sketches_merge_across_shards(spark):
     exact = 13_177
     assert abs(merged.estimate - exact) / exact < 0.05
     assert abs(direct.estimate - exact) / exact < 0.05
+
+
+def test_new_ops_handle_empty_inputs(spark):
+    """Degenerate-input hardening: empty graphs/build-sides/streams must
+    produce empty (or full-pass) results, not crashes."""
+    from recommender_systems_pyspark_spark.functions.pagerank import pagerank_scaled
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_scaled(empty_edges, iters=2).count() == 0
+
+    # bloom prune with an EMPTY build side: no key can match — every
+    # probe row must be dropped (no-false-negative still holds trivially)
+    probe = spark.range(100).select(F.col("id").alias("pk"))
+    no_keys = spark.createDataFrame([], "k long")
+    assert bloom_prune(probe, "pk", no_keys).count() == 0

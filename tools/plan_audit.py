@@ -45,6 +45,19 @@ DEFAULT_QUERIES = [
     "j6_asof_join",
     "x_interval_overlap",
     "x_bm25_topk",
+    "x_scd2_history",
+    "x_merge_upsert",
+    "x_range_frame_trailing",
+    "x_salted_join_revenue",
+    "x_fpgrowth_itemsets",
+    "x_expectations_orders",
+    "x_funnel_steps",
+    "x_event_transitions",
+    "x_session_paths",
+    "a18_anomaly_mad",
+    "g5_unpivot",
+    "x_zorder_key",
+    "s7_stream_dedup",
 ]
 
 
