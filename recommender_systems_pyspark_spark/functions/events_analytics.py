@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.ranking import with_global_ntile
-from ..registry import query, sql_exact_sum, ts_ntz
+from ..registry import exact_sum, query, sql_exact_sum, ts_ntz
 from ..sources import tables
 
 
@@ -650,4 +650,53 @@ def x_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
+    )
+
+
+@query(
+    "x_ohlc_bars",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_start, value,
+             row_number() OVER w AS rn_open,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id)
+    )
+    SELECT event_type, bar_start,
+           MIN(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_exact_sum('value', 'volume')}
+    FROM r GROUP BY event_type, bar_start
+    ORDER BY event_type, bar_start
+    """,
+)
+def x_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type — the time-series resample: open
+    and close are the first/last value in event-time order (event_id
+    tiebreak), high/low/volume plain aggregates. Spark expresses
+    open/close with ``min_by``/``max_by`` over a (ts, event_id) struct
+    key — ONE hash aggregate, no window pass; the oracle states the same
+    relation with row_number windows. This is a11's arg-extrema
+    primitive composed into the OHLC shape; bar keys are
+    (type, hour) — bounded and uniform."""
+    ev = tables(spark, sf_dir)["events"]
+    bar = F.date_trunc("hour", F.col("ts")).alias("bar_start")
+    okey = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("event_type", bar)
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), "volume"),
+        )
+        .orderBy("event_type", "bar_start")
     )

@@ -121,3 +121,49 @@ def d3_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("d")
     )
+
+
+@query(
+    "x_incremental_rollup",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_exact_sum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY month, o_orderstatus
+    ORDER BY month, o_orderstatus
+    """,
+)
+def x_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the monthly revenue rollup computed
+    as BASE (orders before 1998-01-01, pre-aggregated — yesterday's
+    materialized view) MERGED with the DELTA (orders since — today's
+    arrivals), never rescanning history. The merge is a re-aggregation
+    of partials (counts add; DECIMAL partial sums add exactly before the
+    single final cast to DOUBLE), so the oracle is simply the FULL
+    recompute — incremental ≡ from-scratch is precisely the property a
+    production refresh must hold. Mirrors d2's mergeable-partials design
+    at the view-maintenance level; at 100 TB the base partials are read
+    from the materialized store, only the delta scans raw."""
+    orders = tables(spark, sf_dir)["orders"]
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("month")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(month, "o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_partial"),
+        )
+
+    base = partials(orders.where(F.col("o_orderdate") < cutoff))
+    delta = partials(orders.where(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("month", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_partial").cast("double").alias("revenue"),
+        )
+        .orderBy("month", "o_orderstatus")
+    )

@@ -418,3 +418,45 @@ def test_new_ops_handle_empty_inputs(spark):
     probe = spark.range(100).select(F.col("id").alias("pk"))
     no_keys = spark.createDataFrame([], "k long")
     assert bloom_prune(probe, "pk", no_keys).count() == 0
+
+
+def test_ohlc_bars_invariants(spark):
+    """low <= open,close <= high per bar; volumes positive; bar keys unique."""
+    from recommender_systems_pyspark_spark.functions.events_analytics import (
+        x_ohlc_bars,
+    )
+
+    rows = x_ohlc_bars(spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        key = (r.event_type, r.bar_start)
+        assert key not in seen
+        seen.add(key)
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_events >= 1
+
+
+def test_incremental_rollup_equals_direct(spark):
+    from recommender_systems_pyspark_spark.operators.rollup_tree import (
+        x_incremental_rollup,
+    )
+
+    got = {
+        (r.month, r.o_orderstatus): (r.n_orders, round(r.revenue, 4))
+        for r in x_incremental_rollup(spark, SF).collect()
+    }
+    o = tables(spark, SF)["orders"]
+    direct = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"), "o_orderstatus"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("rev"),
+        )
+        .collect()
+    )
+    want = {(r.month, r.o_orderstatus): (r.n, round(r.rev, 4)) for r in direct}
+    assert got == want
