@@ -700,3 +700,88 @@ def x_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_start")
     )
+
+
+@query(
+    "x_funnel_strict",
+    oracle="""
+    WITH f1 AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER w AS views_before
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), f2 AS (
+      SELECT user_id, event_type, views_before,
+             SUM(CASE WHEN event_type = 'click' AND views_before > 0
+                      THEN 1 ELSE 0 END) OVER w AS qclicks_before
+      FROM f1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN event_type = 'click' AND views_before > 0
+                      THEN 1 ELSE 0 END) AS s2,
+             MAX(CASE WHEN event_type = 'purchase' AND qclicks_before > 0
+                      THEN 1 ELSE 0 END) AS s3
+      FROM f2 GROUP BY user_id
+    )
+    SELECT CAST(SUM(s1) AS BIGINT) AS users_viewed,
+           CAST(SUM(s2) AS BIGINT) AS users_clicked_after_view,
+           CAST(SUM(s3) AS BIGINT) AS users_strict_funnel
+    FROM per_user
+    """,
+)
+def x_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-path funnel (closes x_funnel_steps' documented
+    approximation): step 3 requires a prior click that ITSELF followed a
+    view — the qualified-click running count is a second window over the
+    first window's output. Both windows share the user_id partitioning
+    and (ts, event_id) order, so Catalyst plans ONE Exchange + one sort
+    for the chain; still no per-step join."""
+    ev = tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_ = lambda t: F.when(F.col("event_type") == t, 1).otherwise(0)  # noqa: E731
+    f1 = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_("view")).over(w).alias("views_before"),
+    )
+    f2 = f1.select(
+        "user_id",
+        "event_type",
+        "views_before",
+        F.sum(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("views_before") > 0), 1
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("qclicks_before"),
+    )
+    per_user = f2.groupBy("user_id").agg(
+        F.max(is_("view")).alias("s1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("views_before") > 0), 1
+            ).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("qclicks_before") > 0), 1
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    return per_user.agg(
+        F.sum("s1").cast("long").alias("users_viewed"),
+        F.sum("s2").cast("long").alias("users_clicked_after_view"),
+        F.sum("s3").cast("long").alias("users_strict_funnel"),
+    )

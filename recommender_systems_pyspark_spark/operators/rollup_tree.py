@@ -14,7 +14,7 @@ by computing every level directly from the events table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query, sql_exact_sum
@@ -167,3 +167,49 @@ def x_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "o_orderstatus")
     )
+
+
+@query(
+    "x_mom_growth",
+    oracle=f"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {sql_exact_sum('o_totalprice', 'revenue')}
+      FROM orders GROUP BY month
+    )
+    SELECT month, n_orders, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY month) IS NOT NULL
+                THEN (revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month)
+           END AS mom_growth
+    FROM m
+    ORDER BY month
+    """,
+)
+def x_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the period-over-period BI shape:
+    monthly exact-decimal revenue, previous month via lag, growth as one
+    double division. The lag window runs over the ALREADY-AGGREGATED
+    month frame (≤ a few hundred rows at any corpus size — the bounded
+    global-window class VERDICT r3 explicitly cleared for q11/q15), so
+    the single-partition sort is over months, never raw orders."""
+    orders = tables(spark, sf_dir)["orders"]
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNotNull(), (F.col("revenue") - prev) / prev).alias("mom_growth"),
+    ).orderBy("month")

@@ -236,6 +236,7 @@ def test_no_unpartitioned_window_in_any_registered_query(spark):
         "tpch_q11_style",  # share-of-total over the per-partkey agg frame
         "tpch_q15_style",  # max over the per-supplier agg frame
         "x_embed_kmeans",  # centroid re-index over ≤k rows (vectors.py)
+        "x_mom_growth",  # lag over the aggregated month frame (≤ hundreds)
     }
     SKIP_EAGER = {
         "ml_als_top_recs",

@@ -460,3 +460,27 @@ def test_incremental_rollup_equals_direct(spark):
     )
     want = {(r.month, r.o_orderstatus): (r.n, round(r.rev, 4)) for r in direct}
     assert got == want
+
+
+def test_strict_funnel_bounded_by_loose(spark):
+    from recommender_systems_pyspark_spark.functions.events_analytics import (
+        x_funnel_steps,
+        x_funnel_strict,
+    )
+
+    [loose] = x_funnel_steps(spark, SF).collect()
+    [strict] = x_funnel_strict(spark, SF).collect()
+    assert strict.users_viewed == loose.users_viewed
+    assert strict.users_clicked_after_view == loose.users_clicked_after_view
+    # the strict path is a subset of the loose one
+    assert strict.users_strict_funnel <= loose.users_purchased_after_click
+
+
+def test_mom_growth_consistent(spark):
+    from recommender_systems_pyspark_spark.operators.rollup_tree import x_mom_growth
+
+    rows = x_mom_growth(spark, SF).collect()
+    assert rows[0].prev_revenue is None and rows[0].mom_growth is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.prev_revenue == prev.revenue
+        assert abs(cur.mom_growth - (cur.revenue - prev.revenue) / prev.revenue) < 1e-12
