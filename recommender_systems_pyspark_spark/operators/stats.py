@@ -482,3 +482,82 @@ def a18_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "a19_chi2_contingency",
+    oracle="""
+    WITH obs AS (
+      SELECT c_mktsegment AS segment, o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT SUM(observed) AS n FROM obs
+    ),
+    margins AS (
+      SELECT o.segment, o.status, o.observed,
+             SUM(o.observed) OVER (PARTITION BY o.segment) AS row_total,
+             SUM(o.observed) OVER (PARTITION BY o.status) AS col_total
+      FROM obs o
+    )
+    SELECT segment, status, observed,
+           CAST(row_total AS DOUBLE) * col_total / (SELECT n FROM tot)
+             AS expected,
+           CAST(CAST((observed - CAST(row_total AS DOUBLE) * col_total
+                        / (SELECT n FROM tot))
+                     * (observed - CAST(row_total AS DOUBLE) * col_total
+                        / (SELECT n FROM tot))
+                     / (CAST(row_total AS DOUBLE) * col_total
+                        / (SELECT n FROM tot))
+                AS DECIMAL(18,9)) AS DOUBLE) AS chi2_contrib
+    FROM margins
+    ORDER BY segment, status
+    """,
+)
+def a19_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence scaffold over the market-segment ×
+    order-status contingency table: observed counts, independence-model
+    expectations (row·col/n), and per-cell χ² contributions (quantized
+    to DECIMAL(18,9) so a downstream exact sum is order-independent —
+    the same discipline as exact_sum). The margins are windows over the
+    15-cell aggregate, not the fact table; the only fact-scale work is
+    one broadcast join + one grouped count."""
+    t = tables(spark, sf_dir)
+    obs = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count("*").alias("observed"))
+    )
+    from pyspark.sql import Window
+
+    row_t = F.sum("observed").over(Window.partitionBy("segment"))
+    col_t = F.sum("observed").over(Window.partitionBy("status"))
+    # grand total via a broadcast 1-row aggregate, NOT an unpartitioned
+    # window (the engine-wide invariant bans that shape; over a 15-cell
+    # frame it would be harmless, but the clean form costs nothing)
+    obs = obs.crossJoin(F.broadcast(obs.agg(F.sum("observed").alias("n"))))
+    expected = row_t.cast("double") * col_t / F.col("n")
+    contrib = (
+        ((F.col("observed") - expected) * (F.col("observed") - expected) / expected)
+        .cast("decimal(18,9)")
+        .cast("double")
+    )
+    return (
+        obs.select(
+            "segment",
+            "status",
+            "observed",
+            expected.alias("expected"),
+            contrib.alias("chi2_contrib"),
+        )
+        .orderBy("segment", "status")
+    )

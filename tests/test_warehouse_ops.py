@@ -484,3 +484,19 @@ def test_mom_growth_consistent(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur.prev_revenue == prev.revenue
         assert abs(cur.mom_growth - (cur.revenue - prev.revenue) / prev.revenue) < 1e-12
+
+
+def test_chi2_contingency_margins(spark):
+    """Observed totals and expected totals must both sum to n (the
+    algebraic identity of the independence model), and every
+    contribution must be non-negative."""
+    from recommender_systems_pyspark_spark.operators.stats import (
+        a19_chi2_contingency,
+    )
+
+    rows = a19_chi2_contingency(spark, SF).collect()
+    assert rows
+    n_obs = sum(r.observed for r in rows)
+    n_exp = sum(r.expected for r in rows)
+    assert abs(n_exp - n_obs) < 1e-6
+    assert all(r.chi2_contrib >= 0 for r in rows)
