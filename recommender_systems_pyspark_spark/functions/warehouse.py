@@ -438,3 +438,117 @@ def x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "zval", F.expr(_zorder_sql("o_custkey", "order_day")).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) per group
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_pareto_frontier",
+    oracle="""
+    WITH o AS (
+      SELECT c_mktsegment AS segment, o_orderkey, o_orderdate, o_totalprice,
+             MAX(o_totalprice) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_before
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT segment, o_orderkey, o_orderdate, o_totalprice
+    FROM o
+    WHERE best_before IS NULL OR o_totalprice > best_before
+    ORDER BY segment, o_orderdate, o_orderkey
+    """,
+)
+def x_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline per market segment: orders not dominated by any
+    earlier-or-equal-date order with higher-or-equal price — the Pareto
+    frontier of (early date, high price). The classic quadratic
+    dominance join collapses to ONE windowed pass: sort by date inside
+    each segment and keep rows beating the running price maximum
+    (strictly — equal-price later orders are dominated). (ts, key)
+    ordering makes ties deterministic. One segment-keyed shuffle,
+    incremental running state — the skyline at any scale."""
+    t = tables(spark, sf_dir)
+    o = t["orders"].join(
+        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    best = F.max("o_totalprice").over(w)
+    return (
+        o.select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            best.alias("best_before"),
+        )
+        .where(F.col("best_before").isNull() | (F.col("o_totalprice") > F.col("best_before")))
+        .drop("best_before")
+        .orderBy("segment", "o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of read over SCD2 history (bitemporal valid-time travel)
+# ---------------------------------------------------------------------------
+
+_SCD2_ASOF_TS = "2024-01-20 00:00:00"
+
+
+@query(
+    "x_scd2_asof",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ), hist AS (
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from) AS valid_to
+      FROM changes
+    )
+    SELECT user_id, event_type AS state_at_ts, valid_from
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{_SCD2_ASOF_TS}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SCD2_ASOF_TS}')
+    ORDER BY user_id
+    """,
+)
+def x_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid-time travel over the SCD2 history: every user's state AS OF
+    {ts} — the half-open interval containing the probe instant. Composes
+    :func:`x_scd2_history`'s output with one map-side interval filter
+    (each user has exactly one covering interval by the tiling property
+    test_warehouse_ops proves), so the time-travel read costs the
+    history build plus a filter — no extra shuffle."""
+    probe = F.lit(_SCD2_ASOF_TS).cast("timestamp_ntz")
+    hist = x_scd2_history(spark, sf_dir)
+    return (
+        hist.where(
+            (F.col("valid_from") <= probe)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > probe))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_at_ts"),
+            "valid_from",
+        )
+        .orderBy("user_id")
+    )
+
+
+x_scd2_asof.__doc__ = x_scd2_asof.__doc__.format(ts=_SCD2_ASOF_TS)

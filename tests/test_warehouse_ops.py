@@ -500,3 +500,57 @@ def test_chi2_contingency_margins(spark):
     n_exp = sum(r.expected for r in rows)
     assert abs(n_exp - n_obs) < 1e-6
     assert all(r.chi2_contrib >= 0 for r in rows)
+
+
+def test_pareto_frontier_is_undominated_and_complete(spark):
+    """No frontier order is dominated; every non-frontier order IS
+    dominated (strictly better price at an earlier-or-equal date,
+    with the (date, key) tie rule) — checked brute-force at smoke scale."""
+    from recommender_systems_pyspark_spark.functions.warehouse import (
+        x_pareto_frontier,
+    )
+
+    t = tables(spark, SF)
+    orders = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    by_seg: dict[str, list] = {}
+    for r in orders:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    frontier = {
+        (r.segment, r.o_orderkey) for r in x_pareto_frontier(spark, SF).collect()
+    }
+    for seg, rows in by_seg.items():
+        for r in rows:
+            dominated = any(
+                (o.o_orderdate, o.o_orderkey) < (r.o_orderdate, r.o_orderkey)
+                and o.o_totalprice >= r.o_totalprice
+                for o in rows
+            )
+            assert ((seg, r.o_orderkey) in frontier) == (not dominated), (
+                seg,
+                r.o_orderkey,
+            )
+
+
+def test_scd2_asof_covers_every_user_once(spark):
+    from recommender_systems_pyspark_spark.functions.warehouse import x_scd2_asof
+
+    rows = x_scd2_asof(spark, SF).collect()
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users))
+    ev_users = {
+        r.user_id
+        for r in tables(spark, SF)["events"]
+        .where("ts <= timestamp '2024-01-20 00:00:00'")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert set(users) == ev_users
