@@ -58,6 +58,13 @@ DEFAULT_QUERIES = [
     "g5_unpivot",
     "x_zorder_key",
     "s7_stream_dedup",
+    "x_ohlc_bars",
+    "x_incremental_rollup",
+    "x_funnel_strict",
+    "x_mom_growth",
+    "a19_chi2_contingency",
+    "x_pareto_frontier",
+    "x_scd2_asof",
 ]
 
 
