@@ -576,3 +576,61 @@ def x_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x_ngram_novelty",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) s
+    ),
+    dg AS (SELECT DISTINCT doc_id, ngram FROM g),
+    firsts AS (SELECT ngram, MIN(doc_id) AS first_doc FROM dg GROUP BY ngram)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM dg d JOIN firsts f USING (ngram)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty score: the fraction of a document's distinct
+    trigrams whose FIRST corpus occurrence (min doc_id — the ingestion
+    order) is this document. Curation pipelines use it to prefer
+    novel-content documents and demote recombinations of already-seen
+    text — the streaming cousin of dedup: instead of dropping repeats,
+    score how much of each doc is repeat.
+
+    Scale: trigram fan-out is map-only (in-row slicing); two uniform
+    ngram-keyed aggregates (distinct + min) and one ngram-keyed join —
+    the same key discipline as x_line_dedup, no skew (trigram frequencies
+    are zipfian but the hot keys carry counts, not row lists)."""
+    docs = tables(spark, sf_dir)["documents"]
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 3), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+            )
+        ).alias("ngram"),
+    )
+    dg = g.distinct()
+    firsts = dg.groupBy("ngram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        dg.join(firsts, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count("*")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -106,8 +106,9 @@ _QUERY_MODULES = (
     # x_fpgrowth_itemsets, x_expectations_orders, x_funnel_steps,
     # x_event_transitions, x_session_paths, a18_anomaly_mad, g5_unpivot,
     # x_ohlc_bars, x_incremental_rollup, x_funnel_strict, x_mom_growth,
-    # a19_chi2_contingency, x_pareto_frontier, x_scd2_asof
-    # (25 queries; all local-gate hash-green as of r4) — then fill the
+    # a19_chi2_contingency, x_pareto_frontier, x_scd2_asof,
+    # x_ngram_novelty
+    # (26 queries; all local-gate hash-green as of r4) — then fill the
     # remaining ~32 slots with rotating re-grades.
     "recommender_systems_pyspark_spark.functions.warehouse",
     "recommender_systems_pyspark_spark.functions.pagerank",

@@ -554,3 +554,32 @@ def test_scd2_asof_covers_every_user_once(spark):
         .collect()
     }
     assert set(users) == ev_users
+
+
+def test_ngram_novelty_first_doc_fully_novel(spark):
+    """The lowest doc_id with any trigrams must be 100% novel; novelty is
+    a fraction in (0, 1]; and total novel trigrams across docs equals the
+    distinct trigram vocabulary (each trigram is novel exactly once)."""
+    from recommender_systems_pyspark_spark.functions.corpus import x_ngram_novelty
+
+    rows = x_ngram_novelty(spark, SF).collect()
+    assert rows
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0 and first.n_novel == first.n_ngrams
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_ngrams
+        assert abs(r.novelty - r.n_novel / r.n_ngrams) < 1e-12
+    docs = tables(spark, SF)["documents"].select("doc_id", "text")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 3), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                )
+            ).alias("g")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == vocab
