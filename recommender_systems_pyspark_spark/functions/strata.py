@@ -1,0 +1,160 @@
+"""Corpus stratification utilities (round 5): deterministic hash-based
+train/val/test splitting and per-language token-entropy profiling.
+
+A 100 TB training-data pipeline needs splits that are (a) stable across
+re-runs and engines — membership must be a PURE function of the row key,
+never of row order, partitioning, or a sampled RNG stream — and (b)
+stratified, so per-language proportions hold within every split. Both
+engines compute the identical md5-derived bucket, so the oracle certifies
+the actual assignment, not just the counts.
+
+Entropy is the one place this engine's no-libm doctrine meets a
+genuinely log-shaped statistic. Spark's ``Math.log`` and DuckDB's
+``std::log`` differ in the last ulp on ~24% of integer arguments
+(measured over 1..1e6 this round), so per-term contributions are
+quantized to DECIMAL(18,9) BEFORE the exact decimal sum (the
+``functions/search.py`` BM25 scheme): a last-ulp input difference flips
+the quantized value only when the true value sits within one ulp of a
+0.5e-9 grid midpoint — vanishingly rare, and the per-term risk is
+independent, not compounded by summation order (the sum itself is exact
+decimal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tables
+
+
+def split_bucket(key: F.Column) -> F.Column:
+    """Deterministic 0..99 bucket from the md5 of the row key: first 8 hex
+    digits parsed as an integer, mod 100. Engine-portable (DuckDB:
+    ``('0x' || substr(md5(k), 1, 8))::BIGINT % 100``) and a pure map-side
+    projection — no shuffle, no RNG state, stable under repartitioning.
+    Reusable primitive for any keyed holdout (the x_contamination /
+    x_shard_assign family uses the same idea with different moduli)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+
+
+@query(
+    "x_stratified_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang, n_chars, doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM b
+    GROUP BY 1, 2
+    ORDER BY lang, split
+    """,
+)
+def x_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment of documents, stratified per
+    language, keyed on ``md5(doc_id)`` — the split every run, every
+    engine, and every partitioning reproduces bit-identically (unlike
+    ``randomSplit``, whose membership depends on partition layout). One
+    map-side bucket projection + one hash aggregate; the min/max doc_id
+    per cell gives the oracle a membership-sensitive fingerprint beyond
+    bare counts."""
+    docs = tables(spark, sf_dir)["documents"]
+    bucket = split_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.groupBy("lang", split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@query(
+    "x_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT lang, tok, COUNT(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT lang,
+             CAST(SUM(CAST(c AS DECIMAL(18,0))) AS BIGINT) AS n_tokens,
+             COUNT(*) AS vocab,
+             CAST(SUM(CAST(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                           AS DECIMAL(18,9))) AS DOUBLE) AS clogc
+      FROM counts
+      GROUP BY 1
+    )
+    SELECT lang, n_tokens, vocab,
+           CAST(CAST(log2(CAST(n_tokens AS DOUBLE))
+                     - clogc / CAST(n_tokens AS DOUBLE)
+                AS DECIMAL(18,9)) AS DOUBLE) AS entropy_bits,
+           CAST(CAST(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                AS DECIMAL(18,9)) AS DOUBLE) AS type_token_ratio
+    FROM s
+    ORDER BY lang
+    """,
+)
+def x_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits/token) and type-token ratio of the unigram
+    distribution per language — the standard corpus-diversity /
+    degenerate-text signal. Uses ``H = log2(n) − (Σ c·log2 c)/n`` so
+    every log argument is an INTEGER count; each ``c·log2 c`` term is
+    DECIMAL(18,9)-quantized before the exact decimal sum and the final
+    double goes through the same quantization (see module docstring for
+    the cross-engine ulp analysis). Plan: explode → (lang, tok) hash
+    aggregate with map-side combine → per-lang reduce; at corpus scale
+    the token shuffle is the cost, and it is one pass."""
+    docs = tables(spark, sf_dir)["documents"]
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    c_d = F.col("c").cast("double")
+    s = counts.groupBy("lang").agg(
+        F.sum(F.col("c").cast("decimal(18,0)")).cast("bigint").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum((c_d * F.log2(c_d)).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("clogc"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    return s.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        (F.log2(n_d) - F.col("clogc") / n_d)
+        .cast("decimal(18,9)")
+        .cast("double")
+        .alias("entropy_bits"),
+        (F.col("vocab").cast("double") / n_d)
+        .cast("decimal(18,9)")
+        .cast("double")
+        .alias("type_token_ratio"),
+    ).orderBy("lang")

@@ -1,0 +1,386 @@
+"""Time-series / distribution analytics (round 5): OLS trend fitting,
+lag-1 autocorrelation, cumulative-distinct user growth, a binned
+two-sample Kolmogorov-Smirnov distance, and the Gini concentration
+coefficient.
+
+The reference app reports only point aggregates (means / counts —
+``utils/imb_rating.py:55-64``, ``app.py:217-236``); a warehouse engine
+replacing it needs trend and distribution-shape analytics over the same
+fact tables. Everything here follows the engine's determinism doctrine
+(registry docstring): every statistic is derived from EXACT integer /
+decimal power sums (associative, partial-aggregation-order independent),
+and the final floating-point formula is written as the IDENTICAL IEEE
+operation sequence on both engines — no libm calls (Spark's ``Math.log``
+and DuckDB's ``std::log`` disagree in the last ulp on ~24% of integer
+arguments, measured 1..1e6 this round), only +,-,*,/,sqrt,abs, which are
+correctly rounded everywhere.
+
+Scale notes (100 TB):
+- Trend/autocorr reduce the fact table to one row per (group, day) with a
+  map-side-combined hash aggregate (the only full-data shuffle), then fit
+  on the tiny daily frame. Power-sum state is O(1) per group.
+- ``x_cumulative_distinct`` shuffles once on user_id (the unavoidable
+  distinct), then works on a ≤#days frame. The running-total window is
+  over that aggregated frame — bounded by the calendar, not the data.
+- The KS statistic is computed on a FIXED-WIDTH binned CDF (price/1000),
+  so the window frame is bounded by the price domain (~500 bins), not by
+  row count; an exact KS over raw values would need a global sort of the
+  whole column.
+- Gini needs a true global rank — delegated to
+  :func:`operators.ranking.with_global_row_number` (distributed two-phase
+  rank: range shuffle + per-partition row_number + broadcast offsets), so
+  no single-partition sort appears anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import tables
+from .ranking import with_global_row_number
+
+#: Shared sub-expression (Spark side): exact integer day number and cents.
+_EPOCH = "1970-01-01"
+
+
+def _day(col: str) -> F.Column:
+    return F.datediff(F.col(col).cast("date"), F.lit(_EPOCH).cast("date")).cast(
+        "bigint"
+    )
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+@query(
+    "x_linreg_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS t,
+             CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS DECIMAL(18,0))) AS BIGINT) AS y
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_days,
+             CAST(SUM(CAST(t AS DECIMAL(18,0))) AS DOUBLE) AS st,
+             CAST(SUM(CAST(t * t AS DECIMAL(18,0))) AS DOUBLE) AS stt,
+             CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(t * y AS DECIMAL(28,0))) AS DOUBLE) AS sty
+      FROM daily
+      GROUP BY 1
+    )
+    SELECT l_returnflag, n_days,
+           ((CAST(n_days AS DOUBLE) * sty - st * sy)
+            / (CAST(n_days AS DOUBLE) * stt - st * st)) / 100.0 AS slope_per_day,
+           ((sy - ((CAST(n_days AS DOUBLE) * sty - st * sy)
+                   / (CAST(n_days AS DOUBLE) * stt - st * st)) * st)
+            / CAST(n_days AS DOUBLE)) / 100.0 AS intercept,
+           (sy / CAST(n_days AS DOUBLE)) / 100.0 AS mean_daily_rev
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def x_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS trend of daily revenue vs epoch-day: slope and
+    intercept from the closed form ``b = (nΣty − ΣtΣy)/(nΣt² − (Σt)²)``
+    over EXACT power sums. Two hash aggregates, one data shuffle: fact →
+    (flag, day) daily cents (BIGINT, exact), then day-frame → 5 power
+    sums per flag. Per-row ``t·y`` is cast to DECIMAL(28,0) (epoch-day
+    ~1e4 × daily cents — at very large SF the 18-digit per-row cast the
+    other sums use would overflow first). The closed form runs in DOUBLE
+    on exact inputs with the identical operation sequence in the oracle,
+    so both engines round through the same IEEE path."""
+    li = tables(spark, sf_dir)["lineitem"]
+    daily = li.groupBy(
+        "l_returnflag", _day("l_shipdate").alias("t")
+    ).agg(
+        F.sum(_cents("l_extendedprice").cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("y")
+    )
+    t, y = F.col("t"), F.col("y")
+    s = daily.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_days"),
+        F.sum(t.cast("decimal(18,0)")).cast("double").alias("st"),
+        F.sum((t * t).cast("decimal(18,0)")).cast("double").alias("stt"),
+        F.sum(y.cast("decimal(18,0)")).cast("double").alias("sy"),
+        F.sum((t * y).cast("decimal(28,0)")).cast("double").alias("sty"),
+    )
+    n = F.col("n_days").cast("double")
+    st, stt, sy, sty = (F.col(c) for c in ("st", "stt", "sy", "sty"))
+    slope_c = (n * sty - st * sy) / (n * stt - st * st)
+    return s.select(
+        "l_returnflag",
+        "n_days",
+        (slope_c / 100.0).alias("slope_per_day"),
+        (((sy - slope_c * st) / n) / 100.0).alias("intercept"),
+        ((sy / n) / 100.0).alias("mean_daily_rev"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "x_autocorr_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                           AS DECIMAL(18,0))) AS BIGINT) AS y
+      FROM events
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT event_type, y,
+             LAG(y) OVER (PARTITION BY event_type ORDER BY day) AS x
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,0))) AS DOUBLE) AS sxy
+      FROM pairs
+      WHERE x IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT event_type, n_pairs,
+           (sxy - (sx * sy) / n_pairs)
+             / sqrt((sxx - (sx * sx) / n_pairs) * (syy - (sy * sy) / n_pairs))
+             AS autocorr_lag1
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def x_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series per event type:
+    Pearson correlation of (day t, day t−1) pairs via exact integer power
+    sums (the a10_stat_moments scheme). The lag window is PARTITIONED by
+    event_type and ordered over the per-day aggregate — a tiny frame, no
+    global sort. Missing calendar days pair across the gap (series
+    autocorr of the OBSERVED sequence), which is deterministic and
+    identical in the oracle's LAG."""
+    ev = tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(_cents("value").cast("decimal(18,0)")).cast("bigint").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.withColumn("x", F.lag("y").over(w)).where(F.col("x").isNotNull())
+    x, y = F.col("x"), F.col("y")
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(x.cast("decimal(18,0)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,0)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(28,0)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,0)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(28,0)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    sx, sy, sxx, syy, sxy = (F.col(c) for c in ("sx", "sy", "sxx", "syy", "sxy"))
+    return s.select(
+        "event_type",
+        "n_pairs",
+        (
+            (sxy - (sx * sy) / n)
+            / F.sqrt((sxx - (sx * sx) / n) * (syy - (sy * sy) / n))
+        ).alias("autocorr_lag1"),
+    ).orderBy("event_type")
+
+
+@query(
+    "x_cumulative_distinct",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS active_users
+      FROM events
+      GROUP BY 1
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+      FROM events
+      GROUP BY 1
+    ),
+    new_by_day AS (
+      SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY 1
+    )
+    SELECT CAST(p.day AS VARCHAR) AS day, p.n_events, p.active_users,
+           COALESCE(n.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0))
+             OVER (ORDER BY p.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users
+    FROM per_day p LEFT JOIN new_by_day n USING (day)
+    ORDER BY p.day
+    """,
+)
+def x_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience growth: events per day, exact daily active users,
+    first-time (new) users, and the running cumulative distinct-user
+    count. The classic streaming-dashboard query — computed EXACTLY with
+    one shuffle on user_id (min first-seen day per user; turning
+    cumulative-distinct into a plain running SUM of new-user counts is
+    what makes it scale: no growing distinct state, no re-scan per day).
+    The running-total window is over the per-day aggregate — bounded by
+    the calendar (≤ #days), hence allowlisted from the unpartitioned-
+    window plan guard."""
+    ev = tables(spark, sf_dir)["events"]
+    day = F.col("ts").cast("date")
+    per_day = ev.groupBy(day.alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("day"))
+    new_by_day = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_day.join(new_by_day, "day", "left")
+        .withColumn("new_users", F.coalesce(F.col("new_users"), F.lit(0)))
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .orderBy("day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_events",
+            "active_users",
+            "new_users",
+            "cum_users",
+        )
+    )
+
+
+@query(
+    "x_ks_two_sample",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bin,
+             COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS c1,
+             COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS c2
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT bin,
+             SUM(c1) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+             SUM(c2) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a2,
+             SUM(c1) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n1,
+             SUM(c2) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n2
+      FROM f
+    )
+    SELECT MAX(ABS(CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS ks_stat,
+           CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2
+    FROM c
+    """,
+)
+def x_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the URGENT and LOW
+    order-price distributions, on a fixed-width binned CDF ($1000 bins).
+    Binning is what makes KS scale-safe: the cumulative window runs over
+    ~500 bin rows bounded by the PRICE DOMAIN (an exact KS would need a
+    global sort of every raw value). One hash aggregate over the fact
+    scan with both groups counted in a single pass (conditional counts),
+    then the bounded window; the max |F1−F2| reduction is computed from
+    exact integer cumulative counts, divided in DOUBLE with the identical
+    expression in the oracle."""
+    o = tables(spark, sf_dir)["orders"].where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    f = o.groupBy(
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("c1"),
+        F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).alias("c2"),
+    )
+    run = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = f.select(
+        "bin",
+        F.sum("c1").over(run).alias("a1"),
+        F.sum("c2").over(run).alias("a2"),
+        F.sum("c1").over(full).alias("n1"),
+        F.sum("c2").over(full).alias("n2"),
+    )
+    d = F.abs(
+        F.col("a1").cast("double") / F.col("n1").cast("double")
+        - F.col("a2").cast("double") / F.col("n2").cast("double")
+    )
+    return c.agg(
+        F.max(d).alias("ks_stat"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+
+
+@query(
+    "x_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           AS DECIMAL(18,0))) AS BIGINT) AS y
+      FROM orders
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY y, o_custkey) AS r FROM rev
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(r * y AS DECIMAL(28,0))) AS DOUBLE) AS sry
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           sy / 100.0 AS total_rev,
+           (2.0 * sry - (CAST(n AS DOUBLE) + 1.0) * sy)
+             / (CAST(n AS DOUBLE) * sy) AS gini
+    FROM s
+    """,
+)
+def x_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers, via
+    the rank formula ``G = (2Σ r·y − (n+1)Σy) / (nΣy)`` on exact cent
+    sums. The global rank comes from the distributed two-phase
+    row_number (range shuffle + broadcast offsets — never a single-
+    partition sort); ties in revenue are broken by customer key, which
+    leaves the statistic invariant (equal y values contribute the same
+    Σr·y under any permutation of their consecutive ranks). The oracle
+    replays the identical formula with a plain ROW_NUMBER()."""
+    o = tables(spark, sf_dir)["orders"]
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice").cast("decimal(18,0)")).cast("bigint").alias("y")
+    )
+    ranked, _ = with_global_row_number(
+        rev, [F.col("y"), F.col("o_custkey")], alias="r"
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("y").cast("decimal(28,0)")).cast("double").alias("sy"),
+        F.sum((F.col("r") * F.col("y")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("sry"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        (F.col("sy") / 100.0).alias("total_rev"),
+        (
+            (2.0 * F.col("sry") - (n_d + 1.0) * F.col("sy")) / (n_d * F.col("sy"))
+        ).alias("gini"),
+    )

@@ -115,25 +115,30 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.functions.search",
     "recommender_systems_pyspark_spark.ml.basket",
     "recommender_systems_pyspark_spark.operators.expectations",
+    # --- new in r5 --------------------------------------------------------
+    "recommender_systems_pyspark_spark.operators.trends",
+    "recommender_systems_pyspark_spark.functions.strata",
 )
 
-#: Round-4 grading window (the driver grades the FIRST 50 entries of
+#: Round-5 grading window (the driver grades the FIRST 50 entries of
 #: ``queries()`` in dict order — observed in r1, r2 and r3 correctness
-#: files). Module order alone can't place individual queries, so
-#: ``all_queries`` moves the names below to the front, in this order
-#: (exactly VERDICT r3 "Next round" #1/#3/#4):
-#:   1-10  the ten queries queued at positions 51+ of the r3 window —
-#:         never driver-graded (or, for the two dedup ones, graded
-#:         rows-only before their oracle upgrade),
-#:   11    tpch_q1 re-grade (r1-graded, rewritten in r3),
-#:   12-13 the two de-NTILE'd queries rewritten this round (r3-green but
-#:         their plans changed — the distributed two-phase rank must be
-#:         re-certified),
-#:   14-15 new round-4 queries (composed corpus-curation pipeline; the
-#:         rank primitive itself),
-#:   16-50 rotating re-grades of r1-vintage greens whose files have been
-#:         edited since (guards against silent drift; all still pass the
-#:         local gate).
+#: files). Round 4 recorded NO driver correctness file (no
+#: CORRECTNESS_r04.json / BENCH_r04.json exist as of round-5 start), so
+#: the ENTIRE round-4 window is still ungraded. This window therefore
+#: covers, in priority order:
+#:   1-10  the ten queries queued since r3 — never driver-graded (or,
+#:         for the two dedup ones, graded rows-only before their oracle
+#:         upgrade),
+#:   11-15 new in r4 + the three rows-only → full-oracle upgrades (IVF
+#:         probe; k-means and PQ trainers with Lloyd loops unrolled in
+#:         SQL) — never driver-graded,
+#:   16-41 the 26 late-r4 additions registered after the r4 window
+#:         filled (warehouse / graph / streaming / analytics families) —
+#:         never driver-graded,
+#:   42-44 plan-changed re-grades: tpch_q1 (r3 integer-cents + r4
+#:         two-phase rewrite), and the two de-NTILE'd queries (r4
+#:         distributed-rank rewrite),
+#:   45-50 new round-5 queries.
 #: Everything NOT listed here keeps module order after these — all of it
 #: already hash-matched green in r1, r2 or r3.
 _GRADE_FIRST = (
@@ -148,51 +153,52 @@ _GRADE_FIRST = (
     "a16_skew_profile",
     "a17_table_profile",
     "x_interval_overlap",
-    # 11: re-grade after the r3 integer-cents rewrite
-    "tpch_q1",
-    # 12-13: re-grade after this round's distributed-NTILE rewrite
-    "x_rfm_segments",
-    "x_text_unigram_score",
-    # 14-18: new in r4 + the three rows-only → full-oracle upgrades (IVF
-    # probe; k-means and PQ trainers with their Lloyd loops unrolled in SQL)
+    # 11-15: new in r4 / oracle upgrades, never driver-graded
     "x_corpus_e2e",
     "x_global_rank",
     "x_knn_ivf_topk",
     "x_embed_kmeans",
     "x_embed_pq_topk",
-    # 19-50: rotating re-grades (r1-vintage greens on since-edited files)
-    "flagship_top_orders",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "d1_month_rollup",
-    "j1_inner_join_agg",
-    "j2_left_join_agg",
-    "t1_topk_orders",
-    "a1_a4_global_aggs",
-    "w1_rank_forms",
-    "w2_running_sum",
-    "w3_lag_lead",
-    "w4_moving_avg",
-    "t4_recent_per_user",
-    "t7_topk_per_group",
-    "u1_union_all",
-    "u2_union_distinct",
-    "u3_intersect",
-    "u4_except",
-    "g1_rollup",
-    "g2_cube",
-    "g3_pivot",
-    "j3_alias_join",
-    "j4_anti_join",
-    "j5_semi_join",
-    "j6_asof_join",
-    "j7_range_join",
-    "a2_approx_distinct",
-    "a8_percentiles",
-    "p1_project_rename",
-    "p3_eq_filter",
-    "p4_range_filter",
+    # 16-41: late-r4 additions (registered after the r4 window filled)
+    "x_scd2_history",
+    "x_merge_upsert",
+    "x_range_frame_trailing",
+    "x_salted_join_revenue",
+    "x_bloom_semi_prune",
+    "x_pagerank",
+    "s7_stream_dedup",
+    "x_zorder_key",
+    "x_bm25_topk",
+    "j8_asof_forward",
+    "j9_asof_tolerance",
+    "x_fpgrowth_itemsets",
+    "x_expectations_orders",
+    "x_funnel_steps",
+    "x_event_transitions",
+    "x_session_paths",
+    "a18_anomaly_mad",
+    "g5_unpivot",
+    "x_ohlc_bars",
+    "x_incremental_rollup",
+    "x_funnel_strict",
+    "x_mom_growth",
+    "a19_chi2_contingency",
+    "x_pareto_frontier",
+    "x_scd2_asof",
+    "x_ngram_novelty",
+    # 42-44: plan-changed re-grades
+    "tpch_q1",
+    "x_rfm_segments",
+    "x_text_unigram_score",
+    # 45-50: new round-5 queries (trend/distribution analytics + corpus
+    # stratification; x_autocorr_daily and any later round-5 additions
+    # queue at module order, positions 51+, for the r6 window)
+    "x_linreg_trend",
+    "x_cumulative_distinct",
+    "x_ks_two_sample",
+    "x_gini_concentration",
+    "x_stratified_split",
+    "x_token_entropy",
 )
 
 

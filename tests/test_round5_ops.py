@@ -1,0 +1,205 @@
+"""Round-5 operator tests (trend / distribution analytics + corpus
+stratification): pure-Python replicas and algebraic invariants. Oracle
+parity is covered by tools/verify_local.py; these pin what SQL parity
+can't — that the statistics match their textbook definitions."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from recommender_systems_pyspark_spark.registry import all_queries
+from recommender_systems_pyspark_spark.sources import tables
+
+SPECS = all_queries()
+
+
+def _rows(spark, sf_dir, name):
+    return SPECS[name].fn(spark, sf_dir).collect()
+
+
+# ---------------------------------------------------------------------------
+# x_linreg_trend — slope/intercept equal the closed-form OLS fit computed
+# in python on the same (day, daily-cents) series.
+# ---------------------------------------------------------------------------
+
+
+def test_linreg_matches_python_ols(spark, sf_dir):
+    li = tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_shipdate", "l_extendedprice"
+    )
+    daily: dict[tuple[str, int], int] = {}
+    epoch = __import__("datetime").date(1970, 1, 1)
+    for r in li.collect():
+        t = (r.l_shipdate.date() - epoch).days
+        key = (r.l_returnflag, t)
+        daily[key] = daily.get(key, 0) + round(r.l_extendedprice * 100)
+    by_flag: dict[str, list[tuple[int, int]]] = {}
+    for (flag, t), y in daily.items():
+        by_flag.setdefault(flag, []).append((t, y))
+    got = {r.l_returnflag: r for r in _rows(spark, sf_dir, "x_linreg_trend")}
+    assert set(got) == set(by_flag)
+    for flag, pts in by_flag.items():
+        n = len(pts)
+        st = sum(t for t, _ in pts)
+        stt = sum(t * t for t, _ in pts)
+        sy = sum(y for _, y in pts)
+        sty = sum(t * y for t, y in pts)
+        slope_c = (n * sty - st * sy) / (n * stt - st * st)
+        assert got[flag].n_days == n
+        assert got[flag].slope_per_day == pytest.approx(slope_c / 100.0, rel=1e-12)
+        assert got[flag].mean_daily_rev == pytest.approx(sy / n / 100.0, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# x_autocorr_daily — Pearson r of the (lagged, current) series, |r| ≤ 1.
+# ---------------------------------------------------------------------------
+
+
+def test_autocorr_is_pearson_of_lagged_series(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"].select("event_type", "ts", "value")
+    daily: dict[tuple[str, object], int] = {}
+    for r in ev.collect():
+        key = (r.event_type, r.ts.date())
+        daily[key] = daily.get(key, 0) + round(r.value * 100)
+    series: dict[str, list[int]] = {}
+    for (et, day) in sorted(daily, key=lambda k: (k[0], k[1])):
+        series.setdefault(et, []).append(daily[(et, day)])
+    got = {r.event_type: r for r in _rows(spark, sf_dir, "x_autocorr_daily")}
+    for et, ys in series.items():
+        xs, yy = ys[:-1], ys[1:]
+        n = len(xs)
+        if n < 2:
+            continue
+        mx, my = sum(xs) / n, sum(yy) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(xs, yy))
+        vx = sum((a - mx) ** 2 for a in xs)
+        vy = sum((b - my) ** 2 for b in yy)
+        r_ref = cov / math.sqrt(vx * vy)
+        assert got[et].n_pairs == n
+        assert got[et].autocorr_lag1 == pytest.approx(r_ref, rel=1e-9)
+        assert -1.0 <= got[et].autocorr_lag1 <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# x_cumulative_distinct — running total ends at the overall distinct-user
+# count; new_users sums to cum tail; active ≥ new per day.
+# ---------------------------------------------------------------------------
+
+
+def test_cumulative_distinct_invariants(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "x_cumulative_distinct")
+    ev = tables(spark, sf_dir)["events"]
+    total_users = ev.select("user_id").distinct().count()
+    assert rows[-1].cum_users == total_users
+    assert sum(r.new_users for r in rows) == total_users
+    running = 0
+    for r in rows:
+        running += r.new_users
+        assert r.cum_users == running
+        assert r.active_users >= r.new_users
+        assert r.n_events >= r.active_users
+
+
+# ---------------------------------------------------------------------------
+# x_ks_two_sample — equals the python KS of the binned CDFs; in [0, 1].
+# ---------------------------------------------------------------------------
+
+
+def test_ks_matches_python_binned_cdf(spark, sf_dir):
+    o = tables(spark, sf_dir)["orders"].select("o_orderpriority", "o_totalprice")
+    c1: dict[int, int] = {}
+    c2: dict[int, int] = {}
+    for r in o.collect():
+        b = math.floor(r.o_totalprice / 1000)
+        if r.o_orderpriority == "1-URGENT":
+            c1[b] = c1.get(b, 0) + 1
+        elif r.o_orderpriority == "5-LOW":
+            c2[b] = c2.get(b, 0) + 1
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    a1 = a2 = 0
+    ks = 0.0
+    for b in sorted(set(c1) | set(c2)):
+        a1 += c1.get(b, 0)
+        a2 += c2.get(b, 0)
+        ks = max(ks, abs(a1 / n1 - a2 / n2))
+    [row] = _rows(spark, sf_dir, "x_ks_two_sample")
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.ks_stat == pytest.approx(ks, rel=1e-12)
+    assert 0.0 <= row.ks_stat <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# x_gini_concentration — equals the python rank-formula Gini; invariant
+# under permutation of ties; in [0, 1) for positive revenues.
+# ---------------------------------------------------------------------------
+
+
+def test_gini_matches_python_rank_formula(spark, sf_dir):
+    o = tables(spark, sf_dir)["orders"].select("o_custkey", "o_totalprice")
+    rev: dict[int, int] = {}
+    for r in o.collect():
+        rev[r.o_custkey] = rev.get(r.o_custkey, 0) + round(r.o_totalprice * 100)
+    ys = sorted(rev.values())
+    n, sy = len(ys), sum(ys)
+    sry = sum((i + 1) * y for i, y in enumerate(ys))
+    gini_ref = (2 * sry - (n + 1) * sy) / (n * sy)
+    [row] = _rows(spark, sf_dir, "x_gini_concentration")
+    assert row.n_customers == n
+    assert row.total_rev == pytest.approx(sy / 100.0, rel=1e-12)
+    assert row.gini == pytest.approx(gini_ref, rel=1e-12)
+    assert 0.0 <= row.gini < 1.0
+
+
+# ---------------------------------------------------------------------------
+# x_stratified_split — membership is the md5 bucket recomputed in python;
+# cells partition the corpus; every (lang) stratum has all three splits
+# at oracle scale.
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_split_membership_and_partition(spark, sf_dir):
+    docs = tables(spark, sf_dir)["documents"].select("doc_id", "lang", "n_chars")
+    cells: dict[tuple[str, str], list] = {}
+    for r in docs.collect():
+        bucket = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 100
+        split = "train" if bucket < 80 else ("val" if bucket < 90 else "test")
+        cells.setdefault((r.lang, split), []).append(r)
+    got = _rows(spark, sf_dir, "x_stratified_split")
+    assert {(r.lang, r.split) for r in got} == set(cells)
+    for r in got:
+        ref = cells[(r.lang, r.split)]
+        assert r.n_docs == len(ref)
+        assert r.total_chars == sum(x.n_chars for x in ref)
+        assert r.min_doc == min(x.doc_id for x in ref)
+        assert r.max_doc == max(x.doc_id for x in ref)
+    assert sum(r.n_docs for r in got) == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# x_token_entropy — matches the python Shannon entropy of the unigram
+# counts (to the declared 1e-9 quantization); bounded by log2(vocab).
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_matches_python(spark, sf_dir):
+    docs = tables(spark, sf_dir)["documents"].select("lang", "text")
+    counts: dict[str, dict[str, int]] = {}
+    for r in docs.collect():
+        d = counts.setdefault(r.lang, {})
+        for tok in r.text.split(" "):
+            if tok:
+                d[tok] = d.get(tok, 0) + 1
+    got = {r.lang: r for r in _rows(spark, sf_dir, "x_token_entropy")}
+    assert set(got) == set(counts)
+    for lang, d in counts.items():
+        n = sum(d.values())
+        h_ref = -sum((c / n) * math.log2(c / n) for c in d.values())
+        row = got[lang]
+        assert row.n_tokens == n
+        assert row.vocab == len(d)
+        assert row.entropy_bits == pytest.approx(h_ref, abs=1e-6)
+        assert 0.0 <= row.entropy_bits <= math.log2(len(d)) + 1e-9
+        assert row.type_token_ratio == pytest.approx(len(d) / n, abs=1e-8)

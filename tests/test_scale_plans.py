@@ -237,6 +237,8 @@ def test_no_unpartitioned_window_in_any_registered_query(spark):
         "tpch_q15_style",  # max over the per-supplier agg frame
         "x_embed_kmeans",  # centroid re-index over ≤k rows (vectors.py)
         "x_mom_growth",  # lag over the aggregated month frame (≤ hundreds)
+        "x_cumulative_distinct",  # running sum over the per-day agg frame
+        "x_ks_two_sample",  # CDF window over ≤~500 fixed-width price bins
     }
     SKIP_EAGER = {
         "ml_als_top_recs",
