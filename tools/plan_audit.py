@@ -65,6 +65,14 @@ DEFAULT_QUERIES = [
     "a19_chi2_contingency",
     "x_pareto_frontier",
     "x_scd2_asof",
+    # round-5 additions
+    "x_linreg_trend",
+    "x_autocorr_daily",
+    "x_cumulative_distinct",
+    "x_ks_two_sample",
+    "x_gini_concentration",
+    "x_stratified_split",
+    "x_token_entropy",
 ]
 
 
