@@ -123,6 +123,13 @@ def run_streaming(spark, sf_dir: str) -> dict[str, float]:
                 lambda: se.dedup_stream(stream(), ["event_id"]),
                 "append",
             ),
+            "stream_s8_outer_join": (
+                lambda: se.join_view_click_outer(
+                    stream().where(F.col("event_type") == "view"),
+                    stream().where(F.col("event_type") == "click"),
+                ),
+                "append",
+            ),
         }
         for i, (name, (plan, mode)) in enumerate(plans.items()):
             t0 = time.perf_counter()

@@ -561,3 +561,265 @@ def a19_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "status")
     )
+
+
+@query(
+    "x_join_size_estimate",
+    oracle="""
+    WITH h1 AS (
+      SELECT user_id, user_id % 128 AS b, COUNT(*) AS c
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY 1, 2
+    ),
+    h2 AS (
+      SELECT user_id, user_id % 128 AS b, COUNT(*) AS c
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY 1, 2
+    ),
+    actual AS (
+      SELECT CAST(SUM(CAST(h1.c * h2.c AS DECIMAL(28,0))) AS BIGINT) AS pairs
+      FROM h1 JOIN h2 USING (user_id)
+    ),
+    g AS (
+      SELECT (SELECT CAST(SUM(CAST(c AS DECIMAL(18,0))) AS BIGINT) FROM h1) AS n1,
+             (SELECT CAST(SUM(CAST(c AS DECIMAL(18,0))) AS BIGINT) FROM h2) AS n2,
+             (SELECT COUNT(*) FROM h1) AS ndv1,
+             (SELECT COUNT(*) FROM h2) AS ndv2
+    ),
+    hb AS (
+      SELECT CAST(SUM(CAST(CAST(r1 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                           / CAST(CASE WHEN x1 >= x2 THEN x1 ELSE x2 END
+                                  AS DOUBLE)
+                      AS DECIMAL(28,9))) AS DOUBLE) AS est_hist
+      FROM (
+        SELECT b,
+               CAST(SUM(CAST(c AS DECIMAL(18,0))) AS BIGINT) AS r1,
+               COUNT(*) AS x1
+        FROM h1 GROUP BY b
+      ) s1
+      JOIN (
+        SELECT b,
+               CAST(SUM(CAST(c AS DECIMAL(18,0))) AS BIGINT) AS r2,
+               COUNT(*) AS x2
+        FROM h2 GROUP BY b
+      ) s2 USING (b)
+    )
+    SELECT g.n1, g.n2, g.ndv1, g.ndv2, actual.pairs AS actual_pairs,
+           CAST(g.n1 AS DOUBLE) * CAST(g.n2 AS DOUBLE)
+             / CAST(CASE WHEN g.ndv1 >= g.ndv2 THEN g.ndv1 ELSE g.ndv2 END
+                    AS DOUBLE) AS est_uniform,
+           hb.est_hist AS est_histogram
+    FROM g, actual, hb
+    """,
+)
+def x_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation diagnostics — the statistics a
+    cost-based optimizer (ANALYZE) keeps, certified against the exact
+    answer. For the user-keyed self-join of the first vs second half of
+    the month: the EXACT output size Σᵤ c₁(u)·c₂(u), the textbook
+    uniform estimate |R|·|S|/max(ndv_R, ndv_S), and the 128-bucket
+    histogram estimate Σ_b r₁(b)·r₂(b)/max(ndv₁(b), ndv₂(b)) — the
+    per-bucket refinement that tightens the uniform bound. Exact counts
+    flow through integer/decimal sums; estimates divide in DOUBLE with
+    identical expressions both engines. Completes the pre-flight
+    diagnostics family (a15 heavy hitters, a16 skew profile, a17 table
+    profile): at 100 TB, these numbers decide broadcast-vs-shuffle and
+    shuffle-partition sizing BEFORE the job runs, from per-key aggs that
+    are a tiny fraction of the join itself."""
+    ev = tables(spark, sf_dir)["events"]
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    h1 = (
+        ev.where(F.col("ts") < cut)
+        .groupBy("user_id", (F.col("user_id") % 128).alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    h2 = (
+        ev.where(F.col("ts") >= cut)
+        .groupBy("user_id", (F.col("user_id") % 128).alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    actual = (
+        h1.select("user_id", F.col("c").alias("c1"))
+        .join(h2.select("user_id", F.col("c").alias("c2")), "user_id")
+        .agg(
+            F.sum((F.col("c1") * F.col("c2")).cast("decimal(28,0)"))
+            .cast("bigint")
+            .alias("actual_pairs")
+        )
+    )
+    g = h1.agg(
+        F.sum(F.col("c").cast("decimal(18,0)")).cast("bigint").alias("n1"),
+        F.count("*").alias("ndv1"),
+    ).crossJoin(
+        F.broadcast(
+            h2.agg(
+                F.sum(F.col("c").cast("decimal(18,0)")).cast("bigint").alias("n2"),
+                F.count("*").alias("ndv2"),
+            )
+        )
+    )
+    s1 = h1.groupBy("b").agg(
+        F.sum(F.col("c").cast("decimal(18,0)")).cast("bigint").alias("r1"),
+        F.count("*").alias("x1"),
+    )
+    s2 = h2.groupBy("b").agg(
+        F.sum(F.col("c").cast("decimal(18,0)")).cast("bigint").alias("r2"),
+        F.count("*").alias("x2"),
+    )
+    # per-bucket terms are DECIMAL-quantized before the sum — a plain
+    # double sum would depend on partial-aggregation order
+    hb = s1.join(s2, "b").agg(
+        F.sum(
+            (
+                F.col("r1").cast("double")
+                * F.col("r2").cast("double")
+                / F.greatest("x1", "x2").cast("double")
+            ).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("est_hist")
+    )
+    est_uniform = (
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        / F.greatest("ndv1", "ndv2").cast("double")
+    )
+    return (
+        g.crossJoin(F.broadcast(actual))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "n1",
+            "n2",
+            "ndv1",
+            "ndv2",
+            "actual_pairs",
+            est_uniform.alias("est_uniform"),
+            F.col("est_hist").alias("est_histogram"),
+        )
+    )
+
+
+@query(
+    "x_countmin_freq",
+    oracle="""
+    WITH buckets AS (
+      SELECT user_id,
+             ('0x' || substr(md5('1-' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 256 AS b1,
+             ('0x' || substr(md5('2-' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 256 AS b2
+      FROM events
+    ),
+    row1 AS (SELECT b1 AS b, COUNT(*) AS c FROM buckets GROUP BY 1),
+    row2 AS (SELECT b2 AS b, COUNT(*) AS c FROM buckets GROUP BY 1),
+    exact AS (
+      SELECT user_id, b1, b2, COUNT(*) AS exact_cnt
+      FROM buckets
+      GROUP BY 1, 2, 3
+      ORDER BY exact_cnt DESC, user_id
+      LIMIT 10
+    )
+    SELECT e.user_id, e.exact_cnt,
+           CASE WHEN r1.c <= r2.c THEN r1.c ELSE r2.c END AS cms_est,
+           CASE WHEN r1.c <= r2.c THEN r1.c ELSE r2.c END - e.exact_cnt
+             AS overestimate
+    FROM exact e
+    JOIN row1 r1 ON e.b1 = r1.b
+    JOIN row2 r2 ON e.b2 = r2.b
+    ORDER BY e.exact_cnt DESC, e.user_id
+    """,
+)
+def x_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (d=2 hash rows, w=256
+    buckets, md5-derived engine-portable hashes), certified against the
+    exact counts of the top-10 users: the CMS estimate is the MIN over
+    the per-row bucket counts and can only OVER-estimate (collisions add,
+    never subtract) — the ``overestimate`` column exposes exactly how
+    much. The sketch state is d×w integers — constant-size, mergeable
+    across partitions and micro-batches, which is why CMS (not exact
+    groupBy) is the 100 TB/streaming shape for frequency queries; here
+    both the sketch build (two 256-key hash aggs) and the probe replay
+    exactly in SQL. Pure integer arithmetic throughout."""
+    ev = tables(spark, sf_dir)["events"]
+
+    def bucket(seed: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(seed + "-"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 256
+        )
+
+    b = ev.select("user_id", bucket("1").alias("b1"), bucket("2").alias("b2"))
+    row1 = b.groupBy(F.col("b1").alias("b")).agg(F.count("*").alias("c1"))
+    row2 = b.groupBy(F.col("b2").alias("b")).agg(F.count("*").alias("c2"))
+    exact = (
+        b.groupBy("user_id", "b1", "b2")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(10)
+    )
+    est = F.least("c1", "c2")
+    return (
+        exact.join(F.broadcast(row1), exact["b1"] == row1["b"])
+        .join(F.broadcast(row2), exact["b2"] == row2["b"])
+        .select(
+            "user_id",
+            "exact_cnt",
+            est.alias("cms_est"),
+            (est - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+    )
+
+
+@query(
+    "x_table_checksum",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                 || '|' ||
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+               o_orderpriority), 1, 15))::BIGINT AS rh
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows, bit_xor(rh) AS checksum_xor
+    FROM h
+    """,
+)
+def x_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: per-row md5 over a
+    canonicalized column serialization (integers and ISO dates — never
+    raw double formatting, which engines print differently), folded with
+    the commutative-associative ``bit_xor`` aggregate. Constant-size
+    state, no sort, no shuffle beyond the final 1-row combine — the
+    cheap replication / migration consistency check two engines (or two
+    clusters) can both compute and compare, certified here by DuckDB
+    producing the identical 60-bit checksum. XOR fold means row ORDER
+    and PARTITIONING are provably irrelevant; a single changed row flips
+    the checksum with probability 1 − 2⁻⁶⁰."""
+    o = tables(spark, sf_dir)["orders"]
+    serialized = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(serialized), 1, 15), 16, 10).cast("bigint")
+    return o.select(rh.alias("rh")).agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(rh)").alias("checksum_xor"),
+    )

@@ -384,3 +384,135 @@ def x_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2.0 * F.col("sry") - (n_d + 1.0) * F.col("sy")) / (n_d * F.col("sy"))
         ).alias("gini"),
     )
+
+
+@query(
+    "x_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             DATE_DIFF('microsecond', ts,
+                       LEAD(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS w
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n_intervals,
+             CAST(SUM(CAST(w AS DECIMAL(28,0))) AS DOUBLE) AS sw,
+             CAST(SUM(CAST(w * v AS DECIMAL(28,0))) AS DOUBLE) AS swv
+      FROM seq
+      WHERE w IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT event_type, n_intervals,
+           (swv / sw) / 100.0 AS time_weighted_avg,
+           sw / 1000000.0 AS total_hold_secs
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def x_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type, where each
+    observation is held until the same USER's next event (the
+    last-value-carried-forward weighting used for position/price
+    series; a plain AVG over-weights bursts). Weights are exact
+    microsecond intervals from one user-partitioned LEAD window —
+    microseconds, not truncated seconds, so both engines count the
+    identical integers. Σw·v uses DECIMAL(28,0) per-row casts (interval
+    × cents exceeds 18 digits) and the final division runs in DOUBLE
+    with the identical expression in the oracle."""
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        _cents("value").alias("v"),
+        F.timestamp_diff("MICROSECOND", F.col("ts"), F.lead("ts").over(w)).alias(
+            "w"
+        ),
+    ).where(F.col("w").isNotNull())
+    s = seq.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(F.col("w").cast("decimal(28,0)")).cast("double").alias("sw"),
+        F.sum((F.col("w") * F.col("v")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("swv"),
+    )
+    return s.select(
+        "event_type",
+        "n_intervals",
+        ((F.col("swv") / F.col("sw")) / 100.0).alias("time_weighted_avg"),
+        (F.col("sw") / 1000000.0).alias("total_hold_secs"),
+    ).orderBy("event_type")
+
+
+@query(
+    "x_histogram_quantile",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderpriority AS prio,
+             CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bin,
+             COUNT(*) AS c
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT prio, bin, c,
+             CAST(SUM(c) OVER (PARTITION BY prio ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS a,
+             CAST(SUM(c) OVER (PARTITION BY prio
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n
+      FROM f
+    ),
+    q AS (SELECT unnest([50, 90, 99]) AS qp)
+    SELECT prio, qp,
+           CAST(bin * 1000 AS DOUBLE)
+             + 1000.0 * (CAST(qp * n - 100 * (a - c) AS DOUBLE)
+                         / CAST(100 * c AS DOUBLE)) AS quantile_est
+    FROM cum CROSS JOIN q
+    WHERE 100 * (a - c) < qp * n AND qp * n <= 100 * a
+    ORDER BY prio, qp
+    """,
+)
+def x_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 estimates from a fixed-width ($1000-bin) histogram
+    with linear interpolation inside the crossing bin — the MERGEABLE
+    quantile scheme (per-bin counts combine associatively across
+    partitions and across time, unlike exact sorted-value percentiles,
+    and the error is bounded by the bin width). The crossing bin for
+    quantile q is found with PURE INTEGER comparisons (``100·cum_prev <
+    q·n ≤ 100·cum`` — no float thresholds, so exactly one row matches
+    per (group, q) on both engines); only the final interpolation
+    divides, in DOUBLE, identically in the oracle. The per-group CDF
+    window is partitioned and bounded by the price domain (~500 bins)."""
+    o = tables(spark, sf_dir)["orders"]
+    f = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    run = (
+        Window.partitionBy("prio")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("prio").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = f.select(
+        "prio",
+        "bin",
+        "c",
+        F.sum("c").over(run).alias("a"),
+        F.sum("c").over(full).alias("n"),
+    )
+    qs = cum.withColumn("qp", F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))))
+    qp, n, a, c = (F.col(x) for x in ("qp", "n", "a", "c"))
+    crossing = qs.where((100 * (a - c) < qp * n) & (qp * n <= 100 * a))
+    est = (F.col("bin") * 1000).cast("double") + 1000.0 * (
+        (qp * n - 100 * (a - c)).cast("double") / (100 * c).cast("double")
+    )
+    return crossing.select(
+        "prio", "qp", est.alias("quantile_est")
+    ).orderBy("prio", "qp")

@@ -294,3 +294,46 @@ def join_view_click(
     ).select(
         F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
     )
+
+
+def join_view_click_outer(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    late_threshold: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    :func:`join_view_click`, but views with NO click inside the horizon
+    are still emitted, with NULL click columns. This is the semantics
+    the inner join cannot express — "which impressions converted, and
+    which did not" in one stream.
+
+    The outer semantics change WHEN rows can be emitted: an unmatched
+    view is only provably unmatched once the click-side watermark passes
+    ``view_ts + horizon``, so null-extended rows trail the watermark by
+    the horizon (inner matches still emit immediately). The same state
+    eviction math as the inner join applies — the time bound is what
+    keeps both state stores finite; Spark rejects an outer stream-stream
+    join without it.
+
+    Batch face (same condition, oracle-checked):
+    streaming.joins s8_view_click_left."""
+    v = views.withWatermark("ts", late_threshold).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", late_threshold).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
+    )

@@ -113,3 +113,49 @@ def s6_view_click_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("view_ts") + F.expr(f"INTERVAL {_FUNNEL_HORIZON}")
         ),
     ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+
+
+@query(
+    "s8_view_click_left",
+    oracle=f"""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           v.ts AS view_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '{_FUNNEL_HORIZON}'
+    """,
+)
+def s8_view_click_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, batch face: every view,
+    matched to same-user clicks within {h} — or null-extended if none
+    arrived. The outer face is the semantics s6's inner join cannot
+    express (unconverted impressions appear in the output), and in
+    streaming mode it is the shape that REQUIRES both watermarks plus
+    the time bound: Spark must prove a view unmatched before emitting
+    its null row, which only the click watermark passing
+    ``view_ts + horizon`` can do (engine.join_view_click_outer is the
+    live form; tests/test_streaming.py exercises it on micro-batches).
+
+    Scale: identical to s6 — user-keyed equi join with the interval as a
+    residual predicate, AQE skew-splitting hot users; the outer side
+    adds no extra state, only delayed emission."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {_FUNNEL_HORIZON}")
+        ),
+        "left",
+    ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")

@@ -203,3 +203,172 @@ def test_token_entropy_matches_python(spark, sf_dir):
         assert row.entropy_bits == pytest.approx(h_ref, abs=1e-6)
         assert 0.0 <= row.entropy_bits <= math.log2(len(d)) + 1e-9
         assert row.type_token_ratio == pytest.approx(len(d) / n, abs=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# x_time_weighted_avg — equals the python LOCF-weighted mean; differs from
+# the plain mean when holding times vary.
+# ---------------------------------------------------------------------------
+
+
+def test_time_weighted_avg_matches_python(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    by_user: dict[int, list] = {}
+    for r in ev.collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    sums: dict[str, list[int]] = {}
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for cur, nxt in zip(rows, rows[1:]):
+            w_us = round((nxt.ts - cur.ts).total_seconds() * 1_000_000)
+            s = sums.setdefault(cur.event_type, [0, 0, 0])
+            s[0] += 1
+            s[1] += w_us
+            s[2] += w_us * round(cur.value * 100)
+    got = {r.event_type: r for r in _rows(spark, sf_dir, "x_time_weighted_avg")}
+    assert set(got) == set(sums)
+    for et, (n, sw, swv) in sums.items():
+        assert got[et].n_intervals == n
+        assert got[et].time_weighted_avg == pytest.approx(swv / sw / 100.0, rel=1e-9)
+        assert got[et].total_hold_secs == pytest.approx(sw / 1e6, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# x_histogram_quantile — brackets the exact percentile within one bin
+# width, and is monotone in q.
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantile_brackets_exact_percentile(spark, sf_dir):
+    import math as _m
+
+    o = tables(spark, sf_dir)["orders"].select("o_orderpriority", "o_totalprice")
+    by_prio: dict[str, list[float]] = {}
+    for r in o.collect():
+        by_prio.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    got: dict[tuple[str, int], float] = {
+        (r.prio, r.qp): r.quantile_est
+        for r in _rows(spark, sf_dir, "x_histogram_quantile")
+    }
+    assert set(got) == {(p, q) for p in by_prio for q in (50, 90, 99)}
+    for prio, vals in by_prio.items():
+        vals.sort()
+        n = len(vals)
+        for q in (50, 90, 99):
+            est = got[(prio, q)]
+            # exact value at the ceil(q*n/100)-th order statistic lives in
+            # the crossing bin; the interpolated estimate must be within
+            # one bin width of it
+            exact = vals[_m.ceil(q * n / 100) - 1]
+            assert abs(est - exact) <= 1000.0
+        assert got[(prio, 50)] <= got[(prio, 90)] <= got[(prio, 99)]
+
+
+# ---------------------------------------------------------------------------
+# x_join_size_estimate — the exact pair count matches a python replay, and
+# the histogram estimate is sandwiched between exact and uniform (it can
+# only refine the coarser statistic).
+# ---------------------------------------------------------------------------
+
+
+def test_join_size_estimate_exact_and_bounds(spark, sf_dir):
+    import datetime
+
+    ev = tables(spark, sf_dir)["events"].select("user_id", "ts")
+    cut = datetime.datetime(2024, 1, 16)
+    c1: dict[int, int] = {}
+    c2: dict[int, int] = {}
+    for r in ev.collect():
+        d = c1 if r.ts < cut else c2
+        d[r.user_id] = d.get(r.user_id, 0) + 1
+    actual = sum(c * c2.get(u, 0) for u, c in c1.items())
+    [row] = _rows(spark, sf_dir, "x_join_size_estimate")
+    assert row.actual_pairs == actual
+    assert (row.n1, row.n2) == (sum(c1.values()), sum(c2.values()))
+    assert (row.ndv1, row.ndv2) == (len(c1), len(c2))
+    # per-bucket refinement never loosens the uniform estimate, and both
+    # under-estimate only when keys correlate more than uniform
+    assert row.est_histogram >= row.est_uniform - 1e-6
+    assert row.est_uniform > 0
+
+
+# ---------------------------------------------------------------------------
+# s8_view_click_left — superset of the inner join: same matched pairs,
+# plus exactly one null row per unmatched view.
+# ---------------------------------------------------------------------------
+
+
+def test_s8_outer_is_inner_plus_unmatched_views(spark, sf_dir):
+    inner = _rows(spark, sf_dir, "s6_view_click_funnel")
+    outer = _rows(spark, sf_dir, "s8_view_click_left")
+    inner_pairs = {(r.view_id, r.click_id) for r in inner}
+    outer_matched = {
+        (r.view_id, r.click_id) for r in outer if r.click_id is not None
+    }
+    assert outer_matched == inner_pairs
+    null_views = {r.view_id for r in outer if r.click_id is None}
+    matched_views = {v for v, _ in inner_pairs}
+    assert not (null_views & matched_views)
+    n_views = (
+        tables(spark, sf_dir)["events"]
+        .where("event_type = 'view'")
+        .count()
+    )
+    assert len(null_views) + len(matched_views) == n_views
+
+
+# ---------------------------------------------------------------------------
+# x_countmin_freq — CMS never under-estimates, and matches the python
+# sketch replay exactly.
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_matches_python_sketch(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"].select("user_id")
+    users = [r.user_id for r in ev.collect()]
+
+    def bucket(seed, u):
+        return int(hashlib.md5(f"{seed}-{u}".encode()).hexdigest()[:8], 16) % 256
+
+    row1: dict[int, int] = {}
+    row2: dict[int, int] = {}
+    exact: dict[int, int] = {}
+    for u in users:
+        row1[bucket(1, u)] = row1.get(bucket(1, u), 0) + 1
+        row2[bucket(2, u)] = row2.get(bucket(2, u), 0) + 1
+        exact[u] = exact.get(u, 0) + 1
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = _rows(spark, sf_dir, "x_countmin_freq")
+    assert [(r.user_id, r.exact_cnt) for r in got] == top
+    for r in got:
+        ref_est = min(row1[bucket(1, r.user_id)], row2[bucket(2, r.user_id)])
+        assert r.cms_est == ref_est
+        assert r.overestimate == ref_est - r.exact_cnt
+        assert r.overestimate >= 0, "CMS must never under-estimate"
+
+
+# ---------------------------------------------------------------------------
+# x_table_checksum — python XOR-fold replay; single-row sensitivity.
+# ---------------------------------------------------------------------------
+
+
+def test_table_checksum_matches_python_fold(spark, sf_dir):
+    o = tables(spark, sf_dir)["orders"].collect()
+    acc = 0
+    for r in o:
+        s = "|".join(
+            [
+                str(r.o_orderkey),
+                str(r.o_custkey),
+                r.o_orderstatus,
+                str(round(r.o_totalprice * 100)),
+                r.o_orderdate.date().isoformat(),
+                r.o_orderpriority,
+            ]
+        )
+        acc ^= int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    [row] = _rows(spark, sf_dir, "x_table_checksum")
+    assert row.n_rows == len(o)
+    assert row.checksum_xor == acc

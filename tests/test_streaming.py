@@ -386,3 +386,60 @@ def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
     finally:
         shutil.rmtree(views_dir, ignore_errors=True)
         shutil.rmtree(clicks_dir, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_views(spark, stream_dir):
+    """Outer-join face: a view with no click inside the horizon is
+    emitted null-extended ONCE the click watermark passes view_ts +
+    horizon; matched views emit pairs exactly like the inner join."""
+    import tempfile
+
+    from recommender_systems_pyspark_spark.streaming.engine import (
+        join_view_click_outer,
+    )
+
+    views_dir = tempfile.mkdtemp(prefix="views_stream_")
+    clicks_dir = tempfile.mkdtemp(prefix="clicks_stream_")
+    try:
+        views = [
+            _ev(1, "2024-01-01 00:00:00", user=1, typ="view"),  # clicked
+            _ev(2, "2024-01-01 00:30:00", user=2, typ="view"),  # click too late
+            _ev(3, "2024-01-01 00:40:00", user=3, typ="view"),  # never clicked
+        ]
+        clicks = [
+            _ev(10, "2024-01-01 00:20:00", user=1, typ="click"),  # joins view 1
+            _ev(11, "2024-01-01 02:00:00", user=2, typ="click"),  # > horizon
+        ]
+        _write_batch(views_dir, "batch0", views)
+        _write_batch(clicks_dir, "batch0", clicks)
+        # the GLOBAL watermark is the min across both inputs, so BOTH
+        # streams need far-future events before a buffered view is
+        # provably unmatched (ts + horizon < watermark) and its null row
+        # can release; two notches so the post-update batch runs
+        for i, t in ((1, "09:00:00"), (2, "10:00:00")):
+            _write_batch(
+                views_dir, f"batch{i}", [_ev(100 + i, f"2024-01-01 {t}", user=8, typ="view")]
+            )
+            _write_batch(
+                clicks_dir, f"batch{i}", [_ev(200 + i, f"2024-01-01 {t}", user=9, typ="click")]
+            )
+        joined = join_view_click_outer(
+            read_event_stream(spark, views_dir),
+            read_event_stream(spark, clicks_dir),
+        )
+        q = start_to_memory(joined, "funnel_outer")
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.view_id, r.click_id)
+                for r in spark.sql("SELECT * FROM funnel_outer").collect()
+            }
+        finally:
+            q.stop()
+        assert (1, 10) in got, "matched view must emit its pair"
+        assert (2, None) in got, "view whose click missed the horizon -> null row"
+        assert (3, None) in got, "never-clicked view -> null row"
+        assert (2, 11) not in got, "out-of-horizon click must not match"
+    finally:
+        shutil.rmtree(views_dir, ignore_errors=True)
+        shutil.rmtree(clicks_dir, ignore_errors=True)
