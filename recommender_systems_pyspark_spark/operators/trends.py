@@ -516,3 +516,175 @@ def x_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossing.select(
         "prio", "qp", est.alias("quantile_est")
     ).orderBy("prio", "qp")
+
+
+@query(
+    "x_ewma_halflife",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                           AS DECIMAL(18,0))) AS BIGINT) AS y
+      FROM events
+      GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, y,
+             LAG(y, 1) OVER w AS l1, LAG(y, 2) OVER w AS l2,
+             LAG(y, 3) OVER w AS l3, LAG(y, 4) OVER w AS l4,
+             LAG(y, 5) OVER w AS l5, LAG(y, 6) OVER w AS l6,
+             LAG(y, 7) OVER w AS l7, LAG(y, 8) OVER w AS l8,
+             LAG(y, 9) OVER w AS l9
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(y AS DOUBLE) / 100.0 AS daily_rev,
+           ((CAST(y AS DOUBLE) * 0.5
+             + COALESCE(CAST(l1 AS DOUBLE), 0) * 0.25
+             + COALESCE(CAST(l2 AS DOUBLE), 0) * 0.125
+             + COALESCE(CAST(l3 AS DOUBLE), 0) * 0.0625
+             + COALESCE(CAST(l4 AS DOUBLE), 0) * 0.03125
+             + COALESCE(CAST(l5 AS DOUBLE), 0) * 0.015625
+             + COALESCE(CAST(l6 AS DOUBLE), 0) * 0.0078125
+             + COALESCE(CAST(l7 AS DOUBLE), 0) * 0.00390625
+             + COALESCE(CAST(l8 AS DOUBLE), 0) * 0.001953125
+             + COALESCE(CAST(l9 AS DOUBLE), 0) * 0.0009765625)
+            / (0.5
+               + CASE WHEN l1 IS NULL THEN 0 ELSE 0.25 END
+               + CASE WHEN l2 IS NULL THEN 0 ELSE 0.125 END
+               + CASE WHEN l3 IS NULL THEN 0 ELSE 0.0625 END
+               + CASE WHEN l4 IS NULL THEN 0 ELSE 0.03125 END
+               + CASE WHEN l5 IS NULL THEN 0 ELSE 0.015625 END
+               + CASE WHEN l6 IS NULL THEN 0 ELSE 0.0078125 END
+               + CASE WHEN l7 IS NULL THEN 0 ELSE 0.00390625 END
+               + CASE WHEN l8 IS NULL THEN 0 ELSE 0.001953125 END
+               + CASE WHEN l9 IS NULL THEN 0 ELSE 0.0009765625 END))
+           / 100.0 AS ewma
+    FROM lagged
+    ORDER BY event_type, day
+    """,
+)
+def x_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (half-life = 1 day, 10-tap
+    kernel) of the daily revenue series per event type — smoothing with
+    NO libm: α = 1/2 makes every weight a DYADIC rational (2⁻¹ … 2⁻¹⁰),
+    exactly representable in binary floating point, and cent values fit
+    in ~22 bits, so every product and partial sum below the final
+    division is EXACT in IEEE double on both engines (the no-libm
+    doctrine's answer to exponential decay). Early rows renormalize over
+    the available taps. Ten LAGs share ONE partitioned window spec — a
+    single window pass over the per-day aggregate."""
+    ev = tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(_cents("value").cast("decimal(18,0)")).cast("bigint").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lags = {k: F.lag("y", k).over(w) for k in range(1, 10)}
+    weights = {k: 2.0 ** -(k + 1) for k in range(0, 10)}
+    num = F.col("y").cast("double") * F.lit(weights[0])
+    den = F.lit(weights[0])
+    for k in range(1, 10):
+        num = num + F.coalesce(lags[k].cast("double"), F.lit(0.0)) * F.lit(weights[k])
+        den = den + F.when(lags[k].isNull(), 0.0).otherwise(weights[k])
+    return (
+        daily.select(
+            "event_type",
+            F.col("day"),
+            (F.col("y").cast("double") / 100.0).alias("daily_rev"),
+            ((num / den) / 100.0).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "daily_rev",
+            "ewma",
+        )
+    )
+
+
+@query(
+    "x_abtest_lift",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             user_id % 2 AS variant,
+             CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       >= 14 THEN 1 ELSE 0 END AS converted
+      FROM events
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+             COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+             CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM assign
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS abs_lift,
+           (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+           / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+             AS z_score
+    FROM s
+    """,
+)
+def x_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test readout: deterministic hash assignment
+    (user_id parity), per-user conversion flag (≥14 purchases — the
+    high-frequency-purchaser bar; the fixture's per-user purchase rate
+    saturates a ≥1 bar to p=1, which degenerates the z denominator),
+    conversion
+    rates, absolute lift, and the pooled two-proportion z-statistic —
+    the experimentation primitive, computed end-to-end with one
+    user-keyed aggregate plus a 1-row combine. The z formula uses only
+    +,−,×,÷,√ on exact integer inputs, written identically in the
+    oracle (the engine's stats-testing family: a19 chi-square,
+    x_ks_two_sample, and this)."""
+    ev = tables(spark, sf_dir)["events"]
+    assign = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14, 1
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    s = assign.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    p_a, p_b = ca / n_a, cb / n_b
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (p_b - p_a) / F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b))
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        (p_b - p_a).alias("abs_lift"),
+        z.alias("z_score"),
+    )

@@ -372,3 +372,65 @@ def test_table_checksum_matches_python_fold(spark, sf_dir):
     [row] = _rows(spark, sf_dir, "x_table_checksum")
     assert row.n_rows == len(o)
     assert row.checksum_xor == acc
+
+
+# ---------------------------------------------------------------------------
+# x_ewma_halflife — dyadic weights make the kernel exactly representable;
+# python replay matches bit-for-bit (not just approximately).
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_python_exactly(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"].select("event_type", "ts", "value")
+    daily: dict[tuple[str, object], int] = {}
+    for r in ev.collect():
+        k = (r.event_type, r.ts.date())
+        daily[k] = daily.get(k, 0) + round(r.value * 100)
+    series: dict[str, list[tuple[object, int]]] = {}
+    for (et, day) in sorted(daily, key=lambda k: (k[0], k[1])):
+        series.setdefault(et, []).append((day, daily[(et, day)]))
+    got = {(r.event_type, r.day): r for r in _rows(spark, sf_dir, "x_ewma_halflife")}
+    for et, pts in series.items():
+        for i, (day, y) in enumerate(pts):
+            num = den = 0.0
+            for k in range(0, 10):
+                if i - k < 0:
+                    break
+                wgt = 2.0 ** -(k + 1)
+                num += pts[i - k][1] * wgt
+                den += wgt
+            row = got[(et, day.isoformat())]
+            assert row.daily_rev == y / 100.0
+            # dyadic weights + integer cents → exact until the division
+            assert row.ewma == (num / den) / 100.0
+
+
+# ---------------------------------------------------------------------------
+# x_abtest_lift — matches the python two-proportion z-test; variants
+# partition the users.
+# ---------------------------------------------------------------------------
+
+
+def test_abtest_matches_python_ztest(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"].select("user_id", "event_type")
+    per_user: dict[int, int] = {}
+    for r in ev.collect():
+        per_user.setdefault(r.user_id, 0)
+        if r.event_type == "purchase":
+            per_user[r.user_id] += 1
+    n = {0: 0, 1: 0}
+    conv = {0: 0, 1: 0}
+    for u, np_ in per_user.items():
+        v = u % 2
+        n[v] += 1
+        conv[v] += 1 if np_ >= 14 else 0
+    [row] = _rows(spark, sf_dir, "x_abtest_lift")
+    assert (row.n_a, row.n_b) == (n[0], n[1])
+    assert (row.conv_a, row.conv_b) == (conv[0], conv[1])
+    p_a, p_b = conv[0] / n[0], conv[1] / n[1]
+    pool = (conv[0] + conv[1]) / (n[0] + n[1])
+    z = (p_b - p_a) / math.sqrt(pool * (1 - pool) * (1 / n[0] + 1 / n[1]))
+    assert row.p_a == pytest.approx(p_a, rel=1e-12)
+    assert row.p_b == pytest.approx(p_b, rel=1e-12)
+    assert row.abs_lift == pytest.approx(p_b - p_a, rel=1e-12)
+    assert row.z_score == pytest.approx(z, rel=1e-12)
