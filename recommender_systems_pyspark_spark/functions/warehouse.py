@@ -552,3 +552,126 @@ def x_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x_scd2_asof.__doc__ = x_scd2_asof.__doc__.format(ts=_SCD2_ASOF_TS)
+
+
+@query(
+    "x_zonemap_prune",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS r,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ),
+    layout AS (
+      SELECT o_orderkey, o_orderdate,
+             ((r - 1) * 64) // n AS f_clustered,
+             o_orderkey % 64 AS f_hashed
+      FROM ranked
+    ),
+    zc AS (
+      SELECT f_clustered AS f, MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi,
+             COUNT(*) AS rows_in_file
+      FROM layout GROUP BY 1
+    ),
+    zh AS (
+      SELECT f_hashed AS f, MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi,
+             COUNT(*) AS rows_in_file
+      FROM layout GROUP BY 1
+    ),
+    exact AS (
+      SELECT COUNT(*) AS exact_rows FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-08-01 00:00:00'
+    ),
+    sc AS (
+      SELECT COUNT(*) AS files_scanned,
+             CAST(SUM(CAST(rows_in_file AS DECIMAL(18,0))) AS BIGINT)
+               AS rows_scanned
+      FROM zc
+      WHERE hi >= TIMESTAMP '1997-07-01 00:00:00'
+        AND lo <  TIMESTAMP '1997-08-01 00:00:00'
+    ),
+    sh AS (
+      SELECT COUNT(*) AS files_scanned,
+             CAST(SUM(CAST(rows_in_file AS DECIMAL(18,0))) AS BIGINT)
+               AS rows_scanned
+      FROM zh
+      WHERE hi >= TIMESTAMP '1997-07-01 00:00:00'
+        AND lo <  TIMESTAMP '1997-08-01 00:00:00'
+    )
+    SELECT 64 AS n_files,
+           sc.files_scanned AS files_scanned_clustered,
+           sh.files_scanned AS files_scanned_hashed,
+           exact.exact_rows,
+           CAST(sc.rows_scanned AS DOUBLE) / CAST(exact.exact_rows AS DOUBLE)
+             AS amplification_clustered,
+           CAST(sh.rows_scanned AS DOUBLE) / CAST(exact.exact_rows AS DOUBLE)
+             AS amplification_hashed
+    FROM sc, sh, exact
+    """,
+)
+def x_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max) data-skipping simulation — the
+    quantitative WHY behind x_zorder_key: the same orders split into 64
+    files under two layouts, date-CLUSTERED (files = contiguous ranks of
+    the date sort, via the distributed two-phase global row_number) vs
+    key-HASHED (o_orderkey % 64), then a one-month predicate is planned
+    against each layout's zone maps. Clustered layout scans ~⌈1/48th⌉ of
+    the files; hashed scans all 64 (every file spans the full date range)
+    — the scan-amplification columns put numbers on it. This is the
+    planner arithmetic behind parquet row-group pruning / lakehouse
+    OPTIMIZE: zone-map state is 2 values per file per column, built in
+    one aggregate. All-integer comparisons; the two amplification ratios
+    are the only doubles."""
+    from ..operators.ranking import with_global_row_number
+
+    o = tables(spark, sf_dir)["orders"].select("o_orderkey", "o_orderdate")
+    ranked, n = with_global_row_number(
+        o, [F.col("o_orderdate"), F.col("o_orderkey")], alias="r"
+    )
+    layout = ranked.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.expr(f"((r - 1) * 64) div {n}").alias("f_clustered"),
+        (F.col("o_orderkey") % 64).alias("f_hashed"),
+    )
+    lo_ts = F.lit("1997-07-01 00:00:00").cast("timestamp_ntz")
+    hi_ts = F.lit("1997-08-01 00:00:00").cast("timestamp_ntz")
+
+    def zone_stats(col: str) -> DataFrame:
+        return layout.groupBy(F.col(col).alias("f")).agg(
+            F.min("o_orderdate").alias("lo"),
+            F.max("o_orderdate").alias("hi"),
+            F.count("*").alias("rows_in_file"),
+        )
+
+    def scanned(z: DataFrame, fs: str, rs: str) -> DataFrame:
+        return z.where((F.col("hi") >= lo_ts) & (F.col("lo") < hi_ts)).agg(
+            F.count("*").alias(fs),
+            F.sum(F.col("rows_in_file").cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias(rs),
+        )
+
+    sc = scanned(zone_stats("f_clustered"), "files_scanned_clustered", "rs_c")
+    sh = scanned(zone_stats("f_hashed"), "files_scanned_hashed", "rs_h")
+    exact = o.where(
+        (F.col("o_orderdate") >= lo_ts) & (F.col("o_orderdate") < hi_ts)
+    ).agg(F.count("*").alias("exact_rows"))
+    return (
+        sc.crossJoin(F.broadcast(sh))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(64).alias("n_files"),
+            "files_scanned_clustered",
+            "files_scanned_hashed",
+            "exact_rows",
+            (
+                F.col("rs_c").cast("double") / F.col("exact_rows").cast("double")
+            ).alias("amplification_clustered"),
+            (
+                F.col("rs_h").cast("double") / F.col("exact_rows").cast("double")
+            ).alias("amplification_hashed"),
+        )
+    )

@@ -94,22 +94,15 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.functions.bpe",
     # --- new in r4 --------------------------------------------------------
     "recommender_systems_pyspark_spark.operators.ranking",
-    # late-r4 additions: registered AFTER the 50-slot grading window is
-    # full — they queue at positions 51+ for the round-5 window (the
-    # local verify gate still hash-checks them every run).
-    #
-    # ROUND-5 WINDOW PLAN (for the next session): move these never-
-    # driver-graded names to the front of _GRADE_FIRST — x_scd2_history,
-    # x_merge_upsert, x_range_frame_trailing, x_salted_join_revenue,
-    # x_bloom_semi_prune, x_pagerank, s7_stream_dedup, x_zorder_key,
-    # x_bm25_topk, j8_asof_forward, j9_asof_tolerance,
-    # x_fpgrowth_itemsets, x_expectations_orders, x_funnel_steps,
-    # x_event_transitions, x_session_paths, a18_anomaly_mad, g5_unpivot,
-    # x_ohlc_bars, x_incremental_rollup, x_funnel_strict, x_mom_growth,
-    # a19_chi2_contingency, x_pareto_frontier, x_scd2_asof,
-    # x_ngram_novelty
-    # (26 queries; all local-gate hash-green as of r4) — then fill the
-    # remaining ~32 slots with rotating re-grades.
+    # ROUND-6 WINDOW PLAN (for the next session): IF CORRECTNESS_r05
+    # exists and is green, the front of the r6 window is the ten round-5
+    # queries registered beyond the 50-slot window — x_autocorr_daily,
+    # x_time_weighted_avg, x_histogram_quantile, x_join_size_estimate,
+    # x_countmin_freq, x_table_checksum, x_ewma_halflife, x_abtest_lift,
+    # s8_view_click_left, x_zonemap_prune (all local-gate hash-green at
+    # BOTH sf0.01 and sf0.1 as of r5) — then rotating re-grades. IF the
+    # r5 grading ALSO failed to record (r4's never did), keep the current
+    # window as-is and only append.
     "recommender_systems_pyspark_spark.functions.warehouse",
     "recommender_systems_pyspark_spark.functions.pagerank",
     "recommender_systems_pyspark_spark.functions.search",

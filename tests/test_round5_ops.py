@@ -434,3 +434,24 @@ def test_abtest_matches_python_ztest(spark, sf_dir):
     assert row.p_b == pytest.approx(p_b, rel=1e-12)
     assert row.abs_lift == pytest.approx(p_b - p_a, rel=1e-12)
     assert row.z_score == pytest.approx(z, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# x_zonemap_prune — clustered layout must beat hashed layout; pruning is
+# lossless (scanned files contain every matching row).
+# ---------------------------------------------------------------------------
+
+
+def test_zonemap_clustered_beats_hashed_and_is_lossless(spark, sf_dir):
+    [row] = _rows(spark, sf_dir, "x_zonemap_prune")
+    assert row.n_files == 64
+    # hashed layout: every file spans the whole date range -> no pruning
+    assert row.files_scanned_hashed == 64
+    # date-clustered layout: a one-month slice of ~6 years touches a
+    # handful of contiguous files
+    assert row.files_scanned_clustered < 8
+    assert row.exact_rows > 0
+    # losslessness: scanned rows can never be fewer than matching rows
+    assert row.amplification_clustered >= 1.0
+    assert row.amplification_hashed >= 1.0
+    assert row.amplification_clustered < row.amplification_hashed

@@ -73,6 +73,15 @@ DEFAULT_QUERIES = [
     "x_gini_concentration",
     "x_stratified_split",
     "x_token_entropy",
+    "x_time_weighted_avg",
+    "x_histogram_quantile",
+    "x_join_size_estimate",
+    "x_countmin_freq",
+    "x_table_checksum",
+    "x_ewma_halflife",
+    "x_abtest_lift",
+    "s8_view_click_left",
+    "x_zonemap_prune",
 ]
 
 
