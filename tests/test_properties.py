@@ -147,3 +147,83 @@ def test_global_rank_and_ntile_property(spark, vals, n_parts, n_tiles):
     assert {(r.id, r.t) for r in got_t.select("id", "t").collect()} == {
         (r.id, r.t) for r in want_t.collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-5 primitives: histogram-quantile bracketing and checksum
+# sensitivity, as pure-Python properties of the algorithms the queries
+# implement (the Spark forms are oracle-gated; these pin the math on
+# adversarial inputs fixtures won't produce).
+# ---------------------------------------------------------------------------
+
+
+def _hist_quantile(values, qp, width):
+    """Python replica of x_histogram_quantile's crossing-bin rule."""
+    bins = {}
+    for v in values:
+        b = int(v // width)
+        bins[b] = bins.get(b, 0) + 1
+    n = len(values)
+    a = 0
+    for b in sorted(bins):
+        c = bins[b]
+        prev = a
+        a += c
+        if 100 * prev < qp * n <= 100 * a:
+            return b * width + width * ((qp * n - 100 * prev) / (100 * c))
+    raise AssertionError("no crossing bin")
+
+
+@given(
+    values=st.lists(
+        st.integers(0, 10_000).map(lambda v: v / 10.0), min_size=1, max_size=300
+    ),
+    qp=st.sampled_from([1, 25, 50, 75, 90, 99, 100]),
+)
+@settings(max_examples=200, deadline=None)
+def test_histogram_quantile_brackets_order_statistic(values, qp):
+    """The interpolated estimate always lands inside [bin_lo, bin_hi] of
+    the bin containing the ceil(q·n/100)-th order statistic — i.e. the
+    histogram scheme's error is bounded by one bin width for EVERY input,
+    including empty bins, ties, and q=100."""
+    import math as m
+
+    width = 100.0
+    est = _hist_quantile(values, qp, width)
+    exact = sorted(values)[m.ceil(qp * len(values) / 100) - 1]
+    assert exact // width * width <= est <= exact // width * width + width
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9999), st.text(max_size=6)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda r: r[0],
+    ),
+    flip=st.integers(0, 49),
+)
+@settings(max_examples=200, deadline=None)
+def test_xor_checksum_detects_any_single_row_change(rows, flip):
+    """Flipping one row's payload changes the XOR-fold fingerprint, and
+    permuting rows never does — the two properties x_table_checksum's
+    replication check rests on."""
+    import hashlib
+    import random
+
+    def fold(rs):
+        acc = 0
+        for k, payload in rs:
+            acc ^= int(
+                hashlib.md5(f"{k}|{payload}".encode()).hexdigest()[:15], 16
+            )
+        return acc
+
+    base = fold(rows)
+    shuffled = rows[:]
+    random.Random(42).shuffle(shuffled)
+    assert fold(shuffled) == base, "order independence"
+    i = flip % len(rows)
+    changed = rows[:]
+    changed[i] = (changed[i][0], changed[i][1] + "~")
+    assert fold(changed) != base, "single-row sensitivity"
