@@ -83,7 +83,12 @@ def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number (version) all share the ``user_id`` partitioning, so
     Catalyst plans a single Exchange for the whole chain. Ties on ``ts``
     are broken by the unique ``event_id``."""
-    ev = tables(spark, sf_dir)["events"]
+    return scd2_history(tables(spark, sf_dir)["events"])
+
+
+def scd2_history(ev: DataFrame) -> DataFrame:
+    """The x_scd2_history plan as a reusable primitive (also feeds
+    x_scd2_asof and x_scd2_event_enrich)."""
     w_scan = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w_scan))
@@ -674,4 +679,69 @@ def x_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rs_h").cast("double") / F.col("exact_rows").cast("double")
             ).alias("amplification_hashed"),
         )
+    )
+
+
+@query(
+    "x_scd2_event_enrich",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ), hist AS (
+      SELECT user_id, event_type AS state_type, valid_from,
+             lead(valid_from) OVER w AS valid_to,
+             CAST(row_number() OVER w AS BIGINT) AS state_version
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           h.state_type, h.state_version
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.valid_from <= p.ts
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    ORDER BY p.event_id
+    """,
+)
+def x_scd2_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal fact enrichment: every purchase joined to the SCD2
+    dimension VERSION that was valid at the purchase's own timestamp —
+    the point-in-time-correct join a plain dimension join silently gets
+    wrong (it would stamp facts with today's attributes). Composes two
+    certified primitives: the scd2_history build and the user-keyed
+    interval join (equi join on user with the half-open validity range as
+    a residual predicate — the s6 shape, AQE-skew-safe; intervals
+    partition each user's timeline, so exactly ONE version matches per
+    fact, which the pytest asserts). At warehouse scale the history side
+    is dimension-sized, orders of magnitude under the fact side, and both
+    shuffles key on user_id."""
+    ev = tables(spark, sf_dir)["events"]
+    hist = scd2_history(ev).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        "valid_to",
+        F.col("version").alias("state_version"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        p.join(
+            hist,
+            (F.col("user_id") == F.col("h_user"))
+            & (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select("event_id", "user_id", "ts", "state_type", "state_version")
+        .orderBy("event_id")
     )

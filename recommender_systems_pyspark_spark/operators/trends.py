@@ -688,3 +688,62 @@ def x_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p_b - p_a).alias("abs_lift"),
         z.alias("z_score"),
     )
+
+
+@query(
+    "x_rolling_distinct_7d",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    bounds AS (SELECT MAX(day) AS max_day FROM pairs),
+    dau AS (SELECT day, COUNT(*) AS dau FROM pairs GROUP BY 1),
+    covered AS (
+      SELECT DISTINCT p.day + f.k AS day, p.user_id
+      FROM pairs p, LATERAL (SELECT CAST(unnest(range(0, 7)) AS INTEGER) AS k) f
+      WHERE p.day + f.k <= (SELECT max_day FROM bounds)
+    ),
+    wau AS (SELECT day, COUNT(*) AS wau_7d FROM covered GROUP BY 1)
+    SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau_7d,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau_7d AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY day
+    """,
+)
+def x_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling distinct users (WAU) next to daily distinct
+    (DAU) and the DAU/WAU stickiness ratio. COUNT(DISTINCT) over a
+    sliding window has no mergeable state — the scale form used here
+    maps each (day, user) presence onto the ≤7 trailing windows it
+    belongs to (a BOUNDED 7× fan-out of the deduplicated day-user
+    pairs, NOT of raw events) and deduplicates per covered day: two
+    uniform-key shuffles, zero growing state, works identically in a
+    backfill or an incremental refresh. The same trick generalizes to
+    any trailing-k distinct; k bounds cost linearly."""
+    ev = tables(spark, sf_dir)["events"]
+    pairs = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    )
+    max_day = pairs.agg(F.max("day").alias("max_day"))
+    dau = pairs.groupBy("day").agg(F.count("*").alias("dau"))
+    covered = (
+        pairs.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .select(F.date_add(F.col("day"), F.col("k")).alias("day"), "user_id")
+        .crossJoin(F.broadcast(max_day))
+        .where(F.col("day") <= F.col("max_day"))
+        .select("day", "user_id")
+        .distinct()
+    )
+    wau = covered.groupBy("day").agg(F.count("*").alias("wau_7d"))
+    return (
+        dau.join(wau, "day")
+        .orderBy("day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau_7d",
+            (F.col("dau").cast("double") / F.col("wau_7d").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )

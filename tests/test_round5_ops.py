@@ -455,3 +455,57 @@ def test_zonemap_clustered_beats_hashed_and_is_lossless(spark, sf_dir):
     assert row.amplification_clustered >= 1.0
     assert row.amplification_hashed >= 1.0
     assert row.amplification_clustered < row.amplification_hashed
+
+
+# ---------------------------------------------------------------------------
+# x_rolling_distinct_7d — equals the brute-force trailing-window distinct;
+# WAU ≥ DAU; stickiness in (0, 1].
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_distinct_matches_bruteforce(spark, sf_dir):
+    import datetime
+
+    ev = tables(spark, sf_dir)["events"].select("ts", "user_id")
+    by_day: dict[datetime.date, set] = {}
+    for r in ev.collect():
+        by_day.setdefault(r.ts.date(), set()).add(r.user_id)
+    got = _rows(spark, sf_dir, "x_rolling_distinct_7d")
+    assert len(got) == len(by_day)
+    for r in got:
+        day = datetime.date.fromisoformat(r.day)
+        window_users = set()
+        for k in range(0, 7):
+            window_users |= by_day.get(day - datetime.timedelta(days=k), set())
+        assert r.dau == len(by_day[day])
+        assert r.wau_7d == len(window_users)
+        assert r.wau_7d >= r.dau
+        assert 0.0 < r.stickiness <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# x_scd2_event_enrich — exactly one dimension version per fact; the
+# version really is the one valid at the fact's timestamp.
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_enrich_point_in_time_correct(spark, sf_dir):
+    enriched = _rows(spark, sf_dir, "x_scd2_event_enrich")
+    hist = _rows(spark, sf_dir, "x_scd2_history")
+    purchases = (
+        tables(spark, sf_dir)["events"].where("event_type = 'purchase'").collect()
+    )
+    assert len(enriched) == len(purchases), "exactly one version per fact"
+    assert len({r.event_id for r in enriched}) == len(enriched)
+    by_user: dict[int, list] = {}
+    for h in hist:
+        by_user.setdefault(h.user_id, []).append(h)
+    for r in enriched:
+        [match] = [
+            h
+            for h in by_user[r.user_id]
+            if h.valid_from <= r.ts and (h.valid_to is None or r.ts < h.valid_to)
+        ]
+        assert (match.event_type, match.version) == (r.state_type, r.state_version)
+        # a purchase observed at ts must sit inside a 'purchase' state run
+        assert r.state_type == "purchase"
