@@ -21,7 +21,7 @@ map-only over the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.ranking import with_global_ntile
@@ -33,6 +33,49 @@ from .similarity import dot
 #: space-separated tokens; 'the'/'a' are its function words).
 _STOPWORDS = ("the", "a", "of", "and", "to", "in")
 _SQL_STOPWORDS = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+def gopher_metrics() -> dict[str, Column]:
+    """The Gopher-rule expressions over a ``text`` column, shared by
+    x_quality_gopher and the x_dataset_publish_e2e composition (one
+    definition so the gate and the pipeline can never drift)."""
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws)
+    mean_len = (
+        F.aggregate(
+            F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / n_words
+    )
+    stop_count = F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("bigint")
+    alpha_frac = (
+        F.size(F.filter(ws, lambda w: w.rlike("^[a-z]+$"))).cast("double") / n_words
+    )
+    keep = (
+        n_words.between(20, 100000)
+        & mean_len.between(2, 12)
+        & (stop_count >= 2)
+        & (alpha_frac >= 0.8)
+    )
+    return {
+        "n_words": n_words,
+        "mean_len": mean_len,
+        "stop_count": stop_count,
+        "alpha_frac": alpha_frac,
+        "keep": keep,
+    }
+
+
+#: DuckDB twin of gopher_metrics()["keep"] as a WHERE-clause body.
+SQL_GOPHER_KEEP = f"""
+          (len(ws) BETWEEN 20 AND 100000)
+          AND (CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+                 / len(ws) BETWEEN 2 AND 12)
+          AND len(list_filter(ws, x -> x IN ({_SQL_STOPWORDS}))) >= 2
+          AND CAST(len(list_filter(ws, x -> regexp_full_match(x, '[a-z]+')))
+                   AS DOUBLE) / len(ws) >= 0.8
+"""
+
 
 
 @query(
@@ -63,23 +106,13 @@ def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 80% alphabetic words). All metrics are higher-order array functions
     over one split — single map-only pass, no shuffle, no UDF."""
     t = tables(spark, sf_dir)
-    ws = F.split(F.col("text"), " ")
-    n_words = F.size(ws)
-    mean_len = (
-        F.aggregate(
-            F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
-        ).cast("double")
-        / n_words
-    )
-    stop_count = F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("bigint")
-    alpha_frac = (
-        F.size(F.filter(ws, lambda w: w.rlike("^[a-z]+$"))).cast("double") / n_words
-    )
-    keep = (
-        n_words.between(20, 100000)
-        & mean_len.between(2, 12)
-        & (stop_count >= 2)
-        & (alpha_frac >= 0.8)
+    m = gopher_metrics()
+    n_words, mean_len, stop_count, alpha_frac, keep = (
+        m["n_words"],
+        m["mean_len"],
+        m["stop_count"],
+        m["alpha_frac"],
+        m["keep"],
     )
     return t["documents"].select(
         "doc_id",

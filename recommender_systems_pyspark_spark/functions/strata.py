@@ -158,3 +158,111 @@ def x_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("type_token_ratio"),
     ).orderBy("lang")
+
+
+def _sql_publish() -> str:
+    from .corpus import SQL_GOPHER_KEEP
+
+    return f"""
+    WITH w AS (
+      SELECT doc_id, n_chars, text, string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    q AS (SELECT doc_id, n_chars, text FROM w WHERE {SQL_GOPHER_KEEP}),
+    hashed AS (
+      SELECT doc_id, n_chars, sha256(lower(trim(text))) AS h FROM q
+    ),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM hashed GROUP BY h),
+    kept AS (
+      SELECT hashed.doc_id, hashed.n_chars
+      FROM hashed JOIN keepers USING (doc_id)
+    ),
+    placed AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             ('0x' || substr(md5('s-' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 4 AS shard
+      FROM kept
+    )
+    SELECT split, shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT) AS manifest_xor
+    FROM placed
+    GROUP BY 1, 2
+    ORDER BY split, shard
+    """
+
+
+@query("x_dataset_publish_e2e", oracle=_sql_publish())
+def x_dataset_publish_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-DELIVERY tail of corpus curation, composed end-to-end
+    from certified primitives: Gopher quality gate (shared
+    ``gopher_metrics`` expression — the gate and this pipeline cannot
+    drift) → exact sha256 dedup with keep-lowest-id election → md5
+    stratified 80/10/10 split → md5 shard assignment (4 shards) →
+    per-(split, shard) manifest with doc count, char total, and an
+    order-independent XOR content fingerprint (the x_table_checksum
+    idiom). The manifest is what a training job consumes; the XOR
+    fingerprint is what lets the consumer VERIFY a shard without
+    re-reading the corpus. Plan: one map-only gate, one hash-keyed
+    dedup shuffle, one keeper semi-join, then a single bounded-key
+    aggregate — the whole funnel replays in the SQL oracle."""
+    docs = tables(spark, sf_dir)["documents"]
+    q = docs.where(gopher_metrics_keep()).select("doc_id", "n_chars", "text")
+    hashed = q.select(
+        "doc_id",
+        "n_chars",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"),
+    )
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = hashed.join(keepers.select("doc_id"), "doc_id").select(
+        "doc_id", "n_chars"
+    )
+    bucket = split_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s-"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4
+    )
+    manifest_hash = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return (
+        kept.select(
+            split.alias("split"),
+            shard.alias("shard"),
+            "n_chars",
+            manifest_hash.alias("mh"),
+        )
+        .groupBy("split", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("total_chars"),
+            F.expr("bit_xor(mh)").alias("manifest_xor"),
+        )
+        .orderBy("split", "shard")
+    )
+
+
+def gopher_metrics_keep():
+    """The shared Gopher keep expression (import indirection keeps the
+    module import graph acyclic at definition time)."""
+    from .corpus import gopher_metrics
+
+    return gopher_metrics()["keep"]

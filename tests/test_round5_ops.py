@@ -509,3 +509,41 @@ def test_scd2_enrich_point_in_time_correct(spark, sf_dir):
         assert (match.event_type, match.version) == (r.state_type, r.state_version)
         # a purchase observed at ts must sit inside a 'purchase' state run
         assert r.state_type == "purchase"
+
+
+# ---------------------------------------------------------------------------
+# x_dataset_publish_e2e — funnel monotonicity and manifest consistency
+# against independently-computed stage outputs.
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_publish_composes_certified_stages(spark, sf_dir):
+    quality = {r.doc_id for r in _rows(spark, sf_dir, "x_quality_gopher") if r.keep}
+    docs = {
+        r.doc_id: r
+        for r in tables(spark, sf_dir)["documents"].collect()
+    }
+    # replay dedup over the quality survivors
+    by_hash: dict[str, int] = {}
+    for d in sorted(quality):
+        h = hashlib.sha256(docs[d].text.lower().strip().encode()).hexdigest()
+        by_hash.setdefault(h, d)
+    kept = set(by_hash.values())
+    manifest = _rows(spark, sf_dir, "x_dataset_publish_e2e")
+    assert sum(r.n_docs for r in manifest) == len(kept)
+    # replay placement + fingerprint per cell
+    cells: dict[tuple[str, int], list[int]] = {}
+    for d in kept:
+        b = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        shard = int(hashlib.md5(f"s-{d}".encode()).hexdigest()[:8], 16) % 4
+        cells.setdefault((split, shard), []).append(d)
+    assert {(r.split, r.shard) for r in manifest} == set(cells)
+    for r in manifest:
+        ids = cells[(r.split, r.shard)]
+        assert r.n_docs == len(ids)
+        assert r.total_chars == sum(docs[d].n_chars for d in ids)
+        acc = 0
+        for d in ids:
+            acc ^= int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+        assert r.manifest_xor == acc
