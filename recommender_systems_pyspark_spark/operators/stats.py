@@ -823,3 +823,170 @@ def x_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.expr("bit_xor(rh)").alias("checksum_xor"),
     )
+
+
+#: log10(1 + 1/d) for d = 1..9, as exact double literals — Benford's
+#: expected first-digit frequencies, hardcoded so NO engine evaluates a
+#: log (libm results differ cross-engine in the last ulp).
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+@query(
+    "x_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM orders
+    ),
+    c AS (
+      SELECT d, COUNT(*) AS observed,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+      FROM digits GROUP BY d
+    )
+    SELECT d, observed,
+           CAST(observed AS DOUBLE) / CAST(n AS DOUBLE) AS observed_freq,
+           CASE d {' '.join(f"WHEN {d} THEN CAST('{f!r}' AS DOUBLE)" for d, f in _BENFORD.items())}
+           END AS benford_freq,
+           (CAST(observed AS DOUBLE)
+            - CASE d {' '.join(f"WHEN {d} THEN CAST('{f!r}' AS DOUBLE)" for d, f in _BENFORD.items())}
+              END * CAST(n AS DOUBLE))
+           * (CAST(observed AS DOUBLE)
+              - CASE d {' '.join(f"WHEN {d} THEN CAST('{f!r}' AS DOUBLE)" for d, f in _BENFORD.items())}
+                END * CAST(n AS DOUBLE))
+           / (CASE d {' '.join(f"WHEN {d} THEN CAST('{f!r}' AS DOUBLE)" for d, f in _BENFORD.items())}
+              END * CAST(n AS DOUBLE)) AS chi2_contrib
+    FROM c
+    ORDER BY d
+    """,
+)
+def x_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the classic
+    fraud / data-fabrication screen. The leading digit comes from the
+    CENTS integer's decimal string (identical on both engines; no float
+    formatting), expected frequencies are the nine ``log10(1+1/d)``
+    values hardcoded as exact double literals (the no-libm doctrine:
+    neither engine evaluates a log; the oracle passes them as STRING
+    casts — DuckDB's bare numeric literal parses through DECIMAL and is
+    NOT correctly rounded to double, off by 1 ulp on d=3), and each
+    digit's χ² contribution is
+    the identical +,−,×,÷ sequence. One map-side digit projection + one
+    9-key hash aggregate; the grand total rides the aggregate as a
+    window over 9 rows."""
+    o = tables(spark, sf_dir)["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
+    c = o.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("observed"))
+    from pyspark.sql import Window
+
+    n = F.sum("observed").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    ).cast("bigint")
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )[F.col("d")]
+    obs_d = F.col("observed").cast("double")
+    n_d = F.col("n").cast("double")
+    expected = benford * n_d
+    return (
+        c.withColumn("n", n)
+        .select(
+            "d",
+            "observed",
+            (obs_d / n_d).alias("observed_freq"),
+            benford.alias("benford_freq"),
+            ((obs_d - expected) * (obs_d - expected) / expected).alias(
+                "chi2_contrib"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "x_basket_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 500 AS item FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    singles AS (SELECT item, COUNT(*) AS c FROM baskets GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_c
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, pair_c,
+           CAST(pair_c AS DOUBLE) / CAST(sa.c AS DOUBLE) AS confidence,
+           CAST(pair_c AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN singles sa ON sa.item = item_a
+    JOIN singles sb ON sb.item = item_b
+    CROSS JOIN n
+    ORDER BY pair_c DESC, item_a, item_b
+    LIMIT 20
+    """,
+)
+def x_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchase associations with support, confidence and lift
+    — the relational association query (support counts exact; compare
+    x_fpgrowth_itemsets, which certifies the MLlib PFP trainer producing
+    the same supports). Items are coarsened (partkey % 500) so pairs
+    recur. The pair join is basket-keyed (order) with constant fan-out —
+    baskets hold 4-7 items, so the self-join is Σ|basket|², linear in
+    orders; singles broadcast into the pair frame; total order on
+    (support desc, pair) makes the LIMIT deterministic."""
+    li = tables(spark, sf_dir)["lineitem"]
+    baskets = li.select(
+        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    singles = baskets.groupBy("item").agg(F.count("*").alias("c"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("pair_c"))
+    )
+    sa = singles.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
+    sb = singles.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_c",
+            (F.col("pair_c").cast("double") / F.col("ca").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                F.col("pair_c").cast("double")
+                * F.lit(float(n_orders))
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_c").desc(), "item_a", "item_b")
+        .limit(20)
+    )

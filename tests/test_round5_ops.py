@@ -547,3 +547,62 @@ def test_dataset_publish_composes_certified_stages(spark, sf_dir):
         for d in ids:
             acc ^= int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
         assert r.manifest_xor == acc
+
+
+# ---------------------------------------------------------------------------
+# x_benford_digits — digits partition the orders; frequencies sum to 1;
+# chi2 contributions match a python replay.
+# ---------------------------------------------------------------------------
+
+
+def test_benford_matches_python(spark, sf_dir):
+    o = tables(spark, sf_dir)["orders"].collect()
+    import math as m
+
+    counts: dict[int, int] = {}
+    for r in o:
+        d = int(str(round(r.o_totalprice * 100))[0])
+        counts[d] = counts.get(d, 0) + 1
+    n = len(o)
+    got = _rows(spark, sf_dir, "x_benford_digits")
+    assert sum(r.observed for r in got) == n
+    assert sum(r.observed_freq for r in got) == pytest.approx(1.0, abs=1e-12)
+    for r in got:
+        assert r.observed == counts[r.d]
+        expected_f = m.log10(1 + 1 / r.d)
+        assert r.benford_freq == pytest.approx(expected_f, rel=1e-15)
+        e = expected_f * n  # same formula up to literal rounding
+        assert r.chi2_contrib == pytest.approx(
+            (counts[r.d] - e) ** 2 / e, rel=1e-9
+        )
+
+
+# ---------------------------------------------------------------------------
+# x_basket_lift — support/confidence/lift equal the python replay on the
+# coarsened baskets; confidence ≤ 1; support ordering holds.
+# ---------------------------------------------------------------------------
+
+
+def test_basket_lift_matches_python(spark, sf_dir):
+    li = tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
+    baskets: dict[int, set] = {}
+    for r in li.collect():
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey % 500)
+    singles: dict[int, int] = {}
+    pairs: dict[tuple[int, int], int] = {}
+    for items in baskets.values():
+        for i in items:
+            singles[i] = singles.get(i, 0) + 1
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                pairs[(s[x], s[y])] = pairs.get((s[x], s[y]), 0) + 1
+    n = len(baskets)
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = _rows(spark, sf_dir, "x_basket_lift")
+    assert [((r.item_a, r.item_b), r.pair_c) for r in got] == top
+    for r in got:
+        ca, cb = singles[r.item_a], singles[r.item_b]
+        assert r.confidence == pytest.approx(r.pair_c / ca, rel=1e-12)
+        assert r.confidence <= 1.0
+        assert r.lift == pytest.approx(r.pair_c * n / (ca * cb), rel=1e-12)
