@@ -46,6 +46,12 @@ RECORD_ONLY = [
     "x_bm25_topk",
     "x_pagerank",
     "x_fpgrowth_itemsets",
+    # Round-5 extension shapes (own baselines from this round): the
+    # composed publish funnel, the bounded-fan-out sliding distinct, and
+    # the distributed-global-rank statistic.
+    "x_dataset_publish_e2e",
+    "x_rolling_distinct_7d",
+    "x_gini_concentration",
 ]
 
 

@@ -887,13 +887,9 @@ def x_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     d = F.substring(cents.cast("string"), 1, 1).cast("int")
     c = o.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("observed"))
-    from pyspark.sql import Window
-
-    n = F.sum("observed").over(
-        Window.partitionBy().rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-    ).cast("bigint")
+    # grand total via a broadcast 1-row aggregate, NOT an unpartitioned
+    # window (engine-wide invariant; same idiom as a19_chi2_contingency)
+    total = c.agg(F.sum("observed").cast("bigint").alias("n"))
     benford = F.create_map(
         *[F.lit(x) for kv in _BENFORD.items() for x in kv]
     )[F.col("d")]
@@ -901,7 +897,7 @@ def x_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_d = F.col("n").cast("double")
     expected = benford * n_d
     return (
-        c.withColumn("n", n)
+        c.crossJoin(F.broadcast(total))
         .select(
             "d",
             "observed",

@@ -747,3 +747,88 @@ def x_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "x_welch_ttest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                  THEN 1 ELSE 0 END AS is_weekend,
+             CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                           AS DECIMAL(18,0))) AS BIGINT) AS y
+      FROM events
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT is_weekend,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,0))) AS DOUBLE) AS syy
+      FROM daily
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        (SELECT n FROM s WHERE is_weekend = 0) AS n0,
+        (SELECT sy FROM s WHERE is_weekend = 0) AS sy0,
+        (SELECT syy FROM s WHERE is_weekend = 0) AS syy0,
+        (SELECT n FROM s WHERE is_weekend = 1) AS n1,
+        (SELECT sy FROM s WHERE is_weekend = 1) AS sy1,
+        (SELECT syy FROM s WHERE is_weekend = 1) AS syy1
+    )
+    SELECT n0 AS n_weekday, n1 AS n_weekend,
+           (sy0 / CAST(n0 AS DOUBLE)) / 100.0 AS mean_weekday,
+           (sy1 / CAST(n1 AS DOUBLE)) / 100.0 AS mean_weekend,
+           (sy0 / CAST(n0 AS DOUBLE) - sy1 / CAST(n1 AS DOUBLE))
+           / sqrt(((syy0 - (sy0 * sy0) / CAST(n0 AS DOUBLE))
+                   / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)
+                  + ((syy1 - (sy1 * sy1) / CAST(n1 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE))
+             AS t_stat
+    FROM w
+    """,
+)
+def x_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-statistic comparing weekday vs weekend
+    daily revenue — the third member of the stats-testing family (a19
+    χ², x_ks_two_sample, x_abtest_lift). Group means and sample
+    variances come from exact integer power sums over the per-day
+    aggregate; the t formula runs in DOUBLE with the identical
+    expression in the oracle (√ only — no libm, no t-distribution CDF,
+    which IS a libm surface; the statistic is the deliverable, the
+    p-value lookup belongs client-side). dayofweek: DuckDB Sunday=0 /
+    Spark Sunday=1, aligned via each engine's own weekend test."""
+    ev = tables(spark, sf_dir)["events"]
+    day = F.col("ts").cast("date")
+    daily = ev.groupBy(
+        day.alias("day"),
+        F.when(F.dayofweek(day).isin(1, 7), 1).otherwise(0).alias("is_weekend"),
+    ).agg(F.sum(_cents("value").cast("decimal(18,0)")).cast("bigint").alias("y"))
+    y = F.col("y")
+    s = daily.groupBy("is_weekend").agg(
+        F.count("*").alias("n"),
+        F.sum(y.cast("decimal(18,0)")).cast("double").alias("sy"),
+        F.sum((y * y).cast("decimal(28,0)")).cast("double").alias("syy"),
+    )
+    g0 = s.where(F.col("is_weekend") == 0).select(
+        F.col("n").alias("n0"), F.col("sy").alias("sy0"), F.col("syy").alias("syy0")
+    )
+    g1 = s.where(F.col("is_weekend") == 1).select(
+        F.col("n").alias("n1"), F.col("sy").alias("sy1"), F.col("syy").alias("syy1")
+    )
+    w = g0.crossJoin(F.broadcast(g1))
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    sy0, sy1 = F.col("sy0"), F.col("sy1")
+    syy0, syy1 = F.col("syy0"), F.col("syy1")
+    se2 = ((syy0 - (sy0 * sy0) / n0) / (n0 - 1.0)) / n0 + (
+        (syy1 - (sy1 * sy1) / n1) / (n1 - 1.0)
+    ) / n1
+    return w.select(
+        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_weekend"),
+        ((sy0 / n0) / 100.0).alias("mean_weekday"),
+        ((sy1 / n1) / 100.0).alias("mean_weekend"),
+        ((sy0 / n0 - sy1 / n1) / F.sqrt(se2)).alias("t_stat"),
+    )

@@ -606,3 +606,32 @@ def test_basket_lift_matches_python(spark, sf_dir):
         assert r.confidence == pytest.approx(r.pair_c / ca, rel=1e-12)
         assert r.confidence <= 1.0
         assert r.lift == pytest.approx(r.pair_c * n / (ca * cb), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# x_welch_ttest — matches scipy-free python Welch computation.
+# ---------------------------------------------------------------------------
+
+
+def test_welch_matches_python(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"].select("ts", "value")
+    daily: dict[object, int] = {}
+    for r in ev.collect():
+        d = r.ts.date()
+        daily[d] = daily.get(d, 0) + round(r.value * 100)
+    groups: dict[int, list[int]] = {0: [], 1: []}
+    for d, y in daily.items():
+        groups[1 if d.weekday() >= 5 else 0].append(y)
+    [row] = _rows(spark, sf_dir, "x_welch_ttest")
+    assert (row.n_weekday, row.n_weekend) == (len(groups[0]), len(groups[1]))
+    means = {}
+    ses = {}
+    for g, ys in groups.items():
+        n = len(ys)
+        m = sum(ys) / n
+        var = sum((v - m) ** 2 for v in ys) / (n - 1)
+        means[g], ses[g] = m, var / n
+    assert row.mean_weekday == pytest.approx(means[0] / 100, rel=1e-12)
+    assert row.mean_weekend == pytest.approx(means[1] / 100, rel=1e-12)
+    t_ref = (means[0] - means[1]) / math.sqrt(ses[0] + ses[1])
+    assert row.t_stat == pytest.approx(t_ref, rel=1e-9)

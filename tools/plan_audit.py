@@ -82,6 +82,11 @@ DEFAULT_QUERIES = [
     "x_abtest_lift",
     "s8_view_click_left",
     "x_zonemap_prune",
+    "x_rolling_distinct_7d",
+    "x_scd2_event_enrich",
+    "x_dataset_publish_e2e",
+    "x_benford_digits",
+    "x_basket_lift",
 ]
 
 
