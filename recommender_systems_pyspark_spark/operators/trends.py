@@ -832,3 +832,183 @@ def x_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sy1 / n1) / 100.0).alias("mean_weekend"),
         ((sy0 / n0 - sy1 / n1) / F.sqrt(se2)).alias("t_stat"),
     )
+
+
+@query(
+    "x_crosscorr_lagged",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN
+               CAST(CAST(ROUND(value * 100) AS BIGINT) AS DECIMAL(18,0))
+               ELSE 0 END) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN
+               CAST(CAST(ROUND(value * 100) AS BIGINT) AS DECIMAL(18,0))
+               ELSE 0 END) AS BIGINT) AS p
+      FROM events
+      GROUP BY 1
+    ),
+    lagged AS (
+      SELECT f.k AS lag, p AS y,
+             LAG(v, f.k) OVER (PARTITION BY f.k ORDER BY day) AS x
+      FROM daily, LATERAL (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS k) f
+    ),
+    s AS (
+      SELECT lag, COUNT(*) AS n_pairs,
+             CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,0))) AS DOUBLE) AS sxy
+      FROM lagged
+      WHERE x IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT lag, n_pairs,
+           (sxy - (sx * sy) / n_pairs)
+             / sqrt((sxx - (sx * sx) / n_pairs) * (syy - (sy * sy) / n_pairs))
+             AS crosscorr
+    FROM s
+    ORDER BY lag
+    """,
+)
+def x_crosscorr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: does view revenue LEAD purchase
+    revenue? Correlates purchase(t) with view(t−k) for k = 0..3 — the
+    lag whose correlation peaks estimates the conversion delay. One
+    conditional-sum pivot to the (day, view, purchase) frame, a 4-way
+    lag explode over the tiny daily frame (windows PARTITIONED by lag),
+    then the a10 exact-power-sum Pearson per lag. The daily pivot is the
+    only full-data pass."""
+    ev = tables(spark, sf_dir)["events"]
+    cents = _cents("value").cast("decimal(18,0)")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", cents).otherwise(0))
+        .cast("bigint")
+        .alias("v"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("bigint")
+        .alias("p"),
+    )
+    lagged = daily.withColumn(
+        "lag", F.explode(F.array(*[F.lit(k) for k in range(4)]))
+    )
+    w = Window.partitionBy("lag").orderBy("day")
+    # LAG's offset must be a literal (Spark and SQL both), so the four
+    # lag depths are a CASE over per-depth lag columns sharing one
+    # window spec — still a single window pass.
+    pairs = (
+        lagged.select(
+            "lag",
+            F.col("p").alias("y"),
+            F.when(F.col("lag") == 0, F.col("v"))
+            .when(F.col("lag") == 1, F.lag("v", 1).over(w))
+            .when(F.col("lag") == 2, F.lag("v", 2).over(w))
+            .otherwise(F.lag("v", 3).over(w))
+            .alias("x"),
+        )
+    ).where(F.col("x").isNotNull())
+    x, y = F.col("x"), F.col("y")
+    s = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(x.cast("decimal(18,0)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,0)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(28,0)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,0)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(28,0)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    sx, sy, sxx, syy, sxy = (F.col(c) for c in ("sx", "sy", "sxx", "syy", "sxy"))
+    return s.select(
+        "lag",
+        "n_pairs",
+        (
+            (sxy - (sx * sy) / n)
+            / F.sqrt((sxx - (sx * sx) / n) * (syy - (sy * sy) / n))
+        ).alias("crosscorr"),
+    ).orderBy("lag")
+
+
+@query(
+    "x_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                           AS DECIMAL(18,0))) AS BIGINT) AS y
+      FROM events
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, day, y,
+             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS prefix,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS t,
+             CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM daily
+    ),
+    scored AS (
+      SELECT event_type, day,
+             abs(n * prefix - t * total) AS score, n, total
+      FROM c
+    )
+    SELECT event_type,
+           CAST(day AS VARCHAR) AS changepoint_day,
+           CAST(score AS BIGINT) AS cusum_scaled,
+           CAST(score AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS cusum_dollars
+    FROM (
+      SELECT event_type, day, score, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY score DESC, day DESC) AS r
+      FROM scored
+    )
+    WHERE r = 1
+    ORDER BY event_type
+    """,
+)
+def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily revenue series per event
+    type, in ALL-INTEGER arithmetic: the textbook statistic max_t |Σ_{i≤t}
+    (y_i − ȳ)| is rescaled by n to ``max_t |n·prefix_t − t·total|`` —
+    bit-exact integer compares, no float mean anywhere; the day attaining
+    the max (ties → latest day, via the composite max_by key) is the
+    changepoint candidate, and the dollar-scale column divides back out
+    ONCE at the end. Windows are partitioned per event type over the
+    per-day aggregate; at 100 TB the only full-data pass is the daily
+    rollup."""
+    ev = tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(_cents("value").cast("decimal(18,0)")).cast("bigint").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = daily.select(
+        "event_type",
+        "day",
+        F.sum("y").over(run).alias("prefix"),
+        F.row_number().over(w).cast("bigint").alias("t"),
+        F.sum("y").over(full).alias("total"),
+        F.count("*").over(full).alias("n"),
+    )
+    score = F.abs(F.col("n") * F.col("prefix") - F.col("t") * F.col("total"))
+    scored = c.select("event_type", "day", score.alias("score"), "n")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max_by(F.col("day"), F.struct(F.col("score"), F.col("day")))
+            .cast("string")
+            .alias("changepoint_day"),
+            F.max("score").cast("bigint").alias("cusum_scaled"),
+            (
+                F.max("score").cast("double")
+                / (F.max("n").cast("double") * 100.0)
+            ).alias("cusum_dollars"),
+        )
+        .orderBy("event_type")
+    )

@@ -635,3 +635,59 @@ def test_welch_matches_python(spark, sf_dir):
     assert row.mean_weekend == pytest.approx(means[1] / 100, rel=1e-12)
     t_ref = (means[0] - means[1]) / math.sqrt(ses[0] + ses[1])
     assert row.t_stat == pytest.approx(t_ref, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# x_crosscorr_lagged / x_cusum_changepoint — python replays.
+# ---------------------------------------------------------------------------
+
+
+def _daily_series(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"].select("event_type", "ts", "value")
+    daily: dict[tuple[str, object], int] = {}
+    for r in ev.collect():
+        k = (r.event_type, r.ts.date())
+        daily[k] = daily.get(k, 0) + round(r.value * 100)
+    return daily
+
+
+def test_crosscorr_matches_python(spark, sf_dir):
+    daily = _daily_series(spark, sf_dir)
+    days = sorted({d for _, d in daily})
+    v = [daily.get(("view", d), 0) for d in days]
+    p = [daily.get(("purchase", d), 0) for d in days]
+    got = {r.lag: r for r in _rows(spark, sf_dir, "x_crosscorr_lagged")}
+    for k in range(4):
+        xs, ys = v[: len(v) - k] if k else v, p[k:]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+        vx = sum((a - mx) ** 2 for a in xs)
+        vy = sum((b - my) ** 2 for b in ys)
+        assert got[k].n_pairs == n
+        assert got[k].crosscorr == pytest.approx(
+            cov / math.sqrt(vx * vy), rel=1e-9
+        )
+
+
+def test_cusum_matches_python(spark, sf_dir):
+    daily = _daily_series(spark, sf_dir)
+    series: dict[str, list[tuple[object, int]]] = {}
+    for (et, d), y in sorted(daily.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        series.setdefault(et, []).append((d, y))
+    got = {r.event_type: r for r in _rows(spark, sf_dir, "x_cusum_changepoint")}
+    for et, pts in series.items():
+        n = len(pts)
+        total = sum(y for _, y in pts)
+        prefix = 0
+        best = (-1, None)
+        for t, (d, y) in enumerate(pts, start=1):
+            prefix += y
+            score = abs(n * prefix - t * total)
+            if score > best[0] or (score == best[0] and d > best[1]):
+                best = (score, d)
+        assert got[et].cusum_scaled == best[0]
+        assert got[et].changepoint_day == best[1].isoformat()
+        assert got[et].cusum_dollars == pytest.approx(
+            best[0] / (n * 100.0), rel=1e-12
+        )
