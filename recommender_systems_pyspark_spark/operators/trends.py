@@ -1012,3 +1012,100 @@ def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "x_ltv_cohort_triangle",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS first_day
+      FROM events
+      GROUP BY 1
+    ),
+    cohorts AS (
+      SELECT user_id,
+             DATE_DIFF('day', DATE '2024-01-01', first_day) // 7 AS cohort_week
+      FROM firsts
+    ),
+    cohort_sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_users
+      FROM cohorts GROUP BY 1
+    ),
+    rev AS (
+      SELECT c.cohort_week,
+             DATE_DIFF('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7
+               - c.cohort_week AS age_week,
+             CAST(SUM(CAST(CAST(ROUND(e.value * 100) AS BIGINT)
+                           AS DECIMAL(18,0))) AS BIGINT) AS week_cents
+      FROM events e JOIN cohorts c USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.age_week, s.cohort_users,
+           CAST(r.week_cents AS DOUBLE) / 100.0 AS week_rev,
+           CAST(CAST(SUM(r.week_cents) OVER (PARTITION BY r.cohort_week
+                  ORDER BY r.age_week
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS DOUBLE)
+             / (CAST(s.cohort_users AS DOUBLE) * 100.0) AS cum_ltv_per_user
+    FROM rev r JOIN cohort_sizes s USING (cohort_week)
+    ORDER BY cohort_week, age_week
+    """,
+)
+def x_ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value cohort triangle: users grouped by
+    first-seen week (cohort), purchase revenue rolled up by cohort ×
+    age-week, and the running cumulative LTV per cohort member — the
+    table a growth team reads diagonally. Complements
+    x_retention_cohorts (presence counts) with VALUE. Exact cents
+    throughout; the cumulative window is partitioned per cohort over the
+    ≤(weeks²)/2 triangle frame. Epoch-anchored week indexing (``days
+    since 2024-01-01 // 7``) is identical integer arithmetic on both
+    engines. Scale: one user-keyed shuffle for first-seen, one
+    (cohort, age) aggregate of the purchase slice — the triangle itself
+    is calendar-bounded, never data-bounded."""
+    ev = tables(spark, sf_dir)["events"]
+    anchor = F.lit("2024-01-01").cast("date")
+    day = F.col("ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    cohorts = firsts.select(
+        "user_id",
+        F.expr("datediff(first_day, date'2024-01-01') div 7").alias("cohort_week"),
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(F.count("*").alias("cohort_users"))
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.expr("datediff(cast(ts as date), date'2024-01-01') div 7")
+                - F.col("cohort_week")
+            ).alias("age_week"),
+        )
+        .agg(
+            F.sum(_cents("value").cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("week_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "cohort_users",
+            (F.col("week_cents").cast("double") / 100.0).alias("week_rev"),
+            (
+                F.sum("week_cents").over(w).cast("bigint").cast("double")
+                / (F.col("cohort_users").cast("double") * 100.0)
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_week")
+    )

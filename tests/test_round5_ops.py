@@ -691,3 +691,51 @@ def test_cusum_matches_python(spark, sf_dir):
         assert got[et].cusum_dollars == pytest.approx(
             best[0] / (n * 100.0), rel=1e-12
         )
+
+
+# ---------------------------------------------------------------------------
+# x_ltv_cohort_triangle — python replay; cumulative LTV monotone in age.
+# ---------------------------------------------------------------------------
+
+
+def test_ltv_triangle_matches_python(spark, sf_dir):
+    import datetime
+
+    anchor = datetime.date(2024, 1, 1)
+    ev = tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+    first: dict[int, object] = {}
+    for r in ev:
+        d = r.ts.date()
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    cohort = {u: (d - anchor).days // 7 for u, d in first.items()}
+    sizes: dict[int, int] = {}
+    for c in cohort.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    rev: dict[tuple[int, int], int] = {}
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        c = cohort[r.user_id]
+        age = (r.ts.date() - anchor).days // 7 - c
+        rev[(c, age)] = rev.get((c, age), 0) + round(r.value * 100)
+    got = _rows(spark, sf_dir, "x_ltv_cohort_triangle")
+    assert {(r.cohort_week, r.age_week) for r in got} == set(rev)
+    by_cohort: dict[int, list] = {}
+    for r in got:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for c, rows in by_cohort.items():
+        rows.sort(key=lambda r: r.age_week)
+        cum = 0
+        prev_ltv = -1.0
+        for r in rows:
+            assert r.cohort_users == sizes[c]
+            cum += rev[(c, r.age_week)]
+            assert r.week_rev == pytest.approx(rev[(c, r.age_week)] / 100, rel=1e-12)
+            assert r.cum_ltv_per_user == pytest.approx(
+                cum / sizes[c] / 100, rel=1e-12
+            )
+            assert r.cum_ltv_per_user >= prev_ltv
+            prev_ltv = r.cum_ltv_per_user
