@@ -1,5 +1,7 @@
 """Corpus stratification utilities (round 5): deterministic hash-based
-train/val/test splitting and per-language token-entropy profiling.
+train/val/test splitting, per-language token-entropy profiling, and the
+composed dataset-publish pipeline (quality → dedup → split → shard
+manifest with XOR fingerprints).
 
 A 100 TB training-data pipeline needs splits that are (a) stable across
 re-runs and engines — membership must be a PURE function of the row key,

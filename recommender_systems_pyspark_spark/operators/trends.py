@@ -1,7 +1,10 @@
 """Time-series / distribution analytics (round 5): OLS trend fitting,
-lag-1 autocorrelation, cumulative-distinct user growth, a binned
-two-sample Kolmogorov-Smirnov distance, and the Gini concentration
-coefficient.
+lag-1 autocorrelation and lead-lag cross-correlation, cumulative-distinct
+and rolling-distinct user growth, LTV cohort triangles, time-weighted
+averages, dyadic-weight EWMA smoothing, mergeable histogram quantiles,
+all-integer CUSUM changepoint detection, the Gini concentration
+coefficient, and the distribution-testing family (binned two-sample
+Kolmogorov-Smirnov, two-proportion A/B z, Welch t).
 
 The reference app reports only point aggregates (means / counts —
 ``utils/imb_rating.py:55-64``, ``app.py:217-236``); a warehouse engine

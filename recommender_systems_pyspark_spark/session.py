@@ -58,6 +58,15 @@ def get_spark(app_name: str = "spark-graft", *, shuffle_partitions: int | None =
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{default_parallelism()}]"))
         .config("spark.sql.shuffle.partitions", str(width))
+        # In local mode the driver JVM IS every executor; Spark's 1g
+        # default heap dies under a long sf0.1 verify session (observed:
+        # py4j connection loss ~150 queries in). A builder config is only
+        # a default — spark-submit / an existing JVM always wins, so this
+        # does not constrain cluster deployments.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"),
+        )
     )
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)

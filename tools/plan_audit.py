@@ -87,6 +87,10 @@ DEFAULT_QUERIES = [
     "x_dataset_publish_e2e",
     "x_benford_digits",
     "x_basket_lift",
+    "x_welch_ttest",
+    "x_crosscorr_lagged",
+    "x_cusum_changepoint",
+    "x_ltv_cohort_triangle",
 ]
 
 
