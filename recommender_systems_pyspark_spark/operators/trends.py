@@ -1112,3 +1112,140 @@ def x_ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_week")
     )
+
+
+@query(
+    "x_seasonal_dow_index",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             dayofweek(CAST(ts AS DATE)) AS dow_duck,
+             CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                           AS DECIMAL(18,0))) AS BIGINT) AS y
+      FROM events
+      GROUP BY 1, 2
+    ),
+    by_dow AS (
+      SELECT CASE WHEN dow_duck = 0 THEN 7 ELSE dow_duck END AS dow,
+             COUNT(*) AS n_days,
+             CAST(SUM(CAST(y AS DECIMAL(18,0))) AS BIGINT) AS cents
+      FROM daily GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(n_days AS DECIMAL(18,0))) AS BIGINT) AS all_days,
+             CAST(SUM(CAST(cents AS DECIMAL(28,0))) AS BIGINT) AS all_cents
+      FROM by_dow
+    )
+    SELECT dow, n_days,
+           CAST(cents AS DOUBLE) / (CAST(n_days AS DOUBLE) * 100.0)
+             AS mean_daily_rev,
+           (CAST(cents AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / (CAST(all_cents AS DOUBLE) / CAST(all_days AS DOUBLE))
+             AS seasonal_index
+    FROM by_dow, tot
+    ORDER BY dow
+    """,
+)
+def x_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: each weekday's mean daily revenue
+    relative to the all-days mean (index 1.0 = no seasonality) — the
+    multiplicative seasonal profile a forecaster divides out before
+    trend fitting (x_linreg_trend) and the direct quantification behind
+    x_welch_ttest's weekday/weekend split. ISO day numbering (Mon=1 …
+    Sun=7) on both engines: Spark's ``dayofweek`` is Sun=1-based and
+    DuckDB's Sun=0-based, each remapped to ISO in its own dialect.
+    Exact cents; two divisions at the end with identical expressions."""
+    ev = tables(spark, sf_dir)["events"]
+    day = F.col("ts").cast("date")
+    # Spark dayofweek: Sun=1..Sat=7 → ISO Mon=1..Sun=7
+    iso_dow = F.when(F.dayofweek(day) == 1, 7).otherwise(F.dayofweek(day) - 1)
+    daily = ev.groupBy(day.alias("day"), iso_dow.alias("dow")).agg(
+        F.sum(_cents("value").cast("decimal(18,0)")).cast("bigint").alias("y")
+    )
+    by_dow = daily.groupBy("dow").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("y").cast("decimal(18,0)")).cast("bigint").alias("cents"),
+    )
+    tot = by_dow.agg(
+        F.sum(F.col("n_days").cast("decimal(18,0)")).cast("bigint").alias("all_days"),
+        F.sum(F.col("cents").cast("decimal(28,0)")).cast("bigint").alias("all_cents"),
+    )
+    return (
+        by_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            (
+                F.col("cents").cast("double")
+                / (F.col("n_days").cast("double") * 100.0)
+            ).alias("mean_daily_rev"),
+            (
+                (F.col("cents").cast("double") / F.col("n_days").cast("double"))
+                / (
+                    F.col("all_cents").cast("double")
+                    / F.col("all_days").cast("double")
+                )
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+@query(
+    "x_ship_latency_profile",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS prio,
+             DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT prio,
+           COUNT(*) AS n_lines,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           CAST(MAX(days) AS BIGINT) AS max_days,
+           CAST(SUM(CAST(days AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+             AS mean_days,
+           CAST(COUNT(CASE WHEN days <= 30 THEN 1 END) AS DOUBLE) / COUNT(*)
+             AS frac_within_30d
+    FROM lat
+    GROUP BY prio
+    ORDER BY prio
+    """,
+)
+def x_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority: line-level
+    day-lag min/max/exact-mean and the 30-day SLA attainment fraction —
+    the operational-latency readout (and a direct priority-effectiveness
+    check: URGENT should ship faster). One fact-keyed equi join
+    (orderkey — uniform, AQE-managed) and one bounded-key aggregate;
+    day lags are exact integers, the mean and SLA fraction divide once
+    in DOUBLE with identical expressions."""
+    t = tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_orderkey", "o_orderdate", F.col("o_orderpriority").alias("prio")
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    lat = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "prio",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("bigint").alias("days"),
+    )
+    return (
+        lat.groupBy("prio")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("days").cast("bigint").alias("min_days"),
+            F.max("days").cast("bigint").alias("max_days"),
+            (
+                F.sum(F.col("days").cast("decimal(18,0)")).cast("double")
+                / F.count("*")
+            ).alias("mean_days"),
+            (
+                F.count(F.when(F.col("days") <= 30, 1)).cast("double")
+                / F.count("*")
+            ).alias("frac_within_30d"),
+        )
+        .orderBy("prio")
+    )

@@ -739,3 +739,59 @@ def test_ltv_triangle_matches_python(spark, sf_dir):
             )
             assert r.cum_ltv_per_user >= prev_ltv
             prev_ltv = r.cum_ltv_per_user
+
+
+# ---------------------------------------------------------------------------
+# x_seasonal_dow_index / x_ship_latency_profile — python replays.
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_dow_index_matches_python(spark, sf_dir):
+    daily = _daily_series(spark, sf_dir)
+    by_day: dict[object, int] = {}
+    for (_, d), y in daily.items():
+        by_day[d] = by_day.get(d, 0) + y
+    by_dow: dict[int, list[int]] = {}
+    for d, y in by_day.items():
+        by_dow.setdefault(d.isoweekday(), []).append(y)
+    all_days = sum(len(v) for v in by_dow.values())
+    all_cents = sum(sum(v) for v in by_dow.values())
+    got = {r.dow: r for r in _rows(spark, sf_dir, "x_seasonal_dow_index")}
+    assert set(got) == set(by_dow)
+    weighted = 0.0
+    for dow, ys in by_dow.items():
+        r = got[dow]
+        assert r.n_days == len(ys)
+        assert r.mean_daily_rev == pytest.approx(
+            sum(ys) / len(ys) / 100, rel=1e-12
+        )
+        ref_idx = (sum(ys) / len(ys)) / (all_cents / all_days)
+        assert r.seasonal_index == pytest.approx(ref_idx, rel=1e-12)
+        weighted += r.seasonal_index * r.n_days
+    # day-weighted mean index is exactly 1
+    assert weighted / all_days == pytest.approx(1.0, rel=1e-12)
+
+
+def test_ship_latency_matches_python(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    odate = {
+        r.o_orderkey: (r.o_orderdate.date(), r.o_orderpriority)
+        for r in t["orders"].collect()
+    }
+    lat: dict[str, list[int]] = {}
+    for r in t["lineitem"].select("l_orderkey", "l_shipdate").collect():
+        od, prio = odate[r.l_orderkey]
+        lat.setdefault(prio, []).append((r.l_shipdate.date() - od).days)
+    got = {r.prio: r for r in _rows(spark, sf_dir, "x_ship_latency_profile")}
+    assert set(got) == set(lat)
+    for prio, days in lat.items():
+        r = got[prio]
+        assert r.n_lines == len(days)
+        assert (r.min_days, r.max_days) == (min(days), max(days))
+        assert r.mean_days == pytest.approx(sum(days) / len(days), rel=1e-12)
+        assert r.frac_within_30d == pytest.approx(
+            sum(1 for d in days if d <= 30) / len(days), rel=1e-12
+        )
+        # note: the synthetic fixture does NOT constrain shipdate to
+        # follow orderdate (negative lags exist) — the profile reports
+        # the data as it is, so no non-negativity assertion here
