@@ -268,3 +268,88 @@ def gopher_metrics_keep():
     from .corpus import gopher_metrics
 
     return gopher_metrics()["keep"]
+
+
+@query(
+    "x_mixture_resample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS srcnum,
+             ('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 10000 AS u
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, source, srcnum,
+             (u < (srcnum + 1) * 250) AS kept
+      FROM d
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           (srcnum + 1) * 250 AS target_permille10k,
+           CAST(COUNT(CASE WHEN kept THEN 1 END) AS BIGINT) AS sampled,
+           CAST(COUNT(CASE WHEN kept THEN 1 END) AS DOUBLE) / COUNT(*)
+             AS achieved_rate,
+           COALESCE(bit_xor(CASE WHEN kept THEN
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             END), 0) AS sample_xor
+    FROM flagged
+    GROUP BY source, srcnum
+    ORDER BY source
+    """,
+)
+def x_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-weighting by doc-level acceptance
+    sampling: each source gets a target acceptance rate ((srcnum+1)/40
+    here — in production, the ratio of desired to natural mixture
+    weight), and a document survives iff its seeded md5 bucket clears
+    the source's INTEGER threshold — membership is a pure function of
+    (seed, doc_id), so the sample is identical on every engine, run,
+    and partitioning, and composable with the split/shard stages
+    (different seeds ⇒ independent decisions). The oracle certifies the
+    achieved rates AND the exact membership (XOR fingerprint of kept
+    ids). Map-only decision + one bounded-key aggregate; complements
+    x_mixture_interleave (ordering keys) with doc-level down-sampling."""
+    docs = tables(spark, sf_dir)["documents"]
+    srcnum = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    kept = u < (srcnum + 1) * 250
+    doc_hash = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    flagged = docs.select(
+        "source",
+        srcnum.alias("srcnum"),
+        kept.alias("kept"),
+        F.when(kept, doc_hash).alias("kept_hash"),
+    )
+    return (
+        flagged.groupBy("source", "srcnum")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("kept"), 1)).cast("bigint").alias("sampled"),
+            (
+                F.count(F.when(F.col("kept"), 1)).cast("double") / F.count("*")
+            ).alias("achieved_rate"),
+            F.coalesce(F.expr("bit_xor(kept_hash)"), F.lit(0)).alias("sample_xor"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            ((F.col("srcnum") + 1) * 250).alias("target_permille10k"),
+            "sampled",
+            "achieved_rate",
+            "sample_xor",
+        )
+        .orderBy("source")
+    )

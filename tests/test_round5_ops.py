@@ -795,3 +795,35 @@ def test_ship_latency_matches_python(spark, sf_dir):
         # note: the synthetic fixture does NOT constrain shipdate to
         # follow orderdate (negative lags exist) — the profile reports
         # the data as it is, so no non-negativity assertion here
+
+
+# ---------------------------------------------------------------------------
+# x_mixture_resample — python membership replay; rates track targets.
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_resample_membership(spark, sf_dir):
+    docs = tables(spark, sf_dir)["documents"].select("doc_id", "source").collect()
+    cells: dict[str, list] = {}
+    for r in docs:
+        cells.setdefault(r.source, []).append(r.doc_id)
+    got = {r.source: r for r in _rows(spark, sf_dir, "x_mixture_resample")}
+    assert set(got) == set(cells)
+    for src, ids in cells.items():
+        srcnum = int("".join(ch for ch in src if ch.isdigit()))
+        thr = (srcnum + 1) * 250
+        kept = [
+            d
+            for d in ids
+            if int(hashlib.md5(f"mix-{d}".encode()).hexdigest()[:8], 16) % 10000
+            < thr
+        ]
+        r = got[src]
+        assert r.n_docs == len(ids)
+        assert r.target_permille10k == thr
+        assert r.sampled == len(kept)
+        assert r.achieved_rate == pytest.approx(len(kept) / len(ids), rel=1e-12)
+        acc = 0
+        for d in kept:
+            acc ^= int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+        assert r.sample_xor == acc
