@@ -353,3 +353,104 @@ def x_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _sql_gate_eval() -> str:
+    from .corpus import SQL_GOPHER_KEEP
+
+    return f"""
+    WITH w AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws
+      FROM documents WHERE length(text) > 0
+    ),
+    gates AS (
+      SELECT doc_id,
+             ({SQL_GOPHER_KEEP}) AS ref_keep,
+             ((-1.5
+               + 2.0 * (CAST(len(list_filter(ws, t -> t IN ('the', 'a')))
+                             AS DOUBLE) / len(ws))
+               + 3.0 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+               + 0.25 * (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(ws))) > 1.8) AS pred_keep
+      FROM w
+    ),
+    c AS (
+      SELECT
+        COUNT(CASE WHEN pred_keep AND ref_keep THEN 1 END) AS tp,
+        COUNT(CASE WHEN pred_keep AND NOT ref_keep THEN 1 END) AS fp,
+        COUNT(CASE WHEN NOT pred_keep AND ref_keep THEN 1 END) AS fn,
+        COUNT(CASE WHEN NOT pred_keep AND NOT ref_keep THEN 1 END) AS tn
+      FROM gates
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+             AS accuracy,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision_keep,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall_keep,
+           CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1_keep,
+           (CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+            - CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS DOUBLE)
+              / (CAST(tp + fp + fn + tn AS DOUBLE)
+                 * CAST(tp + fp + fn + tn AS DOUBLE)))
+           / (1.0
+              - CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS DOUBLE)
+                / (CAST(tp + fp + fn + tn AS DOUBLE)
+                   * CAST(tp + fp + fn + tn AS DOUBLE))) AS cohens_kappa
+    FROM c
+    """
+
+
+@query("x_classifier_eval", oracle=_sql_gate_eval())
+def x_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation metrics computed IN the engine: the linear
+    quality classifier (x_quality_logit's frozen-weight score) graded
+    against the Gopher rule battery as reference labels — confusion
+    counts, accuracy, precision/recall/F1 on the keep class, and Cohen's
+    κ (agreement above chance). This is the model-eval primitive a data
+    pipeline runs after every reweighting/retrain; every metric is a
+    ratio of exact integer confusion counts (one scan, one 4-counter
+    aggregate), divided once in DOUBLE with identical expressions — the
+    whole evaluation is oracle-replayable, unlike sklearn-side eval."""
+    from .corpus import gopher_metrics
+
+    docs = tables(spark, sf_dir)["documents"].where(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("double")
+        / n_tokens
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    mean_tok_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens
+    )
+    pred = (
+        -1.5 + 2.0 * stop_ratio + 3.0 * uniq_ratio + 0.25 * mean_tok_len
+    ) > 1.8
+    ref = gopher_metrics()["keep"]
+    c = docs.agg(
+        F.count(F.when(pred & ref, 1)).alias("tp"),
+        F.count(F.when(pred & ~ref, 1)).alias("fp"),
+        F.count(F.when(~pred & ref, 1)).alias("fn"),
+        F.count(F.when(~pred & ~ref, 1)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    n_d = (tp + fp + fn + tn).cast("double")
+    po = (tp + tn).cast("double") / n_d
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)).cast("double") / (
+        n_d * n_d
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        po.alias("accuracy"),
+        (tp.cast("double") / (tp + fp).cast("double")).alias("precision_keep"),
+        (tp.cast("double") / (tp + fn).cast("double")).alias("recall_keep"),
+        ((2 * tp).cast("double") / (2 * tp + fp + fn).cast("double")).alias(
+            "f1_keep"
+        ),
+        ((po - pe) / (1.0 - pe)).alias("cohens_kappa"),
+    )

@@ -103,9 +103,9 @@ _QUERY_MODULES = (
     # x_scd2_event_enrich, x_dataset_publish_e2e, x_benford_digits,
     # x_basket_lift, x_welch_ttest, x_crosscorr_lagged,
     # x_cusum_changepoint, x_ltv_cohort_triangle, x_seasonal_dow_index,
-    # x_ship_latency_profile, x_mixture_resample (all local-gate
-    # hash-green at BOTH sf0.01 and sf0.1 as of r5) — then rotating
-    # re-grades. IF the
+    # x_ship_latency_profile, x_mixture_resample, x_classifier_eval
+    # (all local-gate hash-green at BOTH sf0.01 and sf0.1 as of r5) —
+    # then rotating re-grades. IF the
     # r5 grading ALSO failed to record (r4's never did), keep the current
     # window as-is and only append.
     "recommender_systems_pyspark_spark.functions.warehouse",

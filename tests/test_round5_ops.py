@@ -827,3 +827,30 @@ def test_mixture_resample_membership(spark, sf_dir):
         for d in kept:
             acc ^= int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
         assert r.sample_xor == acc
+
+
+# ---------------------------------------------------------------------------
+# x_classifier_eval — confusion partition + metric identities against the
+# two gates' own registered outputs.
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_eval_consistent_with_gates(spark, sf_dir):
+    gopher = {r.doc_id: r.keep for r in _rows(spark, sf_dir, "x_quality_gopher")}
+    logit = {r.doc_id: r.keep for r in _rows(spark, sf_dir, "x_quality_logit")}
+    tp = sum(1 for d in logit if logit[d] and gopher[d])
+    fp = sum(1 for d in logit if logit[d] and not gopher[d])
+    fn = sum(1 for d in logit if not logit[d] and gopher[d])
+    tn = sum(1 for d in logit if not logit[d] and not gopher[d])
+    [row] = _rows(spark, sf_dir, "x_classifier_eval")
+    assert (row.tp, row.fp, row.fn, row.tn) == (tp, fp, fn, tn)
+    n = tp + fp + fn + tn
+    assert n == len(logit)
+    assert row.accuracy == pytest.approx((tp + tn) / n, rel=1e-12)
+    assert row.precision_keep == pytest.approx(tp / (tp + fp), rel=1e-12)
+    assert row.recall_keep == pytest.approx(tp / (tp + fn), rel=1e-12)
+    assert row.f1_keep == pytest.approx(2 * tp / (2 * tp + fp + fn), rel=1e-12)
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    assert row.cohens_kappa == pytest.approx((po - pe) / (1 - pe), rel=1e-9)
+    assert -1.0 <= row.cohens_kappa <= 1.0
