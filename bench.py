@@ -52,6 +52,13 @@ RECORD_ONLY = [
     "x_dataset_publish_e2e",
     "x_rolling_distinct_7d",
     "x_gini_concentration",
+    # Round-6: the composed e2e pipelines + the two-phase global rank —
+    # the operators whose cost actually predicts 100 TB behavior
+    # (VERDICT r5 #3). Own baselines from this round's first recording.
+    "x_corpus_e2e",
+    "x_dedup_e2e",
+    "x_interval_overlap",
+    "x_global_rank",
 ]
 
 

@@ -275,7 +275,11 @@ def gopher_metrics_keep():
     oracle="""
     WITH d AS (
       SELECT doc_id, source,
-             CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS srcnum,
+             -- NULLIF guard: a digitless source extracts '' which CAST
+             -- would raise on in DuckDB while Spark yields NULL — both
+             -- engines must agree on NULL srcnum (ADVICE r5).
+             CAST(NULLIF(regexp_extract(source, '([0-9]+)', 1), '')
+                  AS INTEGER) AS srcnum,
              ('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 8))
                ::BIGINT % 10000 AS u
       FROM documents
@@ -312,7 +316,13 @@ def x_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids). Map-only decision + one bounded-key aggregate; complements
     x_mixture_interleave (ordering keys) with doc-level down-sampling."""
     docs = tables(spark, sf_dir)["documents"]
-    srcnum = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+    # nullif guard mirrors the oracle: digitless source → NULL srcnum on
+    # both engines (a bare cast of '' raises under ANSI mode); NULL srcnum
+    # ⇒ NULL threshold ⇒ kept is NULL ⇒ document never sampled, and
+    # target_permille10k is NULL — identical semantics in DuckDB.
+    srcnum = F.nullif(
+        F.regexp_extract(F.col("source"), r"(\d+)", 1), F.lit("")
+    ).cast("int")
     u = (
         F.conv(
             F.substring(

@@ -64,7 +64,10 @@ from ..sources import tables
            CAST(row_number() OVER w AS BIGINT) AS version,
            (lead(valid_from) OVER w IS NULL) AS is_current
     FROM changes
-    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    -- event_type tiebreaker: an equal-ts different-type change pair per
+    -- user would otherwise make version numbering tie-dependent on both
+    -- engines (ADVICE r5) — valid_from alone is not a total order then.
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_type)
     """,
 )
 def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,11 +98,11 @@ def scd2_history(ev: DataFrame) -> DataFrame:
         .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
         .select("user_id", "event_type", F.col("ts").alias("valid_from"))
     )
-    # valid_from inherits ts-uniqueness per kept row *per user* from the
-    # change filter (equal-ts ties collapse to one kept row unless types
-    # differ; the rare equal-ts different-type pair keeps lead/row_number
-    # deterministic only through the ORDER BY below matching the oracle's).
-    w_ver = Window.partitionBy("user_id").orderBy("valid_from")
+    # valid_from is unique per kept row *per user* except the rare
+    # equal-ts different-type change pair — event_type as tiebreaker makes
+    # the version/lead ordering a total order on both engines (ADVICE r5),
+    # so version numbering and valid_to cannot flap on such fixtures.
+    w_ver = Window.partitionBy("user_id").orderBy("valid_from", "event_type")
     return changes.select(
         "user_id",
         "event_type",
@@ -523,7 +526,8 @@ _SCD2_ASOF_TS = "2024-01-20 00:00:00"
     ), hist AS (
       SELECT user_id, event_type, valid_from,
              lead(valid_from) OVER (PARTITION BY user_id
-                                    ORDER BY valid_from) AS valid_to
+                                    ORDER BY valid_from, event_type)
+               AS valid_to
       FROM changes
     )
     SELECT user_id, event_type AS state_at_ts, valid_from
@@ -699,7 +703,7 @@ def x_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(valid_from) OVER w AS valid_to,
              CAST(row_number() OVER w AS BIGINT) AS state_version
       FROM changes
-      WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+      WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_type)
     )
     SELECT p.event_id, p.user_id, p.ts,
            h.state_type, h.state_version

@@ -3,11 +3,15 @@ SURVEY.md §2.10 notes no non-relational payloads anywhere): image/audio/video
 as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 pandas stages over ``mapInPandas``.
 
-The container ships no image/audio codecs, so the DECODE step is a
-deterministic fake (bytes → uint8 buffer) with the real-codec path stubbed
-behind ``NotImplementedError`` (see :func:`decode_media_real`). Everything
-around the stub — schema, binary Arrow transfer, batch shapes, one→many frame
-explosion, partitioning — is real and tested.
+Real decode (round 6): image payloads are genuine **netpbm PGM (P5)**
+containers and audio payloads are genuine **WAV (RIFF, 8-bit PCM mono)**
+files — both assembled NATIVELY in Spark expressions (format_string header +
+hex/unhex little-endian fields, no Python on the encode side) and parsed
+back by :func:`decode_media_real`, a pure-numpy header parser needing no
+external codec. The ``NotImplementedError`` stub now remains ONLY for
+formats that genuinely require codec libraries (JPEG/PNG/MP3/MP4); video
+payloads stay raw bytes under the deterministic fake decode (real demuxing
+needs ffmpeg).
 
 Scale architecture (100 TB of media):
 - Payloads stay opaque bytes end-to-end; Spark never interprets them, so
@@ -77,26 +81,150 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
-    """Real-codec decode path — STUB. The container ships no Pillow /
-    libsndfile / ffmpeg; deployments that have them swap this in and the
-    pandas stages below pick it up unchanged (same ndarray contract)."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "STUB: real media decoding needs codec libraries (Pillow/"
-            "soundfile/av) that are not in this container; the pipeline "
-            "uses the deterministic fake decode (bytes -> uint8 buffer)."
+def _le_bytes(col, n_bytes: int):
+    """Little-endian unsigned integer → ``binary`` Column, built natively
+    (hex each byte, lpad to 2, concat, unhex) — no Python on the encode
+    side, so container assembly stays inside whole-stage codegen."""
+    parts = [
+        F.lpad(F.hex(F.shiftright(col.cast("long"), 8 * i) % 256), 2, "0")
+        for i in range(n_bytes)
+    ]
+    return F.unhex(F.concat(*parts))
+
+
+def pgm_payload(data, byte_len):
+    """Wrap ``data`` bytes as a genuine netpbm P5 (binary grayscale) image:
+    header ``P5\\n{w} 1\\n255\\n`` + raster. Width = byte_len, height = 1,
+    so the raster IS the data — a real, Pillow-openable container whose
+    decoded samples equal the source bytes (what keeps the SQL oracles
+    expressible)."""
+    header = F.encode(F.format_string("P5\n%d 1\n255\n", byte_len), "UTF-8")
+    return F.concat(header, data)
+
+
+def wav_payload(data, byte_len, sample_rate):
+    """Wrap ``data`` bytes as a genuine WAV file: RIFF header, ``fmt ``
+    chunk (PCM, 1 channel, 8-bit, ``sample_rate``), ``data`` chunk = the
+    bytes. All length/format fields are little-endian integers assembled
+    via :func:`_le_bytes` — a standards-correct file any audio tool
+    opens."""
+    fmt = F.concat(
+        F.encode(F.lit("fmt "), "UTF-8"),
+        _le_bytes(F.lit(16), 4),          # fmt chunk size
+        _le_bytes(F.lit(1), 2),           # audio format: PCM
+        _le_bytes(F.lit(1), 2),           # channels: mono
+        _le_bytes(sample_rate, 4),        # sample rate
+        _le_bytes(sample_rate, 4),        # byte rate (mono u8 = rate)
+        _le_bytes(F.lit(1), 2),           # block align
+        _le_bytes(F.lit(8), 2),           # bits per sample
+    )
+    data_chunk = F.concat(
+        F.encode(F.lit("data"), "UTF-8"), _le_bytes(byte_len, 4), data
+    )
+    riff_len = byte_len + F.lit(36)       # 4 (WAVE) + 24 (fmt) + 8 (data hdr)
+    return F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        _le_bytes(riff_len, 4),
+        F.encode(F.lit("WAVE"), "UTF-8"),
+        fmt,
+        data_chunk,
+    )
+
+
+def encoded_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`media_table` with payloads wrapped in REAL container formats
+    (image → PGM/P5, audio → WAV/PCM-u8, video → raw bytes pending a real
+    demuxer). The decode stages parse these with
+    :func:`decode_media_real` — a genuine parse-the-header-on-disk-format
+    path, not a fake."""
+    m = media_table(spark, sf_dir)
+    enc = (
+        F.when(
+            F.col("media_type") == "image",
+            pgm_payload(F.col("payload"), F.col("byte_len")),
         )
-    raise NotImplementedError("real codec path not wired in this build")
+        .when(
+            F.col("media_type") == "audio",
+            wav_payload(
+                F.col("payload"), F.col("byte_len"), F.col("meta.sample_rate")
+            ),
+        )
+        .otherwise(F.col("payload"))
+    )
+    return m.withColumn("payload_enc", enc)
+
+
+def decode_media_real(payload: bytes, media_type: str = "") -> np.ndarray:
+    """Real container decode, pure numpy — no external codec needed.
+
+    Parses netpbm P5/P6 (binary PGM/PPM) and WAV (RIFF, 8-bit PCM) by
+    their on-disk headers and returns the sample buffer as uint8. Formats
+    that genuinely require codec libraries (JPEG/PNG/FLAC/MP4...) raise
+    ``NotImplementedError`` — deployments with Pillow/soundfile/av extend
+    the sniff chain below; every downstream stage keeps the same ndarray
+    contract."""
+    if payload[:2] in (b"P5", b"P6"):
+        # netpbm binary: magic, then 3 ASCII ints (width height maxval)
+        # separated by whitespace/comments, one whitespace, then raster.
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to end of line
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        width, height, maxval = vals
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm rasters not supported")
+        channels = 3 if payload[:2] == b"P6" else 1
+        raster = payload[pos : pos + width * height * channels]
+        return np.frombuffer(raster, dtype=np.uint8)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # Walk RIFF chunks; require PCM 8-bit from `fmt `, return `data`.
+        pos, bits = 12, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                audio_format = int.from_bytes(body[0:2], "little")
+                bits = int.from_bytes(body[14:16], "little")
+                if audio_format != 1:
+                    raise NotImplementedError(
+                        f"compressed WAV (format {audio_format}) needs a codec"
+                    )
+            elif cid == b"data":
+                if bits not in (None, 8):
+                    raise NotImplementedError(f"{bits}-bit PCM not supported")
+                return np.frombuffer(body, dtype=np.uint8)
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+        raise ValueError("WAV file has no data chunk")
+    raise NotImplementedError(
+        "real decode for this format needs codec libraries (Pillow/"
+        "soundfile/av) not present in this container; raw payloads fall "
+        "back to the deterministic fake decode (bytes -> uint8 buffer)."
+    )
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic fake decode: the opaque bytes AS the sample buffer.
-    Stands in for pixels/PCM so every downstream stage (features, resize,
-    frame sampling) runs real vectorized numpy over real Arrow batches."""
+    Stands in for pixels/PCM where no container format applies (raw video
+    payloads pending a real demuxer)."""
     return np.frombuffer(payload, dtype=np.uint8)
+
+
+def decode_any(payload: bytes) -> np.ndarray:
+    """Sniff-and-decode: real container parse when the magic bytes match a
+    supported format, deterministic fake for raw payloads."""
+    try:
+        return decode_media_real(payload)
+    except NotImplementedError:
+        return _fake_decode(payload)
 
 
 # ---------------------------------------------------------------------------
@@ -132,9 +260,16 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if n == 0:
             yield pd.DataFrame(columns=_FEATURE_COLS)
             continue
-        payloads = [bytes(p) for p in pdf["payload"]]
-        lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
-        buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        # Container parse per row (header-only Python work, ~15 bytes each:
+        # PGM/WAV → real decode, raw → fake), then ONE packed buffer and
+        # segmented numpy reductions for the arithmetic.
+        samples = [decode_any(bytes(p)) for p in pdf["payload"]]
+        lens = np.fromiter((len(s) for s in samples), dtype=np.int64, count=n)
+        buf = (
+            np.concatenate(samples)
+            if lens.sum() > 0
+            else np.empty(0, dtype=np.uint8)
+        )
 
         means = np.zeros(n, dtype=np.float64)
         maxs = np.zeros(n, dtype=np.int64)
@@ -181,7 +316,7 @@ def resize_thumbnail(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            buf = _fake_decode(payload)
+            buf = decode_any(bytes(payload))
             if len(buf) == 0:
                 thumb = [0] * n_out
             else:
@@ -274,13 +409,21 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (mean sample in [1,255]) per doc over ASCII payloads (where
     DuckDB's codepoint mean equals the byte mean — both sides filter
     identically); exact feature values are pytest-verified against a
-    pure-Python recompute (DuckDB can't express the decode)."""
-    m = media_table(spark, sf_dir).where(
+    pure-Python recompute (DuckDB can't express the decode).
+
+    Round 6: payloads arrive as REAL containers (PGM images / WAV audio,
+    built natively by :func:`encoded_media_table`) and the pandas stage
+    parses them with the pure-numpy :func:`decode_media_real` — the
+    decoded raster/PCM equals the source bytes, so the oracle's byte-mean
+    arithmetic certifies the whole encode→decode round trip."""
+    m = encoded_media_table(spark, sf_dir).where(
         (F.col("byte_len") > 0)
         # ASCII gate, mirroring the oracle: payload bytes == text chars
         & (F.col("byte_len") == F.char_length(F.decode(F.col("payload"), "UTF-8")))
     )
-    feats = m.mapInPandas(extract_features, schema=FEATURES_SCHEMA)
+    feats = m.select(
+        "doc_id", "media_type", F.col("payload_enc").alias("payload")
+    ).mapInPandas(extract_features, schema=FEATURES_SCHEMA)
     return feats.groupBy("doc_id").agg(
         F.count("*").alias("n_media"),
         F.sum(
@@ -326,14 +469,20 @@ def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 + sum) rather than returning ``array<int>``: the driver's
     canonicalizer sorts result columns with pandas, and list-typed cells
     are unhashable there (the r2 grading run crashed on exactly this).
-    The full array shape stays pytest-verified element-by-element."""
-    m = media_table(spark, sf_dir).where(
+    The full array shape stays pytest-verified element-by-element.
+
+    Round 6: the stage consumes REAL PGM containers and parses them with
+    the pure-numpy decoder — the sampled raster equals the source bytes,
+    keeping the oracle's integer-index arithmetic valid end-to-end."""
+    m = encoded_media_table(spark, sf_dir).where(
         (F.col("media_type") == "image")
         & (F.col("byte_len") > 0)
         # ASCII gate mirroring the oracle: payload bytes == text chars
         & (F.col("byte_len") == F.char_length(F.decode(F.col("payload"), "UTF-8")))
     )
-    thumbs = m.mapInPandas(resize_thumbnail, schema=RESIZE_SCHEMA)
+    thumbs = m.select(
+        "doc_id", F.col("payload_enc").alias("payload")
+    ).mapInPandas(resize_thumbnail, schema=RESIZE_SCHEMA)
     return thumbs.select(
         "doc_id",
         F.md5(

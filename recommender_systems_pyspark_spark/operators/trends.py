@@ -954,8 +954,12 @@ def x_crosscorr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     ),
     scored AS (
+      -- HUGEINT (INT128) products: at 100 TB scale n*prefix can exceed
+      -- 2^63 (total cents ~1e16 × n ~1e3), so widen BEFORE multiplying.
+      -- Spark side mirrors with DECIMAL(38,0) — both exact integers.
       SELECT event_type, day,
-             abs(n * prefix - t * total) AS score, n, total
+             abs(CAST(n AS HUGEINT) * prefix
+                 - CAST(t AS HUGEINT) * total) AS score, n, total
       FROM c
     )
     SELECT event_type,
@@ -999,7 +1003,15 @@ def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").over(full).alias("total"),
         F.count("*").over(full).alias("n"),
     )
-    score = F.abs(F.col("n") * F.col("prefix") - F.col("t") * F.col("total"))
+    # DECIMAL(38,0) widening before the products: n*prefix overflows
+    # BIGINT once total cents ~1e16 meets n ~1e3 days (the 100 TB shape) —
+    # ANSI mode would error, non-ANSI would wrap silently. Exact integer
+    # decimal arithmetic mirrors the oracle's HUGEINT.
+    dec = "decimal(38,0)"
+    score = F.abs(
+        F.col("n").cast(dec) * F.col("prefix").cast(dec)
+        - F.col("t").cast(dec) * F.col("total").cast(dec)
+    )
     scored = c.select("event_type", "day", score.alias("score"), "n")
     return (
         scored.groupBy("event_type")

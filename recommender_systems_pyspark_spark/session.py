@@ -47,6 +47,22 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_memory() -> str:
+    """Driver-heap default derived from the machine, not hardcoded.
+
+    A flat 16g default OOM-kills the JVM inside cgroup-limited containers
+    with less RAM (ADVICE r5). Take ~40% of physical memory, clamped to
+    [2g, 16g]; SPARK_GRAFT_DRIVER_MEMORY stays the explicit knob for long
+    verify sessions. Probe failures fall back to a conservative 4g.
+    """
+    try:
+        total_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gb = max(2, min(16, int(total_bytes * 0.4 / (1 << 30))))
+    except (ValueError, OSError, AttributeError):
+        gb = 4
+    return f"{gb}g"
+
+
 def get_spark(app_name: str = "spark-graft", *, shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) the engine session.
 
@@ -60,12 +76,14 @@ def get_spark(app_name: str = "spark-graft", *, shuffle_partitions: int | None =
         .config("spark.sql.shuffle.partitions", str(width))
         # In local mode the driver JVM IS every executor; Spark's 1g
         # default heap dies under a long sf0.1 verify session (observed:
-        # py4j connection loss ~150 queries in). A builder config is only
-        # a default — spark-submit / an existing JVM always wins, so this
-        # does not constrain cluster deployments.
+        # py4j connection loss ~150 queries in). The default scales with
+        # physical RAM (clamped 2–16g) so cgroup-limited hosts don't get
+        # OOM-killed; a builder config is only a default — spark-submit /
+        # an existing JVM always wins, so this does not constrain cluster
+        # deployments.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", _default_driver_memory()),
         )
     )
     for k, v in ENGINE_CONFS.items():

@@ -161,3 +161,23 @@ def s7_stateful_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prior:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
     return spark.table(sink)
+
+
+def _register_if_protobuf_available() -> bool:
+    """Self-activating registration (VERDICT r5 #5): transformWithState's
+    Python worker needs google.protobuf, so the query only enters the
+    driver gate where that import succeeds — in this container it stays
+    out (no always-erring row), in richer environments it lights up with
+    no code change. Rows-only by design, like the classic s4 twin (custom
+    stateful streaming is not SQL-expressible)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    from ..registry import query
+
+    query("s9_stateful_user_totals_tws", oracle=None)(s7_stateful_user_totals_tws)
+    return True
+
+
+PROTOBUF_REGISTERED = _register_if_protobuf_available()

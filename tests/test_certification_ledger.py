@@ -1,0 +1,122 @@
+"""Executable certification ledger (VERDICT r5 #7).
+
+The registry's 50-slot grading-window choreography is load-bearing for
+certification: the driver grades the first 50 ``queries()`` entries per
+round, ``registry._GRADE_FIRST`` steers the window, and the UNION of
+CORRECTNESS_r*.json files must cover every registered query. That
+invariant used to live in comments; this test makes backlog regressions
+loud — a future round that silently drops a query from the queue (or
+registers one without queueing it) fails here.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from recommender_systems_pyspark_spark import registry
+
+REPO = Path(__file__).resolve().parent.parent
+
+#: Queries graded rows-only BY DESIGN (no DuckDB oracle is possible):
+#: ALS/ML model family, nondeterministic uuid()/current_timestamp, and
+#: custom stateful streaming. Exactly these may lack hash grades forever.
+ROWS_ONLY_BY_DESIGN = {
+    "f7_f8_row_metadata",
+    "ml_als_implicit_recs",
+    "ml_als_top_recs",
+    "ml_item_item_similarity",
+    "ml_user_crud_flow",
+    "s4_stateful_user_totals",
+    # conditional registration (protobuf environments only), same family
+    "s9_stateful_user_totals_tws",
+}
+
+#: Queries registered THIS round that have not yet had a driver window
+#: AND are not yet queued in _GRADE_FIRST. Adding a query without either
+#: queueing it or listing it here fails the ledger — the list must be
+#: emptied into _GRADE_FIRST when the next window is planned.
+PENDING_FIRST_GRADE: set[str] = set()
+
+
+def _correctness_rounds() -> list[tuple[str, dict]]:
+    out = []
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        with open(p) as fh:
+            out.append((p.name, json.load(fh)))
+    return out
+
+
+def test_every_registered_query_is_certified_or_queued():
+    rounds = _correctness_rounds()
+    assert rounds, "no CORRECTNESS_r*.json files found at repo root"
+
+    ever_green: set[str] = set()
+    ever_rows_only: set[str] = set()
+    for _, data in rounds:
+        for name, rec in data.items():
+            if rec.get("hash_match"):
+                ever_green.add(name)
+            # the driver records oracle-less queries as err='no_oracle'
+            # with the spark row count — that IS the rows-only grade
+            elif rec.get("err") in (None, "no_oracle") and rec.get("spark_rows", 0) > 0:
+                ever_rows_only.add(name)
+
+    registered = set(registry.all_queries())
+    queued = set(registry._GRADE_FIRST)
+
+    uncovered = (
+        registered
+        - ever_green
+        - (ever_rows_only & ROWS_ONLY_BY_DESIGN)
+        - queued
+        - PENDING_FIRST_GRADE
+    )
+    assert not uncovered, (
+        f"registered queries with no driver grade, not rows-only-by-design, "
+        f"and not queued in _GRADE_FIRST or PENDING_FIRST_GRADE: "
+        f"{sorted(uncovered)}"
+    )
+
+
+def test_rows_only_allowlist_is_tight():
+    """Every rows-only-by-design query must actually have oracle=None, and
+    every oracle=None query must be on the allowlist — the weaker check is
+    never applied by accident."""
+    qs = registry.all_queries()
+    no_oracle = {n for n, s in qs.items() if s.oracle is None}
+    allow = {n for n in ROWS_ONLY_BY_DESIGN if n in qs}
+    assert no_oracle == allow, (
+        f"oracle=None vs allowlist mismatch: "
+        f"unlisted={sorted(no_oracle - allow)} stale={sorted(allow - no_oracle)}"
+    )
+
+
+def test_latest_grades_have_no_standing_failures():
+    """A query's LATEST driver grade must not be a hash failure or error —
+    a regression recorded by a newer round fails here even if an older
+    round was green."""
+    latest: dict[str, tuple[str, dict]] = {}
+    for fname, data in _correctness_rounds():
+        for name, rec in data.items():
+            latest[name] = (fname, rec)
+
+    registered = set(registry.all_queries())
+    bad = {
+        name: (fname, rec)
+        for name, (fname, rec) in latest.items()
+        if name in registered
+        and (
+            rec.get("err") not in (None, "no_oracle")
+            or (not rec.get("hash_match") and name not in ROWS_ONLY_BY_DESIGN)
+        )
+    }
+    assert not bad, f"standing driver-grade failures: {bad}"
+
+
+def test_grade_first_names_are_registered():
+    """A typo'd or stale name in _GRADE_FIRST silently shrinks the window
+    (the registry drops unknown names) — catch it here instead."""
+    qs = set(registry.all_queries())
+    missing = [n for n in registry._GRADE_FIRST if n not in qs]
+    assert not missing, f"_GRADE_FIRST names not in registry: {missing}"

@@ -34,9 +34,75 @@ def test_media_table_schema(spark):
     assert m.count() > 0
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError, match="STUB"):
-        decode_media_real(b"\x00\x01", "image")
+def test_real_decode_unknown_format_raises():
+    # JPEG magic: genuinely needs an external codec -> explicit stub branch
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media_real(b"\xff\xd8\xff\xe0fakejpeg", "image")
+
+
+def test_pgm_real_decode_roundtrip(spark):
+    from recommender_systems_pyspark_spark.multimodal.media import (
+        encoded_media_table,
+    )
+
+    rows = (
+        encoded_media_table(spark, SF)
+        .where("media_type = 'image' AND byte_len > 0")
+        .select("doc_id", "payload", "payload_enc")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        enc = bytes(r.payload_enc)
+        assert enc.startswith(b"P5\n")  # genuine netpbm container
+        decoded = decode_media_real(enc)
+        assert decoded.tobytes() == bytes(r.payload)
+
+
+def test_pgm_parser_handles_comments_and_p6():
+    raster = bytes(range(12))
+    pgm = b"P5\n# a comment\n12 1\n255\n" + raster[:12]
+    assert decode_media_real(pgm).tobytes() == raster[:12]
+    ppm = b"P6 2 2 255\n" + raster  # 2x2 RGB = 12 bytes, space-separated hdr
+    assert decode_media_real(ppm).tobytes() == raster
+
+
+def test_wav_real_decode_roundtrip(spark):
+    from recommender_systems_pyspark_spark.multimodal.media import (
+        encoded_media_table,
+    )
+
+    rows = (
+        encoded_media_table(spark, SF)
+        .where("media_type = 'audio' AND byte_len > 0")
+        .select("doc_id", "payload", "payload_enc")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        enc = bytes(r.payload_enc)
+        data = bytes(r.payload)
+        # standards-correct RIFF framing, little-endian sizes
+        assert enc[:4] == b"RIFF" and enc[8:12] == b"WAVE"
+        assert int.from_bytes(enc[4:8], "little") == 36 + len(data)
+        assert len(enc) == 44 + len(data)
+        assert int.from_bytes(enc[24:28], "little") == 16000  # sample rate
+        assert decode_media_real(enc).tobytes() == data
+
+
+def test_wav_parser_rejects_compressed():
+    # fmt chunk declaring format 85 (MP3) must hit the codec stub
+    body = (85).to_bytes(2, "little") + b"\x01\x00" + b"\x00" * 12
+    wav = b"RIFF" + (100).to_bytes(4, "little") + b"WAVE" + b"fmt " + (16).to_bytes(4, "little") + body
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media_real(wav)
+
+
+def test_decode_any_falls_back_for_raw():
+    from recommender_systems_pyspark_spark.multimodal.media import decode_any
+
+    raw = b"\x01\x02\x03raw-video-bytes"
+    assert decode_any(raw).tobytes() == raw
 
 
 def test_features_match_pure_python(spark):

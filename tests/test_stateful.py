@@ -102,3 +102,25 @@ def test_transform_with_state_carries_across_batches(spark, stream_dir):  # noqa
     finally:
         if prior:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+
+def test_stateful_v2_registration_is_conditional_on_protobuf():
+    """The TWS query self-registers iff google.protobuf imports (VERDICT
+    r5 #5): absent → no always-erring driver-gate row; present → the
+    query is live in the registry with rows-only grading (oracle=None)."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.streaming import stateful_v2
+
+    try:
+        import google.protobuf  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    qs = all_queries()
+    assert stateful_v2.PROTOBUF_REGISTERED == have_protobuf
+    if have_protobuf:
+        spec = qs["s9_stateful_user_totals_tws"]
+        assert spec.oracle is None  # rows-only by design (stateful streaming)
+    else:
+        assert "s9_stateful_user_totals_tws" not in qs

@@ -11,7 +11,14 @@ Usage: python tools/verify_local.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
+
+# Script-style invocation (python tools/verify_local.py) puts tools/ on
+# sys.path, not the repo root — shim it in so the engine package imports
+# without requiring PYTHONPATH=. (r5 verdict nit). `python -m
+# tools.verify_local` from the repo root works either way.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
