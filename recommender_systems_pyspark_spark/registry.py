@@ -126,11 +126,13 @@ _QUERY_MODULES = (
 #:         the r3 and r5 verdicts' standing recommendation.
 #: Everything NOT listed here keeps module order after these — all of it
 #: already hash-matched green in r1, r2, r3 or r5.
-#: ROUND-7 QUEUE (if this window grades green): rotate re-grades of the
+#: ROUND-7 QUEUE (if this window grades green): FIRST the queries newly
+#: registered in r6 (x_dedup_jaccard_join — see
+#: tests/test_certification_ledger.PENDING_FIRST_GRADE, which must be
+#: emptied into _GRADE_FIRST then), THEN rotate re-grades of the
 #: remaining r1-vintage rows — functions/scalar.py (f1–f11 family),
 #: operators/setops.py (u1–u4, g1–g3), operators/asof.py (j6/j7),
-#: operators/aggregates_ext.py (a2/a8/f3), t4/t7 (windows.py) — plus any
-#: queries newly registered in r6 (they queue at module order, 51+).
+#: operators/aggregates_ext.py (a2/a8/f3), t4/t7 (windows.py).
 _GRADE_FIRST = (
     # 1-23: round-5 additions beyond the r5 window, never driver-graded
     "x_autocorr_daily",

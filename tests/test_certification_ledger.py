@@ -36,7 +36,10 @@ ROWS_ONLY_BY_DESIGN = {
 #: AND are not yet queued in _GRADE_FIRST. Adding a query without either
 #: queueing it or listing it here fails the ledger — the list must be
 #: emptied into _GRADE_FIRST when the next window is planned.
-PENDING_FIRST_GRADE: set[str] = set()
+PENDING_FIRST_GRADE: set[str] = {
+    # new in r6 — front of the ROUND-7 queue (registry comment)
+    "x_dedup_jaccard_join",
+}
 
 
 def _correctness_rounds() -> list[tuple[str, dict]]:

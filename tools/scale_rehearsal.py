@@ -1,0 +1,158 @@
+"""sf1.0 scale rehearsal (VERDICT r5 #9): the cheapest available evidence
+for the "plans you'd want at 100×" claim.
+
+Builds a referentially-consistent 10× replica of the sf0.1 fixtures
+(fact tables replicated with disjoint key ranges per copy — foreign keys
+offset in lockstep, so join fan-outs and group cardinalities scale the way
+a real sf1.0 generation would; region/nation stay fixed like TPC-H dims),
+then runs the heaviest registered queries at both scales and reports
+wall-times plus the time ratio. A plan that is linear-or-better shows a
+ratio ≤ ~10 on 32 cores; a super-linear ratio flags a shape that would
+not survive 100 TB.
+
+Duplicate-content note: documents/embeddings copies carry identical
+text/vectors under fresh ids, so the dedup/LSH/ANN families see 10-way
+duplicate clusters — a deliberately adversarial (and realistic) stress
+for candidate-generation fan-out.
+
+Usage: python tools/scale_rehearsal.py [--dst /tmp/sf1.0-replica]
+       [--factor 10] [--queries q1,q2,...]
+Prints one JSON line; write it to BENCH_SCALE_r{N}.json for the record.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+#: Key offsets per replicated copy — applied to primary keys and every
+#: foreign key that references them, so copy i is a self-consistent
+#: shard of the key space (joins never cross copies; per-key group sizes
+#: match the source, global cardinalities scale by the factor).
+KEY_BASE = {
+    "customer": {"c_custkey": 10_000_000},
+    "supplier": {"s_suppkey": 10_000_000},
+    "part": {"p_partkey": 10_000_000},
+    "orders": {"o_orderkey": 100_000_000, "o_custkey": 10_000_000},
+    "lineitem": {
+        "l_orderkey": 100_000_000,
+        "l_partkey": 10_000_000,
+        "l_suppkey": 10_000_000,
+    },
+    "events": {"event_id": 100_000_000, "user_id": 10_000_000},
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
+}
+
+#: Bounded dimensions — never replicated (like TPC-H region/nation).
+FIXED_TABLES = ("region", "nation")
+
+#: Default rehearsal set: the most expensive shapes per BENCH_r05/r06 —
+#: iterative graph, pattern mining, composed e2e funnels, LSH dedup,
+#: interval join, global rank, heavy aggregates, ANN probe.
+DEFAULT_QUERIES = (
+    "tpch_q1",
+    "tpch_q9_style",
+    "tpch_q21_style",
+    "x_pagerank",
+    "x_fpgrowth_itemsets",
+    "x_corpus_e2e",
+    "x_dedup_e2e",
+    "x_dedup_minhash_lsh",
+    "x_interval_overlap",
+    "x_global_rank",
+    "x_line_dedup",
+    "x_knn_ivf_topk",
+    "x_gini_concentration",
+    "a10_stat_moments",
+)
+
+
+def build_replica(spark, src: str, dst: str, factor: int) -> None:
+    from recommender_systems_pyspark_spark.sources.loaders import (
+        TABLES,
+        load_table,
+    )
+
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t in FIXED_TABLES or factor == 1:
+            out = df
+        else:
+            offsets = KEY_BASE.get(t, {})
+            copies = []
+            for i in range(factor):
+                c = df
+                for col, base in offsets.items():
+                    c = c.withColumn(col, (F.col(col) + F.lit(i * base)).cast("long"))
+                copies.append(c)
+            out = functools.reduce(lambda a, b: a.unionByName(b), copies)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+
+def main() -> None:
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst = "/tmp/sf1.0-replica"
+    factor = 10
+    names = list(DEFAULT_QUERIES)
+    args = sys.argv[1:]
+    while args:
+        a = args.pop(0)
+        if a == "--dst":
+            dst = args.pop(0)
+        elif a == "--factor":
+            factor = int(args.pop(0))
+        elif a == "--queries":
+            names = args.pop(0).split(",")
+        else:
+            raise SystemExit(f"unknown arg {a}")
+
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.session import get_spark
+
+    spark = get_spark("spark-graft-scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    t0 = time.perf_counter()
+    build_replica(spark, src, dst, factor)
+    build_sec = round(time.perf_counter() - t0, 2)
+
+    def run(name: str, sf_dir: str) -> float:
+        t = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t, 3)
+
+    run(names[0], src)  # warmup: JVM/codegen caches
+
+    small, big = {}, {}
+    for n in names:
+        if n not in specs:
+            continue
+        small[n] = run(n, src)
+        big[n] = run(n, dst)
+
+    ratios = {n: round(big[n] / small[n], 2) for n in small if small[n] > 0}
+    out = {
+        "metric": "sf1.0_scale_rehearsal",
+        "source_sf": src,
+        "factor": factor,
+        "replica_build_sec": build_sec,
+        "sf0.1_sec": small,
+        "sf1.0_sec": big,
+        "time_ratio_at_10x_data": ratios,
+        "unit": "sec",
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
