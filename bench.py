@@ -59,6 +59,9 @@ RECORD_ONLY = [
     "x_dedup_e2e",
     "x_interval_overlap",
     "x_global_rank",
+    # New-in-r6 dedup shapes (own baselines from first recording).
+    "x_dedup_jaccard_join",
+    "x_dedup_incremental",
 ]
 
 

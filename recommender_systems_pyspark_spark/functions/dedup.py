@@ -193,17 +193,16 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pairs(t["documents"])
 
 
-def lsh_pairs(docs: DataFrame) -> DataFrame:
-    """MinHash-LSH verified near-dup pairs ``(doc_a, doc_b, jaccard_sim)``
-    over any ``(doc_id, text)`` frame — the reusable scale path behind
-    ``x_dedup_minhash_lsh`` (full corpus) and ``x_corpus_e2e`` (the
-    quality-surviving subset). Signature → band buckets → same-bucket
-    candidates → exact-Jaccard verify; sub-quadratic throughout."""
+def lsh_bands(docs: DataFrame) -> DataFrame:
+    """``(doc_id, sh, band, band_hash)`` LSH band buckets over any
+    ``(doc_id, text)`` frame: shingle → 16-slot md5 MinHash signature →
+    4-row band hashes. Map-only (signature and banding inside codegen);
+    shared by the within-corpus pair join (:func:`lsh_pairs`) and the
+    incremental new-vs-corpus probe (:func:`x_dedup_incremental`)."""
     s = _spread(docs).select("doc_id", shingles().alias("sh"))
     sig = s.select("doc_id", "sh", minhash_signature().alias("sig"))
-
     # band b → hash of signature slots [b*R, (b+1)*R)
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         "sh",
         F.posexplode(
@@ -219,6 +218,14 @@ def lsh_pairs(docs: DataFrame) -> DataFrame:
         ).alias("band", "band_hash"),
     )
 
+
+def lsh_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH verified near-dup pairs ``(doc_a, doc_b, jaccard_sim)``
+    over any ``(doc_id, text)`` frame — the reusable scale path behind
+    ``x_dedup_minhash_lsh`` (full corpus) and ``x_corpus_e2e`` (the
+    quality-surviving subset). Signature → band buckets → same-bucket
+    candidates → exact-Jaccard verify; sub-quadratic throughout."""
+    bands = lsh_bands(docs)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -638,4 +645,132 @@ def x_dedup_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_common").cast("double") / union_sz).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: admit a NEW batch against an EXISTING corpus
+# ---------------------------------------------------------------------------
+
+def _sql_incremental() -> str:
+    bands_sql = """
+      SELECT doc_id, b.i AS band,
+             md5(array_to_string(
+               sig[b.i * {R} + 1 : b.i * {R} + {R}], ',')) AS band_hash
+      FROM {sig},
+           LATERAL (SELECT unnest(range(0, {NB})) AS i) b
+    """
+    sig_sql = """
+      SELECT doc_id, sh,
+             list_transform(range(0, {H}), i ->
+               list_min(list_transform(sh,
+                 t -> md5(CAST(i AS VARCHAR) || ':' || t)))) AS sig
+      FROM {src}
+    """
+    consts = dict(H=_NUM_HASHES, R=_BAND_ROWS, NB=_NUM_HASHES // _BAND_ROWS)
+    return f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+    ch AS (SELECT DISTINCT sha256(lower(trim(text))) AS h FROM corpus),
+    bh AS (SELECT doc_id, sha256(lower(trim(text))) AS h FROM batch),
+    exact AS (SELECT DISTINCT bh.doc_id FROM bh JOIN ch USING (h)),
+    sc AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM corpus),
+    sb AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM batch),
+    sigc AS ({sig_sql.format(src='sc', **consts)}),
+    sigb AS ({sig_sql.format(src='sb', **consts)}),
+    bandsc AS ({bands_sql.format(sig='sigc', **consts)}),
+    bandsb AS ({bands_sql.format(sig='sigb', **consts)}),
+    cand AS (
+      SELECT DISTINCT nb.doc_id AS new_id, nc.doc_id AS corpus_id
+      FROM bandsb nb JOIN bandsc nc
+        ON nb.band = nc.band AND nb.band_hash = nc.band_hash
+    ),
+    near AS (
+      SELECT DISTINCT c.new_id AS doc_id
+      FROM cand c
+      JOIN sb ON sb.doc_id = c.new_id
+      JOIN sc ON sc.doc_id = c.corpus_id
+      WHERE CAST(len(list_intersect(sb.sh, sc.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sb.sh, sc.sh))) >= 0.8
+    )
+    SELECT b.doc_id,
+           (e.doc_id IS NOT NULL) AS exact_dup,
+           (n.doc_id IS NOT NULL) AS near_dup,
+           (e.doc_id IS NULL AND n.doc_id IS NULL) AS admitted
+    FROM batch b
+    LEFT JOIN exact e ON e.doc_id = b.doc_id
+    LEFT JOIN near n ON n.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """
+
+
+@query("x_dedup_incremental", oracle=_sql_incremental())
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus admission — the production "don't re-ingest
+    what you already have" path, distinct from within-corpus dedup: a NEW
+    batch (doc_id % 10 ≥ 8 here; in production, today's crawl) is checked
+    against an EXISTING corpus (% 10 < 8) and each new document is
+    flagged ``exact_dup`` (canonical sha256 matches a corpus digest),
+    ``near_dup`` (MinHash-LSH band collision with a corpus doc, verified
+    at Jaccard ≥ 0.8), and ``admitted`` (neither).
+
+    Scale shape: both probes are NEW-side-driven joins against
+    corpus-side state a warehouse would precompute and store — the digest
+    set (uniform-key semi join) and the band table (equi-join on
+    (band, band_hash), the same bucketed layout ``x_dedup_minhash_lsh``
+    certifies). Incremental cost is O(|batch| × bands + collisions), never
+    a rescan-shaped |corpus|² — and the corpus side never moves through a
+    quadratic stage. Verification joins fetch only colliding docs'
+    shingle sets."""
+    docs = tables(spark, sf_dir)["documents"]
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    canon = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+
+    corpus_digests = corpus.select(canon.alias("h")).distinct()
+    exact = (
+        batch.select("doc_id", canon.alias("h"))
+        .join(corpus_digests, "h", "left_semi")
+        .select("doc_id")
+        .withColumn("exact_dup", F.lit(True))
+    )
+
+    nb = lsh_bands(batch.select("doc_id", "text"))
+    nc = lsh_bands(corpus.select("doc_id", "text"))
+    cand = (
+        nb.alias("n")
+        .join(
+            nc.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+            F.col("n.sh").alias("sh_n"),
+            F.col("c.sh").alias("sh_c"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    near = (
+        cand.where(jaccard(F.col("sh_n"), F.col("sh_c")) >= 0.8)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            (
+                F.coalesce("exact_dup", F.lit(False))
+                | F.coalesce("near_dup", F.lit(False))
+            ).alias("admitted"),
+        )
+        .withColumn("admitted", ~F.col("admitted"))
+        .orderBy("doc_id")
     )

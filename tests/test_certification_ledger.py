@@ -39,6 +39,7 @@ ROWS_ONLY_BY_DESIGN = {
 PENDING_FIRST_GRADE: set[str] = {
     # new in r6 — front of the ROUND-7 queue (registry comment)
     "x_dedup_jaccard_join",
+    "x_dedup_incremental",
 }
 
 

@@ -228,3 +228,20 @@ def test_jaccard_join_prefix_prunes_candidates(spark):
         f"prefix filter generated {n_cand} candidates for {n_docs} docs — "
         "barely better than quadratic"
     )
+
+
+def test_incremental_dedup_invariants(spark):
+    """exact_dup ⇒ near_dup (identical text ⇒ identical signature ⇒ same
+    bands ⇒ verified at jaccard 1.0), and admitted ≡ neither flag."""
+    from recommender_systems_pyspark_spark.functions.dedup import (
+        x_dedup_incremental,
+    )
+
+    rows = x_dedup_incremental(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.admitted == (not (r.exact_dup or r.near_dup))
+        if r.exact_dup:
+            assert r.near_dup, f"doc {r.doc_id}: exact dup not caught by LSH"
+    # batch is exactly the doc_id % 10 >= 8 slice
+    assert all(r.doc_id % 10 >= 8 for r in rows)

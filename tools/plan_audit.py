@@ -17,8 +17,12 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import re
 import sys
+
+# script-style invocation shim (same as verify_local.py): repo root on path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_QUERIES = [
     # bench headliners
@@ -91,6 +95,8 @@ DEFAULT_QUERIES = [
     "x_crosscorr_lagged",
     "x_cusum_changepoint",
     "x_ltv_cohort_triangle",
+    # round-6 additions
+    "x_dedup_jaccard_join",
 ]
 
 
