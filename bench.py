@@ -62,6 +62,7 @@ RECORD_ONLY = [
     # New-in-r6 dedup shapes (own baselines from first recording).
     "x_dedup_jaccard_join",
     "x_dedup_incremental",
+    "x_semdedup",
 ]
 
 

@@ -40,6 +40,7 @@ PENDING_FIRST_GRADE: set[str] = {
     # new in r6 — front of the ROUND-7 queue (registry comment)
     "x_dedup_jaccard_join",
     "x_dedup_incremental",
+    "x_semdedup",
 }
 
 

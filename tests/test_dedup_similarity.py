@@ -245,3 +245,51 @@ def test_incremental_dedup_invariants(spark):
             assert r.near_dup, f"doc {r.doc_id}: exact dup not caught by LSH"
     # batch is exactly the doc_id % 10 >= 8 slice
     assert all(r.doc_id % 10 >= 8 for r in rows)
+
+
+def test_semdedup_matches_numpy_brute_force(spark):
+    """x_semdedup vs an independent numpy replay at sf0.001: identical
+    cluster assignment (nearest per-label centroid), identical pruned set
+    (smaller-id within-cluster neighbor at cosine >= tau), consistent
+    flag/count/max_sim fields."""
+    import numpy as np
+
+    from recommender_systems_pyspark_spark.functions.similarity import (
+        _SEMDEDUP_TAU,
+        x_semdedup,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.vec_id: r for r in x_semdedup(spark, sf).collect()}
+    raw = load_table(spark, sf, "embeddings").collect()
+    ids = np.array([r.vec_id for r in raw])
+    labels = np.array([r.label for r in raw])
+    V = np.array([r.embedding for r in raw], dtype=np.float64)
+
+    # nearest per-label mean centroid (plain float mean is within 1e-9 of
+    # the engine's quantized-average centroid — far below assignment margins)
+    cents = {lb: V[labels == lb].mean(axis=0) for lb in sorted(set(labels))}
+    C = np.array([cents[lb] for lb in sorted(cents)])
+    clab = np.array(sorted(cents))
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assigned = clab[np.argmin(d2, axis=1)]
+
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = Vn @ Vn.T
+    for i, vid in enumerate(ids):
+        r = got[vid]
+        assert r.cluster == assigned[i], f"vec {vid}: cluster mismatch"
+        mask = (
+            (assigned == assigned[i]) & (ids < vid) & (cos[i] >= _SEMDEDUP_TAU - 1e-12)
+        )
+        n_close = int(mask.sum())
+        assert r.n_close == n_close, f"vec {vid}: n_close {r.n_close} != {n_close}"
+        assert r.pruned == (n_close > 0)
+        if n_close:
+            assert abs(r.max_sim - cos[i][mask].max()) < 1e-9
+        else:
+            assert r.max_sim is None
+    # the fixture must exercise both branches
+    assert any(r.pruned for r in got.values())
+    assert any(not r.pruned for r in got.values())

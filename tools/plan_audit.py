@@ -97,6 +97,7 @@ DEFAULT_QUERIES = [
     "x_ltv_cohort_triangle",
     # round-6 additions
     "x_dedup_jaccard_join",
+    "x_semdedup",
 ]
 
 
