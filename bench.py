@@ -63,6 +63,7 @@ RECORD_ONLY = [
     "x_dedup_jaccard_join",
     "x_dedup_incremental",
     "x_semdedup",
+    "x_tokens_e2e",
 ]
 
 

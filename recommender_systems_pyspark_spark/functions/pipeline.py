@@ -445,3 +445,221 @@ def x_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
         .where(F.col("sample_rank") <= _QUOTA_PER_LANG)
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed funnel: decontaminate -> quota-sample -> pack -> shard manifest
+# ---------------------------------------------------------------------------
+
+#: Contamination drop gate for the e2e funnel: rate >= 1/10, compared as
+#: 10*matched >= n_ngrams — integers only, no float boundary.
+_E2E_CONTAM_DEN = 10
+
+
+def _sql_tokens_e2e() -> str:
+    tri_unnest = f"""
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(string_split(text, ' ')) - {_CONTAM_N} + 2),
+                 i -> array_to_string(
+                        string_split(text, ' ')[i : i + {_CONTAM_N - 1}],
+                        ' '))) AS tri
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_CONTAM_N}
+    """
+    return f"""
+    WITH train AS (
+      SELECT doc_id, lang, {_sql_md5_shard('doc_id', 16)} AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id, t.tri FROM ({tri_unnest}) t
+      WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    bencht AS (
+      SELECT DISTINCT t.tri FROM ({tri_unnest}) t
+      WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+    matched AS (
+      SELECT doc_id, COUNT(*) AS m
+      FROM tri SEMI JOIN bencht USING (tri) GROUP BY doc_id
+    ),
+    status0 AS (
+      SELECT tr.doc_id, tr.lang, tr.shard, tr.n_tokens,
+             (COALESCE(t.n, 0) > 0
+              AND COALESCE(m.m, 0) * {_E2E_CONTAM_DEN} >= COALESCE(t.n, 0))
+               AS contaminated
+      FROM train tr
+      LEFT JOIN totals t USING (doc_id)
+      LEFT JOIN matched m USING (doc_id)
+    ),
+    q AS (
+      SELECT doc_id, row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qrank
+      FROM status0 WHERE NOT contaminated
+    ),
+    status AS (
+      SELECT s.*,
+             (NOT s.contaminated AND q.qrank > {_QUOTA_PER_LANG})
+               AS quota_dropped,
+             (NOT s.contaminated AND q.qrank <= {_QUOTA_PER_LANG}) AS packed
+      FROM status0 s LEFT JOIN q USING (doc_id)
+    ),
+    pos AS (
+      SELECT lang, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+               - n_tokens AS start_off
+      FROM status WHERE packed
+    ),
+    bins AS (
+      SELECT lang, shard,
+             COUNT(DISTINCT floor(start_off / {_PACK_CAPACITY})) AS n_bins,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM pos GROUP BY lang, shard
+    ),
+    man AS (
+      SELECT lang, shard, COUNT(*) AS n_in,
+             CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+             CAST(SUM(CASE WHEN quota_dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quota_dropped,
+             CAST(SUM(CASE WHEN packed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_packed
+      FROM status GROUP BY lang, shard
+    )
+    SELECT m.lang, CAST(m.shard AS INTEGER) AS shard, m.n_in,
+           m.n_contaminated, m.n_quota_dropped, m.n_packed,
+           COALESCE(b.n_bins, 0) AS n_bins,
+           COALESCE(b.total_tokens, 0) AS total_tokens
+    FROM man m LEFT JOIN bins b USING (lang, shard)
+    """
+
+
+@query("x_tokens_e2e", oracle=_sql_tokens_e2e())
+def x_tokens_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed shard-publish funnel — the stages a pretraining pipeline
+    runs between a curated corpus and training shards, fused end-to-end:
+
+    1. benchmark DECONTAMINATION: drop training docs whose distinct
+       3-gram overlap with the held-out benchmark split reaches 1/10
+       (integer gate ``10*matched >= n_ngrams`` — no float boundary);
+    2. per-language QUOTA sampling (at most 50 docs/lang, md5-order
+       deterministic draw);
+    3. concat-and-chunk PACKING of the survivors into 256-token bins
+       per (lang, md5-shard-of-16);
+    4. the per-(lang, shard) MANIFEST a trainer reads: docs in, dropped
+       per stage, docs packed, bins, token totals.
+
+    Every stage is individually certified (`x_contamination_ngrams`,
+    `x_quota_sample`, `x_seq_packing`, `x_shard_assign`); this query
+    certifies their COMPOSITION against one whole-funnel oracle — drop
+    accounting included, so `n_in = n_contaminated + n_quota_dropped +
+    n_packed` holds row-by-row.
+
+    Scale shape: the benchmark n-gram set is distinct-ed small and
+    BROADCAST to the semi join (eval suites are MBs); contamination
+    totals are per-doc hash aggs on the uniform doc_id key; the quota
+    window shuffles once on lang (two-pass threshold at mega-strata, see
+    x_quota_sample); packing windows on (lang, shard) — 16 md5 shards
+    bound every window task regardless of corpus size. No stage is
+    quadratic; nothing collects to the driver."""
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+
+    words = F.split("text", " ")
+    ntok = F.size(words)
+    tris = F.when(
+        ntok >= _CONTAM_N,
+        F.transform(
+            F.sequence(F.lit(1), ntok - _CONTAM_N + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, _CONTAM_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = docs.select(
+        "doc_id", F.explode(F.array_distinct(tris)).alias("tri")
+    )
+    bencht = tri.where(is_bench).select("tri").distinct()
+    train_tri = tri.where(~is_bench)
+    totals = train_tri.groupBy("doc_id").agg(F.count("*").alias("n"))
+    matched = (
+        train_tri.join(F.broadcast(bencht), "tri", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("m"))
+    )
+
+    train = docs.where(~is_bench).select(
+        "doc_id",
+        "lang",
+        _md5_shard(F.col("doc_id"), 16).alias("shard"),
+        ntok.cast("long").alias("n_tokens"),
+    )
+    n = F.coalesce("n", F.lit(0).cast("long"))
+    m = F.coalesce("m", F.lit(0).cast("long"))
+    status0 = (
+        train.join(totals, "doc_id", "left")
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "shard",
+            "n_tokens",
+            ((n > 0) & (m * _E2E_CONTAM_DEN >= n)).alias("contaminated"),
+        )
+    )
+    wq = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    q = (
+        status0.where(~F.col("contaminated"))
+        .select("doc_id", F.row_number().over(wq).alias("qrank"))
+    )
+    status = status0.join(q, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        "contaminated",
+        (~F.col("contaminated") & (F.col("qrank") > _QUOTA_PER_LANG)).alias(
+            "quota_dropped"
+        ),
+        (~F.col("contaminated") & (F.col("qrank") <= _QUOTA_PER_LANG)).alias(
+            "packed"
+        ),
+    )
+
+    wp = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    pos = (
+        status.where("packed")
+        .withColumn("start_off", F.sum("n_tokens").over(wp) - F.col("n_tokens"))
+    )
+    bins = pos.groupBy("lang", "shard").agg(
+        F.countDistinct(F.floor(F.col("start_off") / _PACK_CAPACITY)).alias(
+            "n_bins"
+        ),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    man = status.groupBy("lang", "shard").agg(
+        F.count("*").alias("n_in"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.sum(F.col("quota_dropped").cast("long")).alias("n_quota_dropped"),
+        F.sum(F.col("packed").cast("long")).alias("n_packed"),
+    )
+    return (
+        man.join(bins, ["lang", "shard"], "left")
+        .select(
+            "lang",
+            F.col("shard").cast("int").alias("shard"),
+            "n_in",
+            "n_contaminated",
+            "n_quota_dropped",
+            "n_packed",
+            F.coalesce("n_bins", F.lit(0).cast("long")).alias("n_bins"),
+            F.coalesce("total_tokens", F.lit(0).cast("long")).alias(
+                "total_tokens"
+            ),
+        )
+    )

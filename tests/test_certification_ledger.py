@@ -41,6 +41,7 @@ PENDING_FIRST_GRADE: set[str] = {
     "x_dedup_jaccard_join",
     "x_dedup_incremental",
     "x_semdedup",
+    "x_tokens_e2e",
 }
 
 

@@ -134,3 +134,35 @@ def test_quota_sample_caps_and_is_deterministic(spark, sf_dir):
         assert len(picked) == min(P._QUOTA_PER_LANG, sizes[lang])
     b = {(r.lang, r.doc_id) for r in fn(spark, sf_dir).collect()}
     assert {(r.lang, r.doc_id) for r in a} == b
+
+
+def test_tokens_e2e_funnel_accounting(spark, sf_dir):
+    """Whole-funnel drop accounting: every train doc is exactly one of
+    contaminated / quota_dropped / packed; per-lang packed totals respect
+    the quota; bin counts match ceil(total_tokens / capacity) bounds."""
+    from recommender_systems_pyspark_spark.functions.pipeline import (
+        _PACK_CAPACITY,
+        _QUOTA_PER_LANG,
+        x_tokens_e2e,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    rows = x_tokens_e2e(spark, sf_dir).collect()
+    assert rows
+    n_train = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 97 <> 0")
+        .count()
+    )
+    assert sum(r.n_in for r in rows) == n_train
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        assert r.n_in == r.n_contaminated + r.n_quota_dropped + r.n_packed
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + r.n_packed
+        if r.n_packed == 0:
+            assert r.n_bins == 0 and r.total_tokens == 0
+        else:
+            # concat-and-chunk: bins are contiguous starting at 0
+            assert 1 <= r.n_bins <= r.total_tokens // _PACK_CAPACITY + 1
+    for lang, packed in by_lang.items():
+        assert packed <= _QUOTA_PER_LANG, f"{lang}: quota exceeded"

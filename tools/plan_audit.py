@@ -98,6 +98,7 @@ DEFAULT_QUERIES = [
     # round-6 additions
     "x_dedup_jaccard_join",
     "x_semdedup",
+    "x_tokens_e2e",
 ]
 
 
