@@ -197,6 +197,18 @@ def main() -> None:
         if name in specs:
             timings[name] = round(run(name), 4)
 
+    # Reclaim executor block-manager space before the streaming section:
+    # the checkpoint-heavy dedup/graph queries above leave truncated-lineage
+    # RDD blocks alive until their Python references are collected, and that
+    # residual pressure measurably inflates the streaming micro-batch
+    # wall-clocks that follow (state stores compete for the same memory).
+    import gc
+
+    gc.collect()
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)  # let ContextCleaner drop the released blocks
+
     # Streaming micro-batch wall-clock (recorded alongside, NOT summed into
     # the headline total — the r1 baseline predates these entries and the
     # vs-baseline comparison must stay apples-to-apples).

@@ -595,17 +595,17 @@ def x_dedup_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     length; every compare is integer (τ as a rational 4/5), so the plan
     is engine-portable bit-for-bit."""
     docs = tables(spark, sf_dir)["documents"]
-    sh = _spread(docs.select("doc_id", shingles().alias("sh"))).select(
-        "doc_id", F.explode("sh").alias("shingle")
+    sh_arr = _spread(docs.select("doc_id", shingles().alias("sh")))
+    # |S| rides along from the array width — no per-doc count aggregate
+    # (and no doc_id join) needed anywhere downstream.
+    sh = sh_arr.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
     )
-    n = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     fr = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
     w_doc = Window.partitionBy("doc_id").orderBy("freq", F.md5("shingle"))
-    rk = (
-        sh.join(fr, "shingle")
-        .join(n, "doc_id")
-        .withColumn("rn", F.row_number().over(w_doc))
-    )
+    rk = sh.join(fr, "shingle").withColumn("rn", F.row_number().over(w_doc))
     prefix_len = (
         F.col("n_sh")
         - F.expr(f"({_TAU_NUM}*n_sh + {_TAU_DEN} - 1) div {_TAU_DEN}")
@@ -627,13 +627,27 @@ def x_dedup_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "na", "nb")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Verification: |A ∩ B| via array_intersect on the per-doc shingle
+    # ARRAYS (both sides are distinct-element arrays, so the size equals
+    # the oracle's join-count) — two doc_id-keyed joins fetching only the
+    # ~43k candidates' arrays, instead of re-exploding the full shingle
+    # relation into a candidates×|doc| row blow-up and aggregating it.
     inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("n_common"))
+        cand.join(
+            sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+        )
     )
     union_sz = F.col("na") + F.col("nb") - F.col("n_common")
     return (

@@ -425,12 +425,26 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "embedding", "c_label", dot(diff, diff).alias("dist"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", F.col("c_label").alias("cluster"))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.col("c_label").alias("cluster"),
+            # per-vector norm computed ONCE here: cosine() is the
+            # left-associative (dot / norm_a) / norm_b, so factoring the
+            # norms out of the pair join is bit-identical to the oracle's
+            # _SQL_COSINE while cutting the per-pair fold work 3x.
+            norm(F.col("embedding")).alias("nrm"),
+        )
     )
 
     a = assign.alias("a")
     b = assign.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    sim = (
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / F.col("a.nrm")
+        / F.col("b.nrm")
+    )
     pairs = (
         a.join(
             b,
@@ -444,7 +458,7 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_close"), F.max("cos_sim").alias("max_sim")
     )
     return (
-        assign.drop("embedding")
+        assign.drop("embedding", "nrm")
         .join(dups.withColumn("hit", F.lit(True)), "vec_id", "left")
         .select(
             "vec_id",
