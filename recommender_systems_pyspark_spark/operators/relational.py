@@ -726,3 +726,65 @@ def d1_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact_sum(F.col("o_totalprice"), "revenue"), F.count("*").alias("n_orders"))
         .orderBy("order_month")
     )
+
+
+@query(
+    "j10_full_outer",
+    oracle=f"""
+    WITH o AS (
+      SELECT date_trunc('day', o_orderdate) AS d, COUNT(*) AS n_orders,
+             {sql_exact_sum('o_totalprice', 'order_revenue')}
+      FROM orders GROUP BY d
+    ), l AS (
+      SELECT date_trunc('day', l_shipdate) AS d, COUNT(*) AS n_ships,
+             {sql_exact_sum('l_quantity', 'ship_qty')}
+      FROM lineitem GROUP BY d
+    )
+    SELECT d,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           order_revenue,
+           CAST(COALESCE(n_ships, 0) AS BIGINT) AS n_ships,
+           ship_qty,
+           (n_orders IS NOT NULL AND n_ships IS NOT NULL) AS both_sides
+    FROM o FULL JOIN l USING (d)
+    """,
+)
+def j10_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family completion: FULL OUTER equi-join — daily order activity
+    against daily shipping activity, keeping days present on either side
+    (the fixture has order-only days at the front of the horizon and
+    ship-only days trailing it, so both unmatched directions are
+    exercised). Unmatched counts coalesce to 0; unmatched sums stay NULL
+    so absence is distinguishable from zero.
+
+    Scale: both inputs pre-aggregate to ~date-cardinality BEFORE the
+    join (map-side-combinable hash aggs on the day key), so the full
+    outer join itself moves only two tiny day-keyed relations — the
+    aggregate-then-join shape that keeps outer joins cheap at 100 TB."""
+    t = tables(spark, sf_dir)
+    o = (
+        t["orders"]
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), "order_revenue"),
+        )
+    )
+    lt = (
+        t["lineitem"]
+        .groupBy(F.date_trunc("day", F.col("l_shipdate")).alias("d"))
+        .agg(
+            F.count("*").alias("n_ships"),
+            exact_sum(F.col("l_quantity"), "ship_qty"),
+        )
+    )
+    return o.join(lt, ["d"], "full").select(
+        "d",
+        F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+        "order_revenue",
+        F.coalesce("n_ships", F.lit(0).cast("long")).alias("n_ships"),
+        "ship_qty",
+        (F.col("n_orders").isNotNull() & F.col("n_ships").isNotNull()).alias(
+            "both_sides"
+        ),
+    )

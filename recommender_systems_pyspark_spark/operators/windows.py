@@ -186,3 +186,35 @@ def w4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").over(w)
         ).alias("avg_last3"),
     )
+
+
+@query(
+    "w5_rank_fractions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def w5_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family completion: the fractional/bucketed rank forms —
+    percent_rank, cume_dist, ntile(4) — over the same per-customer
+    window as w1. Both fractions are exact integer-ratio doubles
+    ((rank−1)/(n−1), rows≤/n), so they hash identically cross-engine;
+    the total order (o_totalprice DESC, o_orderkey) makes ntile bucket
+    boundaries deterministic. Partitioned by o_custkey — bounded
+    per-customer partitions, one shuffle serves all three forms."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -42,6 +42,8 @@ PENDING_FIRST_GRADE: set[str] = {
     "x_dedup_incremental",
     "x_semdedup",
     "x_tokens_e2e",
+    "j10_full_outer",
+    "w5_rank_fractions",
 }
 
 
