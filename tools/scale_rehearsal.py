@@ -72,6 +72,17 @@ DEFAULT_QUERIES = (
     "x_knn_ivf_topk",
     "x_gini_concentration",
     "a10_stat_moments",
+    # round-6 additions: the new dedup/similarity/publish shapes. NOTE
+    # the replica's duplicate-content caveat above applies with force
+    # here — 10-way exact-duplicate clusters are the worst case for
+    # pair-generating dedup ops (candidates grow ~copies² per cluster),
+    # and x_semdedup keeps its |labels|=10 quantizer fixed while N grows
+    # 10×, so its within-cluster pair joins are expected ~quadratic in
+    # this rehearsal (production raises k with N; see its docstring).
+    "x_dedup_jaccard_join",
+    "x_dedup_incremental",
+    "x_semdedup",
+    "x_tokens_e2e",
 )
 
 
@@ -128,7 +139,15 @@ def main() -> None:
     def run(name: str, sf_dir: str) -> float:
         t = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t, 3)
+        sec = round(time.perf_counter() - t, 3)
+        # Same hygiene as bench.py: drop truncated-lineage blocks left by
+        # checkpoint-heavy queries so they don't tax the NEXT measurement.
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        return sec
 
     run(names[0], src)  # warmup: JVM/codegen caches
 
