@@ -97,8 +97,11 @@ DEFAULT_QUERIES = [
     "x_ltv_cohort_triangle",
     # round-6 additions
     "x_dedup_jaccard_join",
+    "x_dedup_incremental",
     "x_semdedup",
     "x_tokens_e2e",
+    "j10_full_outer",
+    "w5_rank_fractions",
 ]
 
 
