@@ -108,6 +108,8 @@ _QUERY_MODULES = (
     # --- new in r5 --------------------------------------------------------
     "recommender_systems_pyspark_spark.operators.trends",
     "recommender_systems_pyspark_spark.functions.strata",
+    # --- new in r6 --------------------------------------------------------
+    "recommender_systems_pyspark_spark.streaming.foreach_upsert",
 )
 
 #: Round-6 grading window (the driver grades the FIRST 50 entries of
@@ -128,7 +130,8 @@ _QUERY_MODULES = (
 #: already hash-matched green in r1, r2, r3 or r5.
 #: ROUND-7 QUEUE (if this window grades green): FIRST the queries newly
 #: registered in r6 (x_dedup_jaccard_join, x_dedup_incremental,
-#: x_semdedup, x_tokens_e2e, j10_full_outer, w5_rank_fractions — see
+#: x_semdedup, x_tokens_e2e, j10_full_outer, w5_rank_fractions,
+#: s9_foreach_upsert — see
 #: tests/test_certification_ledger.PENDING_FIRST_GRADE, which must be
 #: emptied into _GRADE_FIRST then), THEN rotate re-grades of the
 #: remaining r1-vintage rows — functions/scalar.py (f1–f11 family),

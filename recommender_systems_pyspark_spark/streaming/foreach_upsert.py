@@ -1,0 +1,129 @@
+"""Streaming ``foreachBatch`` merge-upsert — the canonical Structured
+Streaming pattern for maintaining a keyed serving table without a
+transactional sink format: the raw stream passes through unaggregated
+(no state store), andeach micro-batch is aggregated AS A BATCH inside the
+``foreachBatch`` callback, then merged into the target table by key.
+
+SURVEY.md §2.10 extension (the reference has no streaming). Unlike
+s1–s3 (batch twins of windowed aggregations) and s4 (live stream,
+rows-only), this query runs the REAL multi-micro-batch stream inside the
+correctness gate and carries a FULL SQL oracle: because the per-user
+counts are integers and the value totals accumulate in DECIMAL(18,6)
+(associative addition), the final upserted state is independent of how
+the file source splits micro-batches — and must hash-equal the one-shot
+batch aggregate the oracle computes.
+
+Scale shape: each micro-batch shuffles only ITS OWN rows (uniform
+user_id key, map-side combinable), and the merge is a key-equi full
+outer join against the current state — at production scale the state
+table lives in a keyed store (Delta/Iceberg MERGE, or a bucketed table
+co-located on the key) and the merge never rescans history. The swap
+(write-new, atomic rename) stands in for the transactional commit those
+formats provide.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query, sql_exact_sum
+from ..sources import load_table
+
+
+def upsert_batch(batch_df: DataFrame, state_dir: str) -> None:
+    """Merge one micro-batch's per-user aggregates into the state table.
+
+    Aggregation happens HERE (batch context), not on the stream — so no
+    streaming state store is involved and any output mode is legal. The
+    decimal accumulator keeps the merge associative: (prev + inc) totals
+    are exact, so batch boundaries cannot change the final state.
+    """
+    spark = batch_df.sparkSession
+    inc = batch_df.groupBy("user_id").agg(
+        F.count("*").alias("i_n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("i_tot"),
+    )
+    if os.path.exists(state_dir):
+        prev = spark.read.parquet(state_dir)
+        zero_n = F.lit(0).cast("long")
+        zero_t = F.lit(0).cast("decimal(28,6)")
+        merged = (
+            prev.join(inc, "user_id", "full")
+            .select(
+                "user_id",
+                (F.coalesce("n_events", zero_n) + F.coalesce("i_n", zero_n)).alias(
+                    "n_events"
+                ),
+                (F.coalesce("total_dec", zero_t) + F.coalesce("i_tot", zero_t))
+                .cast("decimal(28,6)")
+                .alias("total_dec"),
+            )
+        )
+    else:
+        merged = inc.select(
+            "user_id",
+            F.col("i_n").alias("n_events"),
+            F.col("i_tot").cast("decimal(28,6)").alias("total_dec"),
+        )
+    # write-new + atomic swap: never overwrite the directory a lazy read
+    # may still be scanning (the transactional-commit stand-in).
+    tmp = state_dir + "_new"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    os.rename(tmp, state_dir)
+
+
+@query(
+    "s9_foreach_upsert",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {sql_exact_sum('value', 'total_value')}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def s9_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the events fixture through a REAL multi-micro-batch stream
+    (4 staged files, maxFilesPerTrigger=1 → 4 micro-batches) with a
+    foreachBatch merge-upsert, and return the final per-user state table.
+    The oracle is the one-shot batch aggregate — equality certifies that
+    the incremental upsert path converges to the batch answer regardless
+    of micro-batch boundaries (the associative-decimal-merge contract)."""
+    d = tempfile.mkdtemp(prefix="s9_upsert_")
+    src, state = f"{d}/src", f"{d}/state"
+    try:
+        load_table(spark, sf_dir, "events").select("user_id", "value").repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, _id: upsert_batch(batch_df, state)
+            )
+            .option("checkpointLocation", f"{d}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = spark.read.parquet(state).select(
+            "user_id",
+            "n_events",
+            F.col("total_dec").cast("double").alias("total_value"),
+        )
+        # pin the (tiny, user-cardinality) result to blocks so the temp
+        # dirs can be deleted before the caller's action runs
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

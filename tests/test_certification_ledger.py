@@ -44,6 +44,7 @@ PENDING_FIRST_GRADE: set[str] = {
     "x_tokens_e2e",
     "j10_full_outer",
     "w5_rank_fractions",
+    "s9_foreach_upsert",
 }
 
 

@@ -443,3 +443,54 @@ def test_stream_stream_left_outer_join_emits_unmatched_views(spark, stream_dir):
     finally:
         shutil.rmtree(views_dir, ignore_errors=True)
         shutil.rmtree(clicks_dir, ignore_errors=True)
+
+
+def test_foreach_upsert_merges_across_batches(spark, tmp_path):
+    """Drive upsert_batch directly with two disjoint-then-overlapping
+    batches: counts add, decimal totals add exactly, new keys appear."""
+    from recommender_systems_pyspark_spark.streaming.foreach_upsert import (
+        upsert_batch,
+    )
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, 1.5), (1, 2.25), (2, 10.0)], "user_id long, value double"
+    )
+    b2 = spark.createDataFrame(
+        [(2, 0.75), (3, 4.0)], "user_id long, value double"
+    )
+    upsert_batch(b1, state)
+    upsert_batch(b2, state)
+    rows = {
+        r.user_id: (r.n_events, float(r.total_dec))
+        for r in spark.read.parquet(state).collect()
+    }
+    assert rows == {1: (2, 3.75), 2: (2, 10.75), 3: (1, 4.0)}
+
+
+def test_s9_stream_state_equals_batch_aggregate(spark, sf_dir):
+    """The registered query's final upserted state must equal the one-shot
+    batch aggregate (per-user counts and exact decimal totals) — the
+    micro-batch boundaries must not be observable in the result."""
+    from pyspark.sql import functions as F
+
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in all_queries()["s9_foreach_upsert"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
