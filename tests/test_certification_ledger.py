@@ -30,6 +30,8 @@ ROWS_ONLY_BY_DESIGN = {
     "s4_stateful_user_totals",
     # conditional registration (protobuf environments only), same family
     "s9_stateful_user_totals_tws",
+    # iterative float (variational/EM) inference — no cross-engine oracle
+    "x_lda_topics",
 }
 
 #: Queries registered THIS round that have not yet had a driver window
@@ -45,6 +47,7 @@ PENDING_FIRST_GRADE: set[str] = {
     "j10_full_outer",
     "w5_rank_fractions",
     "s9_foreach_upsert",
+    "x_lda_topics",
 }
 
 

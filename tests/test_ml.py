@@ -232,3 +232,38 @@ def test_recommend_all_users_equals_relational_topk(spark, trained):
                 f"user {u}: item {i} (score {s}) differs beyond boundary "
                 f"ties (kth score {boundary})"
             )
+
+
+def test_lda_topics_structural_invariants(spark, sf_dir):
+    """x_lda_topics (rows-only by design): full topic/rank coverage,
+    in-vocabulary terms, positive weights descending within each topic,
+    and per-topic term uniqueness."""
+    from recommender_systems_pyspark_spark.ml.topics import (
+        _K,
+        _TOP_TERMS,
+        x_lda_topics,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    rows = x_lda_topics(spark, sf_dir).collect()
+    assert len(rows) == _K * _TOP_TERMS
+    assert {r.topic for r in rows} == set(range(_K))
+    vocab = {
+        w
+        for r in load_table(spark, sf_dir, "documents")
+        .selectExpr("explode(split(lower(trim(text)), ' ')) AS w")
+        .distinct()
+        .collect()
+        for w in [r.w]
+    }
+    by_topic: dict[int, list] = {}
+    for r in rows:
+        assert r.term in vocab
+        assert r.weight > 0
+        by_topic.setdefault(r.topic, []).append(r)
+    for t, rs in by_topic.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(_TOP_TERMS))
+        weights = [r.weight for r in rs]
+        assert weights == sorted(weights, reverse=True), f"topic {t} weights not descending"
+        assert len({r.term for r in rs}) == _TOP_TERMS
