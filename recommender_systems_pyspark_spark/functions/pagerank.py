@@ -154,20 +154,18 @@ def _oracle() -> str:
     return "".join(parts)
 
 
-@query("x_pagerank", oracle=_oracle())
-def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-25 parts by PageRank over the co-purchase graph (parts are
-    linked when they co-occur in an order; the relation is symmetric so
-    the walk is over an undirected graph). Five damped (d=0.85)
-    iterations in exact fixed-point arithmetic — hash-identical to the
-    oracle's unrolled recurrence, ties broken by part key."""
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric part co-purchase edge list (``src``/``dst`` longs):
+    parts are linked when they co-occur in an order. Wedge join bounded
+    by Σ deg(order)² (orders hold ~4-7 lines). Shared by x_pagerank and
+    x_bfs_hops so both walk the identical graph."""
     li = (
         tables(spark, sf_dir)["lineitem"]
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -176,6 +174,16 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
     )
+
+
+@query("x_pagerank", oracle=_oracle())
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 parts by PageRank over the co-purchase graph (parts are
+    linked when they co-occur in an order; the relation is symmetric so
+    the walk is over an undirected graph). Five damped (d=0.85)
+    iterations in exact fixed-point arithmetic — hash-identical to the
+    oracle's unrolled recurrence, ties broken by part key."""
+    edges = copurchase_edges(spark, sf_dir)
     ranked = pagerank_scaled(edges, _ITERS)
     return (
         ranked.select(
@@ -186,4 +194,103 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rank_scaled").desc(), "part_key")
         .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS: shortest hop distance from a seed set
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+_SEED_MOD = 97  # seeds: parts with part_key % 97 == 0 (~1% of the graph)
+
+
+def _bfs_oracle() -> str:
+    """Unrolled frontier recurrence as MATERIALIZED CTEs (same scheme as
+    the PageRank/k-means/BPE oracles)."""
+    parts = [
+        f"""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS MATERIALIZED (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2
+        ),
+        deg AS MATERIALIZED (
+          SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+        ),
+        f0 AS MATERIALIZED (
+          SELECT src AS node, 0 AS hops FROM deg WHERE src % {_SEED_MOD} = 0
+        )"""
+    ]
+    for i in range(_BFS_ROUNDS):
+        parts.append(
+            f""",
+        f{i + 1} AS MATERIALIZED (
+          SELECT node, MIN(hops) AS hops FROM (
+            SELECT node, hops FROM f{i}
+            UNION ALL
+            SELECT e.dst AS node, f.hops + 1 AS hops
+            FROM edges e JOIN f{i} f ON e.src = f.node
+          ) GROUP BY node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT f.node AS part_key, CAST(f.hops AS INTEGER) AS hops,
+               d.outdeg AS degree
+        FROM f{_BFS_ROUNDS} f JOIN deg d ON d.src = f.node
+        ORDER BY hops, part_key
+        """
+    )
+    return "".join(parts)
+
+
+@query("x_bfs_hops", oracle=_bfs_oracle())
+def x_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: exact shortest hop
+    distance (≤ 4 rounds) from the seed set ``part_key % 97 == 0`` to
+    every reached node — the frontier-expansion primitive behind
+    link-distance features, crawl-depth labeling, and seed-proximity
+    corpus weighting. Completes the graph family: importance
+    (x_pagerank), clustering (x_dedup_clusters CC), local structure
+    (x_triangle_count), and now distance.
+
+    Determinism: hop counts are small integers; each round is
+    frontier ⋈ edges (+1) unioned with the carried frontier and reduced
+    by MIN per node — associative/commutative, so partial-aggregation
+    order cannot matter. The oracle unrolls the identical recurrence.
+
+    Scale shape: per round ONE join keyed on the frontier node (the
+    frontier never exceeds the reached set) + one map-side-combinable
+    MIN aggregate; frontier lineage is cut per round (localCheckpoint,
+    the same discipline as pagerank/CC). Driver state: nothing — the
+    loop is a fixed 4-round unroll, no convergence collect."""
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    frontier = deg.where(F.col("src") % _SEED_MOD == 0).select(
+        F.col("src").alias("node"), F.lit(0).alias("hops")
+    )
+    for _ in range(_BFS_ROUNDS):
+        expanded = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        frontier = (
+            frontier.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        frontier.join(deg, frontier["node"] == deg["src"])
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("hops").cast("int").alias("hops"),
+            F.col("outdeg").alias("degree"),
+        )
+        .orderBy("hops", "part_key")
     )

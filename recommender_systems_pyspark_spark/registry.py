@@ -132,7 +132,7 @@ _QUERY_MODULES = (
 #: ROUND-7 QUEUE (if this window grades green): FIRST the queries newly
 #: registered in r6 (x_dedup_jaccard_join, x_dedup_incremental,
 #: x_semdedup, x_tokens_e2e, j10_full_outer, w5_rank_fractions,
-#: s9_foreach_upsert, x_lda_topics (rows-only) — see
+#: s9_foreach_upsert, x_lda_topics (rows-only), x_bfs_hops — see
 #: tests/test_certification_ledger.PENDING_FIRST_GRADE, which must be
 #: emptied into _GRADE_FIRST then), THEN rotate re-grades of the
 #: remaining r1-vintage rows — functions/scalar.py (f1–f11 family),

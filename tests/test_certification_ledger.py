@@ -48,6 +48,7 @@ PENDING_FIRST_GRADE: set[str] = {
     "w5_rank_fractions",
     "s9_foreach_upsert",
     "x_lda_topics",
+    "x_bfs_hops",
 }
 
 

@@ -342,3 +342,39 @@ def test_pq_topk_recall_determinism_geometry(spark, sf_dir):
 
     approx2 = [r.vec_id for r in all_queries()["x_embed_pq_topk"].fn(spark, sf_dir).collect()]
     assert approx == approx2
+
+
+def test_bfs_hops_frontier_invariants(spark, sf_dir):
+    """BFS correctness from first principles at fixture scale: seeds are
+    exactly the % 97 nodes at hops 0; every reached non-seed node has a
+    reached neighbor one hop closer (witness property); no neighbor pair
+    differs by more than 1 hop unless one is beyond the round horizon."""
+    from recommender_systems_pyspark_spark.functions.pagerank import (
+        _BFS_ROUNDS,
+        _SEED_MOD,
+        copurchase_edges,
+        x_bfs_hops,
+    )
+
+    hops = {r.part_key: r.hops for r in x_bfs_hops(spark, sf_dir).collect()}
+    assert hops, "graph unreachable from seeds at fixture scale?"
+    edges = [
+        (r.src, r.dst) for r in copurchase_edges(spark, sf_dir).collect()
+    ]
+    nbrs: dict[int, set[int]] = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+    seeds = {n for n in nbrs if n % _SEED_MOD == 0}
+    assert seeds == {n for n, h in hops.items() if h == 0}
+    assert max(hops.values()) <= _BFS_ROUNDS
+    for n, h in hops.items():
+        if h > 0:
+            assert any(
+                hops.get(m, 10**9) == h - 1 for m in nbrs[n]
+            ), f"node {n} at hops {h} has no witness neighbor at {h-1}"
+    # frontier horizon: a reached node's neighbor is reached unless the
+    # round budget ended exactly at this node's depth
+    for n, h in hops.items():
+        if h < _BFS_ROUNDS:
+            for m in nbrs[n]:
+                assert m in hops and hops[m] <= h + 1
