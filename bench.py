@@ -64,6 +64,7 @@ RECORD_ONLY = [
     "x_dedup_incremental",
     "x_semdedup",
     "x_tokens_e2e",
+    "x_bfs_hops",
 ]
 
 

@@ -102,6 +102,7 @@ DEFAULT_QUERIES = [
     "x_tokens_e2e",
     "j10_full_outer",
     "w5_rank_fractions",
+    "x_bfs_hops",
 ]
 
 
