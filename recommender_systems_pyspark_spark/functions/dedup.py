@@ -594,7 +594,14 @@ def x_dedup_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform-key aggregate; the per-doc rank window is bounded by document
     length; every compare is integer (τ as a rational 4/5), so the plan
     is engine-portable bit-for-bit."""
-    docs = tables(spark, sf_dir)["documents"]
+    return jaccard_join_pairs(tables(spark, sf_dir)["documents"])
+
+
+def jaccard_join_pairs(docs: DataFrame) -> DataFrame:
+    """Prefix-filtered exact Jaccard join over any ``(doc_id, text)``
+    frame — the reusable core behind :func:`x_dedup_jaccard_join`; the
+    hypothesis property test drives it with random synthetic corpora to
+    probe the losslessness theorem beyond the fixture."""
     sh_arr = _spread(docs.select("doc_id", shingles().alias("sh")))
     # |S| rides along from the array width — no per-doc count aggregate
     # (and no doc_id join) needed anywhere downstream.

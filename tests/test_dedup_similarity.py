@@ -293,3 +293,56 @@ def test_semdedup_matches_numpy_brute_force(spark):
     # the fixture must exercise both branches
     assert any(r.pruned for r in got.values())
     assert any(not r.pruned for r in got.values())
+
+
+def test_jaccard_join_lossless_on_random_corpora(spark):
+    """Property test of the prefix-filtering losslessness theorem: on
+    randomized synthetic corpora (seeded — tiny vocab to force shared
+    shingles, engineered near-dup pairs), the prefix-filtered join's pair
+    set must EQUAL the brute-force all-pairs Jaccard >= 4/5 ground truth
+    computed independently in Python."""
+    import itertools
+    import random
+
+    from recommender_systems_pyspark_spark.functions.dedup import (
+        _TAU_DEN,
+        _TAU_NUM,
+        jaccard_join_pairs,
+    )
+
+    def py_shingles(text):
+        toks = text.split(" ")
+        if len(toks) < 3:
+            return frozenset([text])
+        return frozenset(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+
+    vocab = [f"w{i}" for i in range(12)]
+    for seed in (7, 19, 133):
+        rng = random.Random(seed)
+        docs = []
+        for i in range(40):
+            n = rng.randint(3, 14)
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        # engineered near-dups: copies with a small suffix perturbation
+        base = docs[3][1]
+        docs.append((100, base))                       # exact copy
+        docs.append((101, base + " " + base.split()[0]))  # 1-shingle drift
+        truth = set()
+        sh = {i: py_shingles(t) for i, t in docs}
+        for (ia, _), (ib, _) in itertools.combinations(docs, 2):
+            a, b = (ia, ib) if ia < ib else (ib, ia)
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if _TAU_DEN * inter >= _TAU_NUM * union:
+                truth.add((a, b))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.doc_a, r.doc_b) for r in jaccard_join_pairs(df).collect()
+        }
+        assert got == truth, (
+            f"seed {seed}: prefix filter diverged from brute force — "
+            f"missing={sorted(truth - got)} extra={sorted(got - truth)}"
+        )
+        assert truth, f"seed {seed}: degenerate fixture (no true pairs)"
