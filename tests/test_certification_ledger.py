@@ -38,18 +38,10 @@ ROWS_ONLY_BY_DESIGN = {
 #: AND are not yet queued in _GRADE_FIRST. Adding a query without either
 #: queueing it or listing it here fails the ledger — the list must be
 #: emptied into _GRADE_FIRST when the next window is planned.
-PENDING_FIRST_GRADE: set[str] = {
-    # new in r6 — front of the ROUND-7 queue (registry comment)
-    "x_dedup_jaccard_join",
-    "x_dedup_incremental",
-    "x_semdedup",
-    "x_tokens_e2e",
-    "j10_full_outer",
-    "w5_rank_fractions",
-    "s9_foreach_upsert",
-    "x_lda_topics",
-    "x_bfs_hops",
-}
+# r6 pendings drained into the round-7 _GRADE_FIRST window (slots 1-9);
+# queries newly registered in r7 are queued directly in _GRADE_FIRST, so
+# this set is currently empty.
+PENDING_FIRST_GRADE: set[str] = set()
 
 
 def _correctness_rounds() -> list[tuple[str, dict]]:
