@@ -249,6 +249,45 @@ def _bfs_oracle() -> str:
     return "".join(parts)
 
 
+def bfs_settled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    trace: list[int] | None = None,
+) -> DataFrame:
+    """Delta-frontier multi-source BFS core: returns the settled relation
+    (node, hops) after ``rounds`` expansions of ``seeds`` over ``edges``
+    (src, dst).
+
+    Each round joins edges against the DELTA (nodes first reached last
+    round) only, MIN-reduces same-round multi-paths, anti-joins out
+    already-settled nodes (monotone hops ⇒ settled never improves), and
+    unions the remainder into settled. Equivalent to the accumulate-and-
+    MIN recurrence the oracle unrolls, with per-round join input |delta|
+    instead of |reached| — the difference between O(edges incident to
+    the ring) and O(rounds × reached) total work at depth.
+
+    ``trace``, when a list, receives the per-round newly-settled count —
+    one scalar job per round, used by tests to PROVE the delta shape
+    (never passed in the query path, so no extra jobs there)."""
+    settled = seeds.localCheckpoint(eager=False)
+    delta = settled
+    for _ in range(rounds):
+        expanded = (
+            edges.join(delta, edges["src"] == delta["node"])
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        delta = expanded.join(settled, "node", "left_anti").localCheckpoint(
+            eager=False
+        )
+        settled = settled.unionByName(delta).localCheckpoint(eager=False)
+        if trace is not None:
+            trace.append(delta.count())
+    return settled
+
+
 @query("x_bfs_hops", oracle=_bfs_oracle())
 def x_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS over the co-purchase graph: exact shortest hop
@@ -264,29 +303,25 @@ def x_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     by MIN per node — associative/commutative, so partial-aggregation
     order cannot matter. The oracle unrolls the identical recurrence.
 
-    Scale shape: per round ONE join keyed on the frontier node (the
-    frontier never exceeds the reached set) + one map-side-combinable
-    MIN aggregate; frontier lineage is cut per round (localCheckpoint,
-    the same discipline as pagerank/CC). Driver state: nothing — the
-    loop is a fixed 4-round unroll, no convergence collect."""
+    Scale shape (delta frontier, VERDICT r6 #3): per round the edge join
+    sees ONLY the nodes settled LAST round — not the whole reached set —
+    so round k expands the ring at distance k−1 exactly once instead of
+    re-expanding everything settled in rounds 1..k−1 (the r6 shape's up
+    to 4× redundant join work, O(rounds × reached) at depth). Newly
+    reached nodes are an anti-join of the expansion against the settled
+    relation (sound because BFS hop counts are monotone: a node already
+    settled can never improve), then union into settled. Lineage is cut
+    per round (localCheckpoint, same discipline as pagerank/CC). Driver
+    state: nothing — the loop is a fixed 4-round unroll, no convergence
+    collect."""
     edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    frontier = deg.where(F.col("src") % _SEED_MOD == 0).select(
+    seeds = deg.where(F.col("src") % _SEED_MOD == 0).select(
         F.col("src").alias("node"), F.lit(0).alias("hops")
     )
-    for _ in range(_BFS_ROUNDS):
-        expanded = (
-            edges.join(frontier, edges["src"] == frontier["node"])
-            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
-        )
-        frontier = (
-            frontier.unionByName(expanded)
-            .groupBy("node")
-            .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=False)
-        )
+    settled = bfs_settled(edges, seeds, _BFS_ROUNDS)
     return (
-        frontier.join(deg, frontier["node"] == deg["src"])
+        settled.join(deg, settled["node"] == deg["src"])
         .select(
             F.col("node").alias("part_key"),
             F.col("hops").cast("int").alias("hops"),

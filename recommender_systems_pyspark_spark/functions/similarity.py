@@ -338,31 +338,23 @@ def x_knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.4
 
 
-def _sql_semdedup() -> str:
-    from .centroids import _SQL_CENTROIDS
+#: Lloyd iterations for the SemDeDup quantizer — 2 keeps the unrolled
+#: oracle CTE chain short and the training cost at 3 assignment passes;
+#: SemDeDup needs the cells as a BLOCKING structure, not a converged
+#: clustering, so more iterations buy nothing the pair join uses.
+_SEMDEDUP_ITERS = 2
 
+
+def _sql_semdedup() -> str:
+    from .vectors import sql_kmeans_sqrtn_parts
+
+    chain = ",\n".join(sql_kmeans_sqrtn_parts(_SEMDEDUP_ITERS))
     return f"""
-    WITH cd AS ({_SQL_CENTROIDS}),
-    cent AS (
-      SELECT label AS c_label, list(centroid ORDER BY dim) AS cvec
-      FROM cd GROUP BY label
-    ),
-    d AS (
-      SELECT e.vec_id, e.label, e.embedding, c.c_label,
-             list_transform(generate_series(1, len(e.embedding)),
-                            i -> e.embedding[i]::DOUBLE - c.cvec[i]) AS diff
-      FROM embeddings e CROSS JOIN cent c
-    ),
+    WITH {chain},
     assign AS (
-      SELECT vec_id, label, embedding, c_label AS cluster
-      FROM (
-        SELECT vec_id, label, embedding, c_label,
-               ROW_NUMBER() OVER (
-                 PARTITION BY vec_id
-                 ORDER BY list_dot_product(diff, diff), c_label
-               ) AS rn
-        FROM d
-      ) WHERE rn = 1
+      SELECT a.vec_id, emb.label, a.v AS embedding,
+             CAST(a.cell AS INT) AS cluster
+      FROM a{_SEMDEDUP_ITERS} a JOIN embeddings emb ON emb.vec_id = a.vec_id
     ),
     pairs AS (
       SELECT b.vec_id,
@@ -396,46 +388,38 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strongest similarity, and the pruned flag — the curation filter
     that removed ~50% of LAION with no quality loss in the paper.
 
-    The coarse quantizer here is the certified per-label centroid table
-    (`x_embed_centroids` / `x_embed_assign` path — tiny, broadcast,
-    engine-portable exact averages); production swaps in trained k-means
-    centroids with k >~ sqrt(N) so each cell's pair join is
-    (N/k)^2-bounded, without changing the plan shape.
+    The coarse quantizer is TRAINED k-means with k = ceil(sqrt(N))
+    (:func:`vectors.kmeans_sqrtn`, the x_embed_kmeans path), replacing
+    the r6 fixture-fixed per-label centroids whose (N/k)² pair join was
+    the one measured super-linear operator (19.5× at 10× data,
+    BENCH_SCALE_r06). With k ~ sqrt(N) both the assignment (N·k) and the
+    within-cell pair join (N²/k) are N^1.5-bounded — the paper's own
+    sizing discipline. The quantizer chain stays engine-portable
+    (deterministic seeds, quantized-exact updates, (dist, cell) ties), so
+    the oracle unrolls the TRAINED model into SQL and the driver
+    hash-gates assignment + verdicts end to end.
 
-    Plan shape at 100 TB: centroid assignment is a broadcast
-    nested-loop over a labels-row build side (map-only, no corpus
-    shuffle) + a per-vec_id argmin window; the pair join shuffles once on
-    the cluster key; dup counting is one map-side-combinable aggregate on
-    vec_id. The corpus never moves through an unblocked all-pairs stage —
-    the same bucketed discipline as the LSH/SimHash text dedup family."""
-    from .centroids import centroids_assembled
+    Plan shape at 100 TB: centroid assignment is map-side argmin against
+    a broadcast k×d model (array_min over (dist, cell) structs — the
+    corpus never shuffles for assignment, see kmeans_assign_mapside);
+    the pair join shuffles once on the cluster key; dup counting is one
+    map-side-combinable aggregate on vec_id."""
+    from .vectors import kmeans_sqrtn
 
     t = tables(spark, sf_dir)
     e = t["embeddings"]
-    cent = centroids_assembled(e, "c_label").withColumnRenamed("centroid", "cvec")
-
-    from pyspark.sql import Window
-
-    diff = F.zip_with(
-        F.col("embedding"), F.col("cvec"), lambda x, y: x.cast("double") - y
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "label", "embedding", "c_label", dot(diff, diff).alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            F.col("c_label").alias("cluster"),
-            # per-vector norm computed ONCE here: cosine() is the
-            # left-associative (dot / norm_a) / norm_b, so factoring the
-            # norms out of the pair join is bit-identical to the oracle's
-            # _SQL_COSINE while cutting the per-pair fold work 3x.
-            norm(F.col("embedding")).alias("nrm"),
-        )
+    assign = kmeans_sqrtn(
+        e.select("vec_id", "label", "embedding"), n_iter=_SEMDEDUP_ITERS
+    ).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.col("cell").cast("int").alias("cluster"),
+        # per-vector norm computed ONCE here: cosine() is the
+        # left-associative (dot / norm_a) / norm_b, so factoring the
+        # norms out of the pair join is bit-identical to the oracle's
+        # _SQL_COSINE while cutting the per-pair fold work 3x.
+        norm(F.col("embedding")).alias("nrm"),
     )
 
     a = assign.alias("a")

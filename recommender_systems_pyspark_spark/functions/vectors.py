@@ -258,6 +258,163 @@ def x_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sqrt(N)-scaled k-means — the SemDeDup coarse quantizer (VERDICT r6 #2)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign_mapside(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, …, cell, dist): nearest centroid per vector with the whole
+    argmin MAP-SIDE — the k×d centroid table collapses to ONE row (an
+    array of (cell, cvec) structs, sorted by cell), broadcasts, and each
+    vector picks ``array_min`` of the per-centroid (dist, cell) structs.
+    Struct comparison is lexicographic, so the min is exactly the
+    (dist ASC, cell ASC) argmin the window form computes — but NOTHING
+    shuffles: :func:`kmeans_assign` moves N·k rows (each carrying the
+    embedding) through a per-vec_id window, which at k≈√N is an
+    N^1.5-row shuffle; here the corpus stays put and the model rides the
+    broadcast. This is the assignment shape that survives 100 TB: k×d
+    doubles per executor, one codegen pass over the data.
+
+    Distance values are bit-identical to the window form (same zip_with
+    diff, same left-fold ``dot``), so the DuckDB oracle's
+    ROW_NUMBER-over-(dist, cell) replay matches."""
+    carr = cent.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("cents")
+    )
+
+    def _dist_cell(s: Column) -> Column:
+        diff = F.zip_with(
+            F.col("embedding"), s.getField("cvec"), lambda x, y: x.cast("double") - y
+        )
+        return F.struct(dot(diff, diff).alias("dist"), s.getField("cell").alias("cell"))
+
+    best = F.array_min(F.transform(F.col("cents"), _dist_cell))
+    return (
+        e.crossJoin(F.broadcast(carr))
+        .withColumn("best", best)
+        .drop("cents")
+        .withColumn("cell", F.col("best.cell"))
+        .withColumn("dist", F.col("best.dist"))
+        .drop("best")
+    )
+
+
+def kmeans_sqrtn(e: DataFrame, n_iter: int = 2) -> DataFrame:
+    """Lloyd's k-means with k = ceil(sqrt(N)) — the quantizer sizing that
+    keeps within-cell pair joins (N/k)²·k = N^1.5-bounded instead of
+    N²/k at fixture-fixed k (the one super-linear operator VERDICT r6
+    measured). Returns the final assignment frame (vec_id, …, cell).
+
+    Same determinism contract as :func:`kmeans` (k-lowest-vec_id seeds,
+    (dist, cell) ties, floor-quantized exact centroid averages, empty
+    cells keep their previous centroid), so the whole chain unrolls into
+    the DuckDB oracle (:func:`sql_kmeans_sqrtn_parts`). Driver state: ONE
+    scalar (the corpus count that sizes k) plus the k×d centroid model —
+    bounded by model size, never data size."""
+    import math
+
+    k = int(math.ceil(math.sqrt(e.count())))
+    quantum = 1_000_000_000.0
+    cent = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+        )
+        .withColumn("cell", F.row_number().over(Window.orderBy("cell")) - 1)
+    )
+    for _ in range(n_iter):
+        assigned = kmeans_assign_mapside(e.select("vec_id", "embedding"), cent)
+        new_cent = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("v").cast("double") * quantum)).cast("double")
+                    / F.count("v")
+                    / quantum
+                ).alias("c")
+            )
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+            .select("cell", F.transform("dc", lambda s: s.getField("c")).alias("cvec"))
+        )
+        kept = cent.join(new_cent, "cell", "left_anti")
+        # lazy checkpoint: truncates the per-iteration lineage without a
+        # dedicated materialization job (the k×d table materializes when
+        # the next assignment pass broadcasts it)
+        cent = new_cent.unionByName(kept).localCheckpoint(eager=False)
+    return kmeans_assign_mapside(e, cent)
+
+
+def sql_kmeans_sqrtn_parts(n_iter: int = 2) -> list[str]:
+    """CTE parts replaying :func:`kmeans_sqrtn` in DuckDB, k derived from
+    the data (ceil(sqrt(COUNT(*)))) exactly as the Spark trainer derives
+    it — the final assignment CTE is ``a{n_iter}`` (vec_id, v, cell,
+    dist). Same unroll discipline as :func:`_sql_kmeans`."""
+    q = "1000000000.0"
+    sq_dist = (
+        "list_dot_product("
+        "list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cvec[i]), "
+        "list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cvec[i]))"
+    )
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "kn AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM e)",
+        """c0 AS MATERIALIZED (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
+          FROM (SELECT vec_id, v,
+                       ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+          WHERE rn <= (SELECT k FROM kn)
+        )""",
+    ]
+
+    def assign(c: str, a: str) -> list[str]:
+        return [
+            f"""{a}_all AS (
+              SELECT e.vec_id, e.v, c.cell, {sq_dist} AS dist
+              FROM e CROSS JOIN {c} c
+            )""",
+            f"""{a} AS MATERIALIZED (
+              SELECT vec_id, v, cell, dist FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY dist, cell) AS rn
+                FROM {a}_all
+              ) WHERE rn = 1
+            )""",
+        ]
+
+    def update(a: str, cprev: str, c: str) -> list[str]:
+        return [
+            f"""{c}_new AS MATERIALIZED (
+              SELECT cell, list(cd ORDER BY dim) AS cvec FROM (
+                SELECT cell, dim,
+                       CAST(SUM(CAST(floor(v_el * {q}) AS BIGINT)) AS DOUBLE)
+                         / COUNT(v_el) / {q} AS cd
+                FROM (SELECT cell,
+                             unnest(generate_series(1, len(v))) AS dim,
+                             unnest(v) AS v_el
+                      FROM {a})
+                GROUP BY cell, dim
+              ) GROUP BY cell
+            )""",
+            f"""{c} AS MATERIALIZED (
+              SELECT cell, cvec FROM {c}_new
+              UNION ALL
+              SELECT p.cell, p.cvec FROM {cprev} p
+              WHERE p.cell NOT IN (SELECT cell FROM {c}_new)
+            )""",
+        ]
+
+    parts += assign("c0", "a0")
+    for i in range(1, n_iter + 1):
+        parts += update(f"a{i-1}", f"c{i-1}", f"c{i}")
+        parts += assign(f"c{i}", f"a{i}")
+    return parts
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (PQ) — the third rung of the ANN ladder
 # (x_knn_cosine_topk exact → x_knn_ivf_topk coarse cells → PQ codes)
 # ---------------------------------------------------------------------------

@@ -38,10 +38,12 @@ ROWS_ONLY_BY_DESIGN = {
 #: AND are not yet queued in _GRADE_FIRST. Adding a query without either
 #: queueing it or listing it here fails the ledger — the list must be
 #: emptied into _GRADE_FIRST when the next window is planned.
-# r6 pendings drained into the round-7 _GRADE_FIRST window (slots 1-9);
-# queries newly registered in r7 are queued directly in _GRADE_FIRST, so
-# this set is currently empty.
-PENDING_FIRST_GRADE: set[str] = set()
+# r6 pendings drained into the round-7 _GRADE_FIRST window (slots 1-9).
+# Names below are queries newly registered in r7, slotted into the window
+# when it is finalized at round end (new queries outrank re-grades).
+PENDING_FIRST_GRADE: set[str] = {
+    "x_bucketed_join",
+}
 
 
 def _correctness_rounds() -> list[tuple[str, dict]]:

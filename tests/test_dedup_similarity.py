@@ -249,12 +249,17 @@ def test_incremental_dedup_invariants(spark):
 
 def test_semdedup_matches_numpy_brute_force(spark):
     """x_semdedup vs an independent numpy replay at sf0.001: identical
-    cluster assignment (nearest per-label centroid), identical pruned set
-    (smaller-id within-cluster neighbor at cosine >= tau), consistent
-    flag/count/max_sim fields."""
+    cluster assignment (sqrt(N)-k Lloyd trainer replayed step for step —
+    k-lowest-vec_id seeds, squared-L2 argmin with lowest-cell ties,
+    floor-quantized exact centroid averages, empty cells retained),
+    identical pruned set (smaller-id within-cluster neighbor at cosine >=
+    tau), consistent flag/count/max_sim fields."""
+    import math
+
     import numpy as np
 
     from recommender_systems_pyspark_spark.functions.similarity import (
+        _SEMDEDUP_ITERS,
         _SEMDEDUP_TAU,
         x_semdedup,
     )
@@ -263,17 +268,26 @@ def test_semdedup_matches_numpy_brute_force(spark):
     sf = "/root/testdata/sf0.001"
     got = {r.vec_id: r for r in x_semdedup(spark, sf).collect()}
     raw = load_table(spark, sf, "embeddings").collect()
-    ids = np.array([r.vec_id for r in raw])
-    labels = np.array([r.label for r in raw])
-    V = np.array([r.embedding for r in raw], dtype=np.float64)
+    order = np.argsort([r.vec_id for r in raw])
+    ids = np.array([r.vec_id for r in raw])[order]
+    V = np.array([r.embedding for r in raw], dtype=np.float64)[order]
 
-    # nearest per-label mean centroid (plain float mean is within 1e-9 of
-    # the engine's quantized-average centroid — far below assignment margins)
-    cents = {lb: V[labels == lb].mean(axis=0) for lb in sorted(set(labels))}
-    C = np.array([cents[lb] for lb in sorted(cents)])
-    clab = np.array(sorted(cents))
-    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    assigned = clab[np.argmin(d2, axis=1)]
+    # independent Lloyd replay (np.argmin keeps the FIRST minimum, which
+    # is the engine's lowest-cell tie-break because cells are seed-ordered)
+    k = math.ceil(math.sqrt(len(ids)))
+    C = V[:k].copy()  # seeds: k lowest vec_ids, cells 0..k-1
+
+    def _assign(C):
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d2, axis=1)
+
+    for _ in range(_SEMDEDUP_ITERS):
+        cells = _assign(C)
+        for c in range(k):
+            m = cells == c
+            if m.any():  # empty cells keep their previous centroid
+                C[c] = np.floor(V[m] * 1e9).astype(np.int64).sum(axis=0) / m.sum() / 1e9
+    assigned = _assign(C)
 
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
     cos = Vn @ Vn.T

@@ -378,3 +378,47 @@ def test_bfs_hops_frontier_invariants(spark, sf_dir):
         if h < _BFS_ROUNDS:
             for m in nbrs[n]:
                 assert m in hops and hops[m] <= h + 1
+
+
+def test_bfs_delta_frontier_joins_only_new_nodes(spark, sf_dir):
+    """The r7 delta-frontier rewrite's load-bearing property (VERDICT r6
+    #3): per-round join input is the NEWLY settled ring, so the traced
+    deltas must partition the settled set (disjoint, summing to it with
+    the seeds) and match the per-depth hop histogram — i.e. round k
+    expanded exactly the distance-k ring once, never the accumulated
+    reached set."""
+    from collections import Counter
+
+    from recommender_systems_pyspark_spark.functions.pagerank import (
+        _BFS_ROUNDS,
+        _SEED_MOD,
+        bfs_settled,
+        copurchase_edges,
+    )
+    from pyspark.sql import functions as F
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    seeds = (
+        edges.select("src")
+        .distinct()
+        .where(F.col("src") % _SEED_MOD == 0)
+        .select(F.col("src").alias("node"), F.lit(0).alias("hops"))
+    )
+    trace: list[int] = []
+    settled = bfs_settled(edges, seeds, _BFS_ROUNDS, trace=trace).collect()
+    n_seeds = seeds.count()
+    by_depth = Counter(r.hops for r in settled)
+    assert len(settled) == len({r.node for r in settled}), "settled not a set"
+    assert by_depth[0] == n_seeds
+    assert len(trace) == _BFS_ROUNDS
+    # delta_k is exactly the distance-k ring — the anti-join admitted each
+    # node once, in its first-reach round
+    for k in range(1, _BFS_ROUNDS + 1):
+        assert trace[k - 1] == by_depth.get(k, 0), (
+            f"round {k} delta {trace[k-1]} != ring size {by_depth.get(k, 0)}"
+        )
+    assert n_seeds + sum(trace) == len(settled)
+    # the rewrite's point: later rounds join far fewer rows than the
+    # accumulated reached set the r6 shape re-expanded
+    reached_before_last = n_seeds + sum(trace[:-1])
+    assert trace[-1] < reached_before_last

@@ -149,7 +149,13 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         return sec
 
-    run(names[0], src)  # warmup: JVM/codegen caches
+    # warmup: JVM/codegen caches — first *registered* name (a user-supplied
+    # --queries list may lead with an unknown name; the main loop skips
+    # those, so the warmup must too)
+    known = [n for n in names if n in specs]
+    if not known:
+        raise SystemExit(f"no registered queries among {names}")
+    run(known[0], src)
 
     small, big = {}, {}
     for n in names:
