@@ -3,15 +3,15 @@ SURVEY.md §2.10 notes no non-relational payloads anywhere): image/audio/video
 as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 pandas stages over ``mapInPandas``.
 
-Real decode (round 6): image payloads are genuine **netpbm PGM (P5)**
-containers and audio payloads are genuine **WAV (RIFF, 8-bit PCM mono)**
-files — both assembled NATIVELY in Spark expressions (format_string header +
-hex/unhex little-endian fields, no Python on the encode side) and parsed
-back by :func:`decode_media_real`, a pure-numpy header parser needing no
-external codec. The ``NotImplementedError`` stub now remains ONLY for
-formats that genuinely require codec libraries (JPEG/PNG/MP3/MP4); video
-payloads stay raw bytes under the deterministic fake decode (real demuxing
-needs ffmpeg).
+Real decode (rounds 6–7): image payloads are genuine **netpbm PGM (P5)**
+containers, audio payloads are genuine **WAV (RIFF, 8-bit PCM mono)**
+files, and video payloads are genuine **YUV4MPEG2 (Y4M, mono)** streams —
+all assembled NATIVELY in Spark expressions (format_string header +
+hex/unhex little-endian fields / folded hex frames, no Python on the
+encode side) and parsed back by :func:`decode_media_real` /
+:func:`demux_frames`, pure-numpy header parsers needing no external
+codec. The ``NotImplementedError`` stub now remains ONLY for formats that
+genuinely require codec libraries (JPEG/PNG/MP3/MP4/compressed WAV).
 
 Scale architecture (100 TB of media):
 - Payloads stay opaque bytes end-to-end; Spark never interprets them, so
@@ -107,7 +107,10 @@ def wav_payload(data, byte_len, sample_rate):
     chunk (PCM, 1 channel, 8-bit, ``sample_rate``), ``data`` chunk = the
     bytes. All length/format fields are little-endian integers assembled
     via :func:`_le_bytes` — a standards-correct file any audio tool
-    opens."""
+    opens. Odd-sized data chunks get the RIFF word-alignment pad byte
+    (size field excludes it, total RIFF length includes it — ADVICE r6
+    #2: without the pad the file only parsed because data was the last
+    chunk)."""
     fmt = F.concat(
         F.encode(F.lit("fmt "), "UTF-8"),
         _le_bytes(F.lit(16), 4),          # fmt chunk size
@@ -118,10 +121,14 @@ def wav_payload(data, byte_len, sample_rate):
         _le_bytes(F.lit(1), 2),           # block align
         _le_bytes(F.lit(8), 2),           # bits per sample
     )
-    data_chunk = F.concat(
-        F.encode(F.lit("data"), "UTF-8"), _le_bytes(byte_len, 4), data
+    pad = F.when(byte_len % 2 == 1, F.unhex(F.lit("00"))).otherwise(
+        F.unhex(F.lit(""))
     )
-    riff_len = byte_len + F.lit(36)       # 4 (WAVE) + 24 (fmt) + 8 (data hdr)
+    data_chunk = F.concat(
+        F.encode(F.lit("data"), "UTF-8"), _le_bytes(byte_len, 4), data, pad
+    )
+    # 4 (WAVE) + 24 (fmt) + 8 (data hdr) + data + alignment pad
+    riff_len = byte_len + F.lit(36) + (byte_len % 2)
     return F.concat(
         F.encode(F.lit("RIFF"), "UTF-8"),
         _le_bytes(riff_len, 4),
@@ -131,12 +138,46 @@ def wav_payload(data, byte_len, sample_rate):
     )
 
 
+#: Y4M geometry: one FRAME_BYTES×1 mono (Y-only) plane per frame — the
+#: raster row IS a data chunk, the same trick as the PGM width.
+_Y4M_HEADER = f"YUV4MPEG2 W{FRAME_BYTES} H1 F25:1 Ip A1:1 Cmono\n"
+_Y4M_FRAME_HDR_HEX = "4652414d450a"  # hex("FRAME\n")
+
+
+def y4m_payload(data, byte_len):
+    """Wrap ``data`` bytes as a genuine YUV4MPEG2 (Y4M) uncompressed video
+    stream: stream header, then per frame a ``FRAME\\n`` marker + one
+    FRAME_BYTES×1 mono Y plane. The last frame is zero-padded to the full
+    plane size (Y4M frames are fixed-size; the pad is real container
+    semantics, and the demuxer returns it like any real demuxer would).
+
+    Assembly is hex-string concatenation folded over the frame sequence
+    (substr/rpad/concat — whole-stage codegen, no Python), finished with
+    one ``unhex``; ~4 bytes of string per payload byte at build time,
+    amortized by the Arrow batch that ships it to the decode stage."""
+    n_frames = F.ceil(byte_len / F.lit(FRAME_BYTES)).cast("int")
+    hexdata = F.hex(data)
+    w = FRAME_BYTES * 2  # hex chars per frame
+    frames_hex = F.when(n_frames > 0, F.aggregate(
+        F.sequence(F.lit(0), n_frames - 1),
+        F.lit(""),
+        lambda acc, i: F.concat(
+            acc,
+            F.lit(_Y4M_FRAME_HDR_HEX),
+            F.rpad(hexdata.substr(i * w + 1, F.lit(w)), w, "0"),
+        ),
+    )).otherwise(F.lit(""))
+    return F.concat(
+        F.encode(F.lit(_Y4M_HEADER), "UTF-8"), F.unhex(frames_hex)
+    )
+
+
 def encoded_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`media_table` with payloads wrapped in REAL container formats
-    (image → PGM/P5, audio → WAV/PCM-u8, video → raw bytes pending a real
-    demuxer). The decode stages parse these with
-    :func:`decode_media_real` — a genuine parse-the-header-on-disk-format
-    path, not a fake."""
+    (image → PGM/P5, audio → WAV/PCM-u8, video → Y4M/mono since r7 —
+    every media type now rides a genuine on-disk container). The decode
+    stages parse these with :func:`decode_media_real` /
+    :func:`demux_frames` — parse-the-header paths, not fakes."""
     m = media_table(spark, sf_dir)
     enc = (
         F.when(
@@ -149,20 +190,63 @@ def encoded_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("payload"), F.col("byte_len"), F.col("meta.sample_rate")
             ),
         )
-        .otherwise(F.col("payload"))
+        .otherwise(y4m_payload(F.col("payload"), F.col("byte_len")))
     )
     return m.withColumn("payload_enc", enc)
+
+
+def demux_frames(payload: bytes) -> list[bytes]:
+    """Real YUV4MPEG2 demuxer, pure Python/numpy: parse the stream header
+    (``YUV4MPEG2 W.. H.. .. C..\\n``), then walk ``FRAME\\n`` markers and
+    return each fixed-size Y plane. Mono (Y-only) colourspace only —
+    chroma-subsampled streams would need real pixel-format conversion, so
+    they hit the honest ``NotImplementedError`` codec boundary. Malformed
+    streams (missing markers, truncated planes) raise ``ValueError``."""
+    nl = payload.index(b"\n")
+    parts = payload[:nl].decode("ascii", errors="replace").split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    cspace = "420"  # Y4M default when no C parameter is present
+    for p in parts[1:]:
+        if p[:1] == "W":
+            width = int(p[1:])
+        elif p[:1] == "H":
+            height = int(p[1:])
+        elif p[:1] == "C":
+            cspace = p[1:]
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    if cspace != "mono":
+        raise NotImplementedError(
+            f"Y4M colourspace {cspace!r} needs chroma conversion (codec lib)"
+        )
+    plane = width * height
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        pos = fnl + 1
+        frame = payload[pos : pos + plane]
+        if len(frame) != plane:
+            raise ValueError("truncated Y4M frame plane")
+        frames.append(frame)
+        pos += plane
+    return frames
 
 
 def decode_media_real(payload: bytes, media_type: str = "") -> np.ndarray:
     """Real container decode, pure numpy — no external codec needed.
 
-    Parses netpbm P5/P6 (binary PGM/PPM) and WAV (RIFF, 8-bit PCM) by
-    their on-disk headers and returns the sample buffer as uint8. Formats
-    that genuinely require codec libraries (JPEG/PNG/FLAC/MP4...) raise
-    ``NotImplementedError`` — deployments with Pillow/soundfile/av extend
-    the sniff chain below; every downstream stage keeps the same ndarray
-    contract."""
+    Parses netpbm P5/P6 (binary PGM/PPM), WAV (RIFF, 8-bit PCM) and
+    YUV4MPEG2 (mono) by their on-disk headers and returns the sample
+    buffer as uint8 (Y4M: frame planes concatenated, alignment pad
+    included — callers trim to the sidecar ``byte_len`` like any real
+    pipeline trims container padding). Formats that genuinely require
+    codec libraries (JPEG/PNG/FLAC/MP4...) raise ``NotImplementedError``
+    — deployments with Pillow/soundfile/av extend the sniff chain below;
+    every downstream stage keeps the same ndarray contract."""
     if payload[:2] in (b"P5", b"P6"):
         # netpbm binary: magic, then 3 ASCII ints (width height maxval)
         # separated by whitespace/comments, one whitespace, then raster.
@@ -184,6 +268,8 @@ def decode_media_real(payload: bytes, media_type: str = "") -> np.ndarray:
         channels = 3 if payload[:2] == b"P6" else 1
         raster = payload[pos : pos + width * height * channels]
         return np.frombuffer(raster, dtype=np.uint8)
+    if payload[:10] == b"YUV4MPEG2 ":
+        return np.frombuffer(b"".join(demux_frames(payload)), dtype=np.uint8)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # Walk RIFF chunks; require PCM 8-bit from `fmt `, return `data`.
         pos, bits = 12, None
@@ -213,17 +299,26 @@ def decode_media_real(payload: bytes, media_type: str = "") -> np.ndarray:
 
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic fake decode: the opaque bytes AS the sample buffer.
-    Stands in for pixels/PCM where no container format applies (raw video
-    payloads pending a real demuxer)."""
+    Stands in for pixels/PCM where no container format applies (raw
+    un-encoded payloads — every encoded media type rides a real container
+    since r7)."""
     return np.frombuffer(payload, dtype=np.uint8)
 
 
-def decode_any(payload: bytes) -> np.ndarray:
+def decode_any(payload: bytes, media_type: str = "") -> np.ndarray:
     """Sniff-and-decode: real container parse when the magic bytes match a
-    supported format, deterministic fake for raw payloads."""
+    supported format, deterministic fake for raw payloads. ADVICE r6 #1
+    hardening: a RAW payload whose first bytes coincidentally look like a
+    container magic must not crash the Arrow stage — malformed-container
+    errors (``ValueError``/``IndexError``) fall back to the fake path
+    alongside the ``NotImplementedError`` codec stubs. Stages that KNOW
+    their input is a real container (everything downstream of
+    :func:`encoded_media_table`, e.g. :func:`sample_frames`) call
+    :func:`decode_media_real` / :func:`demux_frames` directly so a
+    genuine parse failure still fails loudly."""
     try:
-        return decode_media_real(payload)
-    except NotImplementedError:
+        return decode_media_real(payload, media_type)
+    except (NotImplementedError, ValueError, IndexError):
         return _fake_decode(payload)
 
 
@@ -261,9 +356,17 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield pd.DataFrame(columns=_FEATURE_COLS)
             continue
         # Container parse per row (header-only Python work, ~15 bytes each:
-        # PGM/WAV → real decode, raw → fake), then ONE packed buffer and
-        # segmented numpy reductions for the arithmetic.
-        samples = [decode_any(bytes(p)) for p in pdf["payload"]]
+        # PGM/WAV/Y4M → real decode, raw → fake), trimmed to the sidecar
+        # byte_len (drops the Y4M fixed-frame alignment pad, the way any
+        # real pipeline trims container padding via metadata; a no-op for
+        # PGM/WAV/raw whose decode is exactly byte_len), then ONE packed
+        # buffer and segmented numpy reductions for the arithmetic.
+        samples = [
+            decode_any(bytes(p), t)[:bl]
+            for p, t, bl in zip(
+                pdf["payload"], pdf["media_type"], pdf["byte_len"]
+            )
+        ]
         lens = np.fromiter((len(s) for s in samples), dtype=np.int64, count=n)
         buf = (
             np.concatenate(samples)
@@ -315,8 +418,11 @@ def resize_thumbnail(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     steps = np.arange(n_out, dtype=np.int64)
     for pdf in batches:
         rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            buf = decode_any(bytes(payload))
+        types = (
+            pdf["media_type"] if "media_type" in pdf.columns else [""] * len(pdf)
+        )
+        for doc_id, payload, mtype in zip(pdf["doc_id"], pdf["payload"], types):
+            buf = decode_any(bytes(payload), mtype)
             if len(buf) == 0:
                 thumb = [0] * n_out
             else:
@@ -330,18 +436,33 @@ FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_md5 string"
 
 
 def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Frame sampling for video-typed payloads: chunk the buffer into
-    FRAME_BYTES frames, keep every 2nd frame — one→MANY rows per input (the
-    batch shape a real keyframe extractor produces). Per-row chunking, like
-    a real demuxer; Arrow batches amortize the Python boundary, not the
-    per-item codec work."""
+    """Frame sampling over REAL containers (input = ``encoded_media_table``
+    rows: doc_id, media_type, payload, byte_len): video is demuxed with the
+    genuine Y4M parser (:func:`demux_frames` — ``FRAME`` markers, fixed
+    planes), image/audio rasters/PCM are decoded then chunked into
+    FRAME_BYTES frames; keep every 2nd frame — one→MANY rows per input (the
+    batch shape a real keyframe extractor produces). The final frame is
+    trimmed from the container's fixed-plane pad back to the true length
+    via the ``byte_len`` sidecar, so frame bytes equal the source chunks
+    end-to-end (what keeps the SQL oracle valid). Parses are STRICT — a
+    malformed container fails the stage loudly, no fake fallback."""
     for pdf in batches:
         rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            buf = bytes(payload)
-            n_frames = (len(buf) + FRAME_BYTES - 1) // FRAME_BYTES
-            for i in range(0, n_frames, 2):
-                frame = buf[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+        for doc_id, mtype, payload, byte_len in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["payload"], pdf["byte_len"]
+        ):
+            enc = bytes(payload)
+            if mtype == "video":
+                frames = demux_frames(enc)
+            else:
+                buf = decode_media_real(enc, mtype).tobytes()
+                frames = [
+                    buf[j * FRAME_BYTES : (j + 1) * FRAME_BYTES]
+                    for j in range((len(buf) + FRAME_BYTES - 1) // FRAME_BYTES)
+                ]
+            for i in range(0, len(frames), 2):
+                true_len = min(FRAME_BYTES, int(byte_len) - i * FRAME_BYTES)
+                frame = frames[i][:true_len]
                 rows.append((doc_id, i, len(frame), hashlib.md5(frame).hexdigest()))
         yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_len", "frame_md5"])
 
@@ -422,7 +543,7 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("byte_len") == F.char_length(F.decode(F.col("payload"), "UTF-8")))
     )
     feats = m.select(
-        "doc_id", "media_type", F.col("payload_enc").alias("payload")
+        "doc_id", "media_type", F.col("payload_enc").alias("payload"), "byte_len"
     ).mapInPandas(extract_features, schema=FEATURES_SCHEMA)
     return feats.groupBy("doc_id").agg(
         F.count("*").alias("n_media"),
@@ -481,7 +602,7 @@ def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("byte_len") == F.char_length(F.decode(F.col("payload"), "UTF-8")))
     )
     thumbs = m.select(
-        "doc_id", F.col("payload_enc").alias("payload")
+        "doc_id", "media_type", F.col("payload_enc").alias("payload")
     ).mapInPandas(resize_thumbnail, schema=RESIZE_SCHEMA)
     return thumbs.select(
         "doc_id",
@@ -515,12 +636,16 @@ def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over video-ish payloads: one→many pandas stage
-    (every 2nd FRAME_BYTES chunk), aggregated to per-doc sampled-frame
-    counts/bytes so the oracle can verify the explosion arithmetic; frame
-    checksums are pytest-verified."""
-    m = media_table(spark, sf_dir).where(F.col("byte_len") > 0)
-    frames = m.mapInPandas(sample_frames, schema=FRAMES_SCHEMA)
+    """Frame sampling over REAL containers (round 7: video rides genuine
+    Y4M streams demuxed by :func:`demux_frames`; image/audio decode via
+    their PGM/WAV parsers): one→many pandas stage (every 2nd frame),
+    aggregated to per-doc sampled-frame counts/bytes so the oracle can
+    verify the explosion arithmetic end-to-end through the encode→demux
+    round trip; frame checksums are pytest-verified."""
+    m = encoded_media_table(spark, sf_dir).where(F.col("byte_len") > 0)
+    frames = m.select(
+        "doc_id", "media_type", F.col("payload_enc").alias("payload"), "byte_len"
+    ).mapInPandas(sample_frames, schema=FRAMES_SCHEMA)
     return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_sampled"),
         F.sum("frame_len").alias("sampled_bytes"),

@@ -82,10 +82,16 @@ def test_wav_real_decode_roundtrip(spark):
     for r in rows:
         enc = bytes(r.payload_enc)
         data = bytes(r.payload)
-        # standards-correct RIFF framing, little-endian sizes
+        # standards-correct RIFF framing, little-endian sizes; odd-sized
+        # data chunks carry the word-alignment pad byte (ADVICE r6 #2) —
+        # the chunk size field excludes it, the RIFF length includes it
+        pad = len(data) % 2
         assert enc[:4] == b"RIFF" and enc[8:12] == b"WAVE"
-        assert int.from_bytes(enc[4:8], "little") == 36 + len(data)
-        assert len(enc) == 44 + len(data)
+        assert int.from_bytes(enc[4:8], "little") == 36 + len(data) + pad
+        assert len(enc) == 44 + len(data) + pad
+        assert int.from_bytes(enc[40:44], "little") == len(data)
+        if pad:
+            assert enc[-1] == 0
         assert int.from_bytes(enc[24:28], "little") == 16000  # sample rate
         assert decode_media_real(enc).tobytes() == data
 
@@ -103,6 +109,59 @@ def test_decode_any_falls_back_for_raw():
 
     raw = b"\x01\x02\x03raw-video-bytes"
     assert decode_any(raw).tobytes() == raw
+
+
+def test_decode_any_survives_coincidental_magic():
+    # ADVICE r6 #1: raw payloads that merely START like a container must
+    # fall back to the fake decode, not crash the Arrow stage with
+    # ValueError/IndexError from a half-parse.
+    from recommender_systems_pyspark_spark.multimodal.media import decode_any
+
+    for raw in (b"P5 but not an image", b"RIFFxxxxWAVEgarbage",
+                b"YUV4MPEG2 spoof no header newline"):
+        assert decode_any(raw).tobytes() == raw
+
+
+def test_y4m_real_decode_roundtrip(spark):
+    from recommender_systems_pyspark_spark.multimodal.media import (
+        demux_frames,
+        encoded_media_table,
+    )
+
+    rows = (
+        encoded_media_table(spark, SF)
+        .where("media_type = 'video' AND byte_len > 0")
+        .select("doc_id", "payload", "payload_enc", "meta.n_frames")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        enc = bytes(r.payload_enc)
+        data = bytes(r.payload)
+        assert enc.startswith(b"YUV4MPEG2 W")  # genuine Y4M stream header
+        frames = demux_frames(enc)
+        assert len(frames) == r.n_frames
+        assert all(len(f) == FRAME_BYTES for f in frames)  # fixed planes
+        # concatenated planes == source bytes + zero pad on the last plane
+        joined = b"".join(frames)
+        assert joined[: len(data)] == data
+        assert set(joined[len(data):]) <= {0}
+        assert decode_media_real(enc).tobytes() == joined
+
+
+def test_y4m_demuxer_rejects_malformed():
+    from recommender_systems_pyspark_spark.multimodal.media import demux_frames
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        demux_frames(b"NOTY4M\nFRAME\n")
+    with pytest.raises(ValueError, match="W/H"):
+        demux_frames(b"YUV4MPEG2 F25:1 Cmono\n")
+    with pytest.raises(NotImplementedError, match="colourspace"):
+        demux_frames(b"YUV4MPEG2 W2 H1 C420\nFRAME\n\x00\x00")
+    with pytest.raises(ValueError, match="FRAME marker"):
+        demux_frames(b"YUV4MPEG2 W2 H1 Cmono\nXRAME\n\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        demux_frames(b"YUV4MPEG2 W4 H1 Cmono\nFRAME\n\x00\x00")
 
 
 def test_features_match_pure_python(spark):
@@ -161,13 +220,20 @@ def test_resize_registered_query_scalars(spark):
 
 
 def test_frame_sample_checksums(spark):
+    # sample_frames consumes REAL containers (r7 contract) and must still
+    # emit checksums of the SOURCE byte chunks (pad trimmed via byte_len).
+    import pyspark.sql.functions as F
+
     payloads = _docs_bytes(spark)
-    m = media_table(spark, SF).where("byte_len > 0")
     from recommender_systems_pyspark_spark.multimodal.media import (
         FRAMES_SCHEMA,
+        encoded_media_table,
         sample_frames,
     )
 
+    m = encoded_media_table(spark, SF).where("byte_len > 0").select(
+        "doc_id", "media_type", F.col("payload_enc").alias("payload"), "byte_len"
+    )
     rows = m.mapInPandas(sample_frames, schema=FRAMES_SCHEMA).collect()
     assert rows
     for r in rows[:50]:

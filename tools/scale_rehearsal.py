@@ -124,6 +124,17 @@ def build_replica(
                             "text", _ALPHA + _ALPHA.upper(), rot + rot.upper()
                         ),
                     )
+                if t == "events" and mutate_docs and i > 0:
+                    # Disjoint TIME ranges per copy: organic 10× growth
+                    # adds HISTORY, it does not densify the same hours.
+                    # Without the shift every copy lands in the source's
+                    # time range, hour buckets get 10× the sessions, and
+                    # interval-overlap output grows ~100× — a densification
+                    # stress no real corpus growth exhibits (same argument
+                    # as the document rotation above).
+                    c = c.withColumn(
+                        "ts", F.col("ts") + F.expr(f"INTERVAL {366 * i} DAYS")
+                    )
                 copies.append(c)
             out = functools.reduce(lambda a, b: a.unionByName(b), copies)
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
