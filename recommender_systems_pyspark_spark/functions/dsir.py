@@ -120,11 +120,13 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing, per-bucket λ quantized to DECIMAL(18,9) before the exact
     per-doc decimal sum). Ties broken by doc_id."""
     docs = tables(spark, sf_dir)["documents"]
+    # Generators cannot nest inside expressions (UNSUPPORTED_GENERATOR):
+    # explode into `term` first, bucket in a second projection.
     tok = docs.select(
         "doc_id",
         (F.col("doc_id") % _TARGET_MOD == 0).alias("is_target"),
-        _bucket(F.explode(F.split("text", " "))).alias("f"),
-    )
+        F.explode(F.split("text", " ")).alias("term"),
+    ).select("doc_id", "is_target", _bucket(F.col("term")).alias("f"))
     counts = tok.groupBy("f").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("bigint").alias("ct"),
         F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("bigint").alias("cr"),
@@ -147,12 +149,16 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "f")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+    # cnt must multiply λ as DECIMAL(10,0), not BIGINT: bigint×decimal(18,9)
+    # needs precision 39 > 38, so Spark silently REDUCES SCALE to 8 digits
+    # (Decimal adjustedScale rule) while DuckDB keeps all 9 — measured
+    # ≤4e-8 drift per doc. decimal(10,0)×decimal(18,9) → (29,9), exact.
     weighted = (
         doc_feat.join(F.broadcast(lam), "f")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("lam")).alias("w"),
+            F.sum(F.col("cnt").cast("decimal(10,0)") * F.col("lam")).alias("w"),
         )
     )
     return (

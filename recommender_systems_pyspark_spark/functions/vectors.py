@@ -133,10 +133,14 @@ def kmeans(e: DataFrame, k: int = 8, n_iter: int = 5) -> tuple[DataFrame, list[f
         e.orderBy("vec_id")
         .limit(k)
         .select(
-            F.col("vec_id").cast("int").alias("cell"),
+            # seed ordering on the ORIGINAL bigint vec_id — an int cast
+            # here wraps for vec_id > 2^31 and diverges seed/cell
+            # numbering from the oracle's ORDER BY vec_id (ADVICE r7)
+            F.col("vec_id").alias("_seed_id"),
             F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
         )
-        .withColumn("cell", F.row_number().over(Window.orderBy("cell")) - 1)
+        .withColumn("cell", F.row_number().over(Window.orderBy("_seed_id")) - 1)
+        .select("cell", "cvec")
     )
     inertia: list[float] = []
     assigned = kmeans_assign(e, cent)
@@ -319,10 +323,14 @@ def kmeans_sqrtn(e: DataFrame, n_iter: int = 2) -> DataFrame:
         e.orderBy("vec_id")
         .limit(k)
         .select(
-            F.col("vec_id").cast("int").alias("cell"),
+            # seed ordering on the ORIGINAL bigint vec_id — an int cast
+            # here wraps for vec_id > 2^31 and diverges seed/cell
+            # numbering from the oracle's ORDER BY vec_id (ADVICE r7)
+            F.col("vec_id").alias("_seed_id"),
             F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
         )
-        .withColumn("cell", F.row_number().over(Window.orderBy("cell")) - 1)
+        .withColumn("cell", F.row_number().over(Window.orderBy("_seed_id")) - 1)
+        .select("cell", "cvec")
     )
     for _ in range(n_iter):
         assigned = kmeans_assign_mapside(e.select("vec_id", "embedding"), cent)

@@ -20,6 +20,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def purge_table(spark: SparkSession, table: str) -> None:
+    """Drop ``table`` AND delete its (possibly orphaned) warehouse
+    location. ``saveAsTable`` dies with LOCATION_ALREADY_EXISTS when the
+    directory survives from a previous session whose (per-session Derby)
+    metastore entry did not — dropping the catalog entry alone is not
+    enough. Uses the Hadoop FileSystem API so it is correct on any
+    warehouse FS, not just local disk."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark._jvm
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -31,7 +47,9 @@ def write_bucketed(
 ) -> None:
     """Land ``df`` as a bucketed (and optionally bucket-sorted) catalog
     table. The write performs the one-time shuffle every later join on
-    ``bucket_col`` then skips."""
+    ``bucket_col`` then skips. Idempotent: any stale table/orphaned
+    location is purged first (the LOCATION_ALREADY_EXISTS trap)."""
+    purge_table(df.sparkSession, table)
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)

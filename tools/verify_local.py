@@ -72,10 +72,20 @@ class OracleWatchdog:
         import threading
 
         self.fired = False
+        # The done-flag + lock closes the race where the timer fires in
+        # the window after fetchdf() returns but before __exit__ cancels
+        # it: a late interrupt() on the idle shared connection would
+        # abort the NEXT query's oracle, attributing a spurious FAIL to
+        # the wrong query (ADVICE r7).
+        self._lock = threading.Lock()
+        self._done = False
 
         def _fire() -> None:
-            self.fired = True
-            con.interrupt()
+            with self._lock:
+                if self._done:
+                    return
+                self.fired = True
+                con.interrupt()
 
         self.timer = threading.Timer(budget_sec, _fire)
 
@@ -84,6 +94,8 @@ class OracleWatchdog:
         return self
 
     def __exit__(self, *exc) -> None:
+        with self._lock:
+            self._done = True
         self.timer.cancel()
 
 
