@@ -197,3 +197,228 @@ def x_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_bloom_decontaminate.__doc__ = x_bloom_decontaminate.__doc__.format(
     bm=_BENCH_MOD, m=_M_BITS, k=_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-tier decontamination funnel: Bloom screen → exact verify (round 8)
+# ---------------------------------------------------------------------------
+
+#: n-gram width for the funnel's contamination unit (GPT-3 appendix C
+#: screens 13-grams; 3 keeps fixture overlap sparse but non-trivial).
+_E2E_N = 3
+
+
+def _sql_trigrams(pred: str) -> str:
+    """DuckDB distinct (doc_id, tri) for documents matching ``pred``."""
+    return f"""
+      SELECT DISTINCT doc_id, t.tri
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(string_split(text, ' ')) - {_E2E_N} + 2),
+                 i -> array_to_string(
+                        string_split(text, ' ')[i : i + {_E2E_N - 1}], ' ')))
+                 AS tri
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_E2E_N} AND ({pred})
+      ) t
+    """
+
+
+@query(
+    "x_decontam_e2e",
+    oracle=f"""
+    WITH train_tri AS ({_sql_trigrams(f'doc_id % {_BENCH_MOD} <> 0')}),
+    bench_tri AS (
+      SELECT DISTINCT tri FROM ({_sql_trigrams(f'doc_id % {_BENCH_MOD} = 0')})
+    ),
+    bits AS (
+      SELECT DISTINCT p.pos FROM bench_tri,
+           LATERAL (SELECT unnest([{_seeds_sql('tri')}]) AS pos) p
+    ),
+    words AS (
+      SELECT CAST(pos // {_WORD} AS BIGINT) AS word,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % {_WORD} AS INTEGER))
+                  AS BIGINT) AS mask
+      FROM bits GROUP BY 1
+    ),
+    probes AS (
+      SELECT doc_id, tri, CAST(p.pos // {_WORD} AS BIGINT) AS word,
+             CAST(p.pos % {_WORD} AS INTEGER) AS bit
+      FROM train_tri,
+           LATERAL (SELECT unnest([{_seeds_sql('tri')}]) AS pos) p
+    ),
+    flagged AS (
+      SELECT doc_id, tri
+      FROM probes LEFT JOIN words w USING (word)
+      GROUP BY doc_id, tri
+      HAVING SUM(CASE WHEN (COALESCE(w.mask, 0)
+                            & (CAST(1 AS BIGINT) << bit)) <> 0
+                      THEN 1 ELSE 0 END) = {_K}
+    ),
+    verified AS (
+      SELECT doc_id, tri FROM flagged
+      WHERE tri IN (SELECT tri FROM bench_tri)
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+             COALESCE(t.n, 0) AS n_tri,
+             COALESCE(f.n, 0) AS n_flagged,
+             COALESCE(v.n, 0) AS n_verified
+      FROM (SELECT doc_id FROM documents WHERE doc_id % {_BENCH_MOD} <> 0) d
+      LEFT JOIN (SELECT doc_id, COUNT(*) n FROM train_tri GROUP BY 1) t
+        USING (doc_id)
+      LEFT JOIN (SELECT doc_id, COUNT(*) n FROM flagged GROUP BY 1) f
+        USING (doc_id)
+      LEFT JOIN (SELECT doc_id, COUNT(*) n FROM verified GROUP BY 1) v
+        USING (doc_id)
+    )
+    SELECT stage, n_docs, n_ngrams FROM (
+      SELECT '00_train_corpus' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tri) AS BIGINT) AS n_ngrams, 0 AS o FROM per_doc
+      UNION ALL
+      SELECT '10_bloom_suspects',
+             CAST(SUM(CASE WHEN n_flagged > 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(n_flagged) AS BIGINT), 1 FROM per_doc
+      UNION ALL
+      SELECT '20_exact_contaminated',
+             CAST(SUM(CASE WHEN n_verified > 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(n_verified) AS BIGINT), 2 FROM per_doc
+      UNION ALL
+      SELECT '21_bloom_fp_survivors',
+             CAST(SUM(CASE WHEN n_flagged > 0 AND n_verified = 0
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN n_verified = 0 THEN n_flagged ELSE 0 END)
+                  AS BIGINT), 3 FROM per_doc
+      UNION ALL
+      SELECT '30_clean_output',
+             CAST(SUM(CASE WHEN n_verified = 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN n_verified = 0 THEN n_tri ELSE 0 END)
+                  AS BIGINT), 4 FROM per_doc
+    ) ORDER BY o
+    """,
+)
+def x_decontam_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-TIER decontamination funnel, composed end-to-end with per-stage
+    drop accounting (the VERDICT r7 stretch goal): a Bloom filter over
+    the benchmark's distinct {n}-grams screens every training document
+    map-side (tier 1), and ONLY the flagged n-grams proceed to the exact
+    semi-join verifier (tier 2) — false positives are caught there and
+    their documents survive; true contamination is dropped. Emits the
+    funnel manifest: corpus in → Bloom suspects → exact-contaminated →
+    FP survivors → clean output, in both documents and n-grams, so
+    ``suspects = contaminated + fp_survivors`` and ``clean = corpus −
+    contaminated`` are certified row-by-row (and the FP row proves the
+    "FPs go to the exact tier" story the module docstring tells).
+
+    Scale shape at 100 TB: tier 1 broadcasts the m/32-row word table and
+    never shuffles the corpus; tier 2's exact join input is the FLAGGED
+    n-grams only — a benchmark-sized sliver of the token stream instead
+    of all of it (that reduction is the whole reason two-tier screens
+    exist; compare `x_contamination_ngrams`, the exact tier alone, which
+    shuffles every training n-gram into its semi join). The per-doc
+    verdicts aggregate on the uniform doc_id key; the 5-row manifest is
+    the only global fold."""
+    docs = tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    ntok = F.size(words)
+    tris = F.when(
+        ntok >= _E2E_N,
+        F.transform(
+            F.sequence(F.lit(1), ntok - _E2E_N + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, _E2E_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = docs.select("doc_id", F.explode(F.array_distinct(tris)).alias("tri"))
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench_tri = tri.where(is_bench).select("tri").distinct()
+    train_tri = tri.where(~is_bench)
+
+    # tier-1 build: bench n-grams → k bit positions → m/32-row word table
+    words_tbl = (
+        bench_tri.select(
+            F.explode(
+                F.array(*[_pos(F.col("tri"), j) for j in range(_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .groupBy(F.expr(f"CAST(pos div {_WORD} AS BIGINT)").alias("word"))
+        .agg(
+            F.expr(
+                f"CAST(bit_or(shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {_WORD} AS INT))) AS BIGINT)"
+            ).alias("mask")
+        )
+    )
+    # tier-1 probe: map-only against the broadcast word table
+    flagged = (
+        train_tri.select(
+            "doc_id",
+            "tri",
+            F.explode(
+                F.array(*[_pos(F.col("tri"), j) for j in range(_K)])
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "tri",
+            F.expr(f"CAST(pos div {_WORD} AS BIGINT)").alias("word"),
+            F.expr(f"CAST(pos % {_WORD} AS INT)").alias("bit"),
+        )
+        .join(F.broadcast(words_tbl), "word", "left")
+        .select(
+            "doc_id",
+            "tri",
+            F.expr(
+                "CAST((coalesce(mask, CAST(0 AS BIGINT)) "
+                "& shiftleft(CAST(1 AS BIGINT), bit)) != 0 AS INT)"
+            ).alias("bit_set"),
+        )
+        .groupBy("doc_id", "tri")
+        .agg(F.sum("bit_set").alias("nbits"))
+        .where(F.col("nbits") == _K)
+        .select("doc_id", "tri")
+    )
+    # tier-2 exact verify — input is ONLY the flagged n-grams
+    verified = flagged.join(F.broadcast(bench_tri), "tri", "left_semi")
+
+    base = docs.where(~is_bench).select("doc_id")
+    per_doc = (
+        base.join(train_tri.groupBy("doc_id").agg(F.count("*").alias("n_tri")), "doc_id", "left")
+        .join(flagged.groupBy("doc_id").agg(F.count("*").alias("n_flagged")), "doc_id", "left")
+        .join(verified.groupBy("doc_id").agg(F.count("*").alias("n_verified")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri"),
+            F.coalesce("n_flagged", F.lit(0).cast("long")).alias("n_flagged"),
+            F.coalesce("n_verified", F.lit(0).cast("long")).alias("n_verified"),
+        )
+    )
+
+    def _stage(order, name, doc_pred, gram_col):
+        return per_doc.agg(
+            F.lit(name).alias("stage"),
+            F.sum(F.when(doc_pred, 1).otherwise(0)).cast("bigint").alias("n_docs"),
+            F.sum(gram_col).cast("bigint").alias("n_ngrams"),
+            F.lit(order).alias("o"),
+        )
+
+    t, fl, v = F.col("n_tri"), F.col("n_flagged"), F.col("n_verified")
+    manifest = (
+        _stage(0, "00_train_corpus", F.lit(True), t)
+        .unionByName(_stage(1, "10_bloom_suspects", fl > 0, fl))
+        .unionByName(_stage(2, "20_exact_contaminated", v > 0, v))
+        .unionByName(
+            _stage(3, "21_bloom_fp_survivors", (fl > 0) & (v == 0),
+                   F.when(v == 0, fl).otherwise(F.lit(0)))
+        )
+        .unionByName(
+            _stage(4, "30_clean_output", v == 0,
+                   F.when(v == 0, t).otherwise(F.lit(0)))
+        )
+    )
+    return manifest.orderBy("o").drop("o")
+
+
+x_decontam_e2e.__doc__ = x_decontam_e2e.__doc__.format(n=_E2E_N)

@@ -250,6 +250,153 @@ def lsh_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "x_minhash_calibration",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    sig AS (
+      SELECT doc_id, sh,
+             list_transform(range(0, {_NUM_HASHES}), i ->
+               list_min(list_transform(sh,
+                 t -> md5(CAST(i AS VARCHAR) || ':' || t)))) AS sig
+      FROM s
+    ),
+    bands AS (
+      SELECT doc_id, b.i AS band,
+             md5(array_to_string(
+               sig[b.i * {_BAND_ROWS} + 1 : b.i * {_BAND_ROWS} + {_BAND_ROWS}],
+               ',')) AS band_hash
+      FROM sig,
+           LATERAL (SELECT unnest(range(0, {_NUM_HASHES // _BAND_ROWS})) AS i) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(range(1, {_NUM_HASHES + 1}),
+                             i -> sa.sig[i] = sb.sig[i])) AS n_agree,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+             CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)
+               AS uni
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    ),
+    ppm AS (
+      SELECT n_agree,
+             n_agree * 1000000 // {_NUM_HASHES} AS est_ppm,
+             inter * 1000000 // uni AS exact_ppm
+      FROM scored
+    )
+    SELECT CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST((SUM(exact_ppm) // COUNT(*)) AS BIGINT) AS avg_exact_ppm,
+           CAST(MIN(exact_ppm) AS BIGINT) AS min_exact_ppm,
+           CAST(MAX(exact_ppm) AS BIGINT) AS max_exact_ppm,
+           CAST(MAX(abs(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+    FROM ppm GROUP BY n_agree ORDER BY n_agree
+    """,
+)
+def x_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION of the MinHash estimator against exact Jaccard, over
+    the LSH candidate pairs: for every candidate, the estimated
+    similarity is (agreeing signature slots)/{nh} and the truth is
+    |A∩B|/|A∪B| on the shingle sets; grouping by agreement count yields
+    the estimator's calibration curve — per slot-agreement level, the
+    mean/min/max exact similarity and the worst absolute estimation
+    error (all in integer parts-per-million, so the whole diagnostic is
+    exact-arithmetic and hash-gated, false-positive behavior included).
+
+    This is the tool that justifies LSH thresholds before a 100 TB
+    dedup run: it answers "at this shingle width and signature size,
+    what exact-Jaccard range does each signature agreement level
+    actually correspond to, and how wrong can the estimate be?" —
+    measured on the corpus itself, not assumed from theory.
+
+    Scale shape: signatures and banding are map-only codegen (no
+    explode), candidates come from the banded self-join exactly as in
+    `x_dedup_minhash_lsh` (sub-quadratic, band-hash-keyed shuffle), the
+    per-pair fold is O(shingles), and the final aggregate has at most
+    {nh1} keys."""
+    s = _spread(tables(spark, sf_dir)["documents"]).select(
+        "doc_id", shingles().alias("sh")
+    )
+    sig = s.select("doc_id", "sh", minhash_signature().alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_NUM_HASHES // _BAND_ROWS - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.slice(F.col("sig"), b * _BAND_ROWS + 1, _BAND_ROWS),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).alias("n_agree"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("inter"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("bigint").alias("uni"),
+        )
+    )
+    est_ppm = F.expr(f"n_agree * 1000000 div {_NUM_HASHES}")
+    exact_ppm = F.expr("inter * 1000000 div uni")
+    ppm = scored.select(
+        "n_agree", est_ppm.alias("est_ppm"), exact_ppm.alias("exact_ppm")
+    )
+    return (
+        ppm.groupBy(F.col("n_agree").cast("bigint").alias("n_agree"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("CAST(sum(exact_ppm) div count(*) AS BIGINT)").alias(
+                "avg_exact_ppm"
+            ),
+            F.min("exact_ppm").cast("bigint").alias("min_exact_ppm"),
+            F.max("exact_ppm").cast("bigint").alias("max_exact_ppm"),
+            F.max(F.abs(F.col("est_ppm") - F.col("exact_ppm")))
+            .cast("bigint")
+            .alias("max_abs_err_ppm"),
+        )
+        .orderBy("n_agree")
+    )
+
+
+x_minhash_calibration.__doc__ = x_minhash_calibration.__doc__.format(
+    nh=_NUM_HASHES, nh1=_NUM_HASHES + 1
+)
+
+
 def simhash64() -> Column:
     """64-bit SimHash over shingle md5 digests: bit b of a shingle's hash
     is bit (b mod 4) of hex nibble (b div 4) — engine-portable (md5 hex is

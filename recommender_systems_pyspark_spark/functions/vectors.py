@@ -315,6 +315,17 @@ def kmeans_sqrtn(e: DataFrame, n_iter: int = 2) -> DataFrame:
     the DuckDB oracle (:func:`sql_kmeans_sqrtn_parts`). Driver state: ONE
     scalar (the corpus count that sizes k) plus the k×d centroid model —
     bounded by model size, never data size."""
+    return kmeans_assign_mapside(e, kmeans_sqrtn_model(e, n_iter))
+
+
+def kmeans_sqrtn_model(e: DataFrame, n_iter: int = 2) -> DataFrame:
+    """The TRAINED √N-k-means centroid model (cell, cvec) alone — split
+    out of :func:`kmeans_sqrtn` so callers can train once, persist the
+    k×d frame (``sources/versioned.write_snapshot``), and amortize the
+    Lloyd iterations across every later assignment pass (VERDICT r7 #6:
+    x_semdedup was paying 2 training rounds per query). Training is
+    fully deterministic, so a reloaded model is bit-identical to a fresh
+    fit and the unrolled DuckDB oracle stays valid either way."""
     import math
 
     k = int(math.ceil(math.sqrt(e.count())))
@@ -353,7 +364,7 @@ def kmeans_sqrtn(e: DataFrame, n_iter: int = 2) -> DataFrame:
         # dedicated materialization job (the k×d table materializes when
         # the next assignment pass broadcasts it)
         cent = new_cent.unionByName(kept).localCheckpoint(eager=False)
-    return kmeans_assign_mapside(e, cent)
+    return cent
 
 
 def sql_kmeans_sqrtn_parts(n_iter: int = 2) -> list[str]:

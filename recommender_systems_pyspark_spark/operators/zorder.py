@@ -144,3 +144,171 @@ def x_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x_zorder_cells.__doc__ = x_zorder_cells.__doc__.format(shift=_CELL_SHIFT)
+
+
+# ---------------------------------------------------------------------------
+# Pruning-gain certification: Z-order vs single-key layout (round 8)
+# ---------------------------------------------------------------------------
+
+#: Simulated file count for the layout comparison (equal-WIDTH key ranges
+#: — map-side assignable, so no global window/sort enters the plan; the
+#: physical equal-frequency layout is exercised by write_zordered and
+#: tests/test_zorder_skipping.py on real parquet footers).
+_N_FILES = 64
+
+
+@query(
+    "x_zorder_pruning_gain",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(l_partkey) AS maxp, MAX(l_suppkey) AS maxs FROM lineitem
+    ),
+    coded AS (
+      SELECT l_partkey AS p, l_suppkey AS s, maxp, maxs,
+             ({_duck_interleave(
+                 f"(CAST(l_partkey AS BIGINT) * {1 << _BITS} // (CAST(maxp AS BIGINT) + 1))",
+                 f"(CAST(l_suppkey AS BIGINT) * {1 << _BITS} // (CAST(maxs AS BIGINT) + 1))",
+             )}) AS z
+      FROM lineitem CROSS JOIN mx
+    ),
+    filed AS (
+      SELECT p, s, maxp, maxs,
+             (z * {_N_FILES} // ({(1 << (2 * _BITS))})) AS f_z,
+             (CAST(p AS BIGINT) * {_N_FILES} // (CAST(maxp AS BIGINT) + 1)) AS f_p,
+             (s * 16 <= maxs) AS hit_slice,
+             (p * 8 <= maxp AND s * 8 <= maxs) AS hit_box
+      FROM coded
+    ),
+    layouts AS (
+      SELECT 'zorder' AS layout, f_z AS f, p, s, hit_slice, hit_box FROM filed
+      UNION ALL
+      SELECT 'partkey_sorted', f_p, p, s, hit_slice, hit_box FROM filed
+    ),
+    boxes AS (
+      SELECT layout, f, MIN(p) mnp, MAX(p) mxp, MIN(s) mns, MAX(s) mxs,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN hit_slice THEN 1 ELSE 0 END) AS BIGINT) AS m_slice,
+             CAST(SUM(CASE WHEN hit_box THEN 1 ELSE 0 END) AS BIGINT) AS m_box
+      FROM layouts GROUP BY layout, f
+    ),
+    lim AS (SELECT maxp, maxs FROM mx)
+    SELECT layout, predicate,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(scanned) AS BIGINT) AS n_files_scanned,
+           CAST(SUM(CASE WHEN scanned = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_rows_scanned,
+           CAST(SUM(m) AS BIGINT) AS n_rows_matched
+    FROM (
+      SELECT b.layout, 'supp_slice_1_16' AS predicate, b.n_rows, b.m_slice AS m,
+             CASE WHEN b.mns * 16 <= l.maxs THEN 1 ELSE 0 END AS scanned
+      FROM boxes b CROSS JOIN lim l
+      UNION ALL
+      SELECT b.layout, 'pd_box_1_8x1_8', b.n_rows, b.m_box,
+             CASE WHEN b.mnp * 8 <= l.maxp AND b.mns * 8 <= l.maxs
+                  THEN 1 ELSE 0 END
+      FROM boxes b CROSS JOIN lim l
+    )
+    GROUP BY layout, predicate
+    ORDER BY layout, predicate
+    """,
+)
+def x_zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-skipping LEDGER for the Z-order layout, certified cross-
+    engine: partition lineitem into {n} equal-width curve-range "files"
+    under (a) the Morton layout and (b) a plain partkey-sorted layout,
+    compute each file's (part, supp) bounding box — the min/max stats a
+    parquet footer records — and count which files two selective
+    predicates must scan: a suppkey 1/16 slice (selective only in the
+    NON-sort key) and a 1/8×1/8 2-D corner box. The Z layout bounds both
+    dimensions per file, so it skips files the single-key layout must
+    read; `n_rows_matched` is layout-invariant (same rows either way),
+    which the oracle certifies alongside the scan counts. File
+    assignment is a map-side integer expression (`z·N div zmax` — no
+    global sort/window in the plan); the equal-frequency physical
+    variant of the same claim is asserted on REAL parquet footers by
+    tests/test_zorder_skipping.py.
+
+    At 100 TB: this query IS the layout-selection tool — run it on a
+    sample, read `n_rows_scanned(zorder) / n_rows_scanned(sorted)`, and
+    decide whether the one-time range-exchange rewrite pays for itself
+    before touching the full table."""
+    li = tables(spark, sf_dir)["lineitem"].select("l_partkey", "l_suppkey")
+    mx = li.agg(
+        F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
+    )
+    scale = 1 << _BITS
+    j = li.crossJoin(F.broadcast(mx))
+    xq = f"(CAST(l_partkey AS BIGINT) * {scale} div (CAST(maxp AS BIGINT) + 1))"
+    yq = f"(CAST(l_suppkey AS BIGINT) * {scale} div (CAST(maxs AS BIGINT) + 1))"
+    filed = j.select(
+        F.col("l_partkey").alias("p"),
+        F.col("l_suppkey").alias("s"),
+        "maxp",
+        "maxs",
+        F.expr(
+            f"({_spark_interleave(xq, yq)}) * {_N_FILES} div {1 << (2 * _BITS)}"
+        ).alias("f_z"),
+        F.expr(
+            f"CAST(l_partkey AS BIGINT) * {_N_FILES} div (CAST(maxp AS BIGINT) + 1)"
+        ).alias("f_p"),
+        (F.col("l_suppkey") * 16 <= F.col("maxs")).alias("hit_slice"),
+        (
+            (F.col("l_partkey") * 8 <= F.col("maxp"))
+            & (F.col("l_suppkey") * 8 <= F.col("maxs"))
+        ).alias("hit_box"),
+    )
+    layouts = filed.select(
+        F.lit("zorder").alias("layout"), F.col("f_z").alias("f"),
+        "p", "s", "hit_slice", "hit_box",
+    ).unionByName(
+        filed.select(
+            F.lit("partkey_sorted").alias("layout"), F.col("f_p").alias("f"),
+            "p", "s", "hit_slice", "hit_box",
+        )
+    )
+    boxes = layouts.groupBy("layout", "f").agg(
+        F.min("p").alias("mnp"),
+        F.max("p").alias("mxp"),
+        F.min("s").alias("mns"),
+        F.max("s").alias("mxs"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("hit_slice"), 1).otherwise(0)).cast("bigint").alias("m_slice"),
+        F.sum(F.when(F.col("hit_box"), 1).otherwise(0)).cast("bigint").alias("m_box"),
+    ).crossJoin(F.broadcast(mx))
+
+    def _pred(name, scanned, matched):
+        return boxes.select(
+            "layout",
+            F.lit(name).alias("predicate"),
+            "n_rows",
+            matched.alias("m"),
+            scanned.cast("int").alias("scanned"),
+        )
+
+    per_file = _pred(
+        "supp_slice_1_16",
+        F.col("mns") * 16 <= F.col("maxs"),
+        F.col("m_slice"),
+    ).unionByName(
+        _pred(
+            "pd_box_1_8x1_8",
+            (F.col("mnp") * 8 <= F.col("maxp"))
+            & (F.col("mns") * 8 <= F.col("maxs")),
+            F.col("m_box"),
+        )
+    )
+    return (
+        per_file.groupBy("layout", "predicate")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("scanned").cast("bigint").alias("n_files_scanned"),
+            F.sum(F.when(F.col("scanned") == 1, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_scanned"),
+            F.sum("m").cast("bigint").alias("n_rows_matched"),
+        )
+        .orderBy("layout", "predicate")
+    )
+
+
+x_zorder_pruning_gain.__doc__ = x_zorder_pruning_gain.__doc__.format(n=_N_FILES)

@@ -148,11 +148,14 @@ _GRADE_FIRST = (
     "x_dsir_select",
     "x_zorder_cells",
     "x_bucketed_join",
-    # 5-8: new in r8, first driver grade
+    # 5-7: new in r8, first driver grade
     "x_decontam_e2e",
-    "x_semdedup_cached",
     "x_zorder_pruning_gain",
-    "x_minhash_cluster_dedup",
+    "x_minhash_calibration",
+    # 8: re-grade after the r8 rewrite — x_semdedup now assigns against
+    # the persisted train-once centroid model (semdedup_centroids);
+    # grading it again certifies the cached path, not just the r7 fit
+    "x_semdedup",
     # 9-34: the entire remaining r2-vintage cohort (oldest grades)
     "tpch_q4_style",
     "tpch_q7_style",
