@@ -30,7 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -329,3 +329,109 @@ def x_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hops", "part_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (round 8)
+# ---------------------------------------------------------------------------
+
+_LP_ITERS = 3
+
+
+def _lp_oracle() -> str:
+    parts = [
+        """
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS MATERIALIZED (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2
+        ),
+        deg AS MATERIALIZED (
+          SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+        ),
+        l0 AS MATERIALIZED (
+          SELECT src AS node, src AS label FROM deg
+        )"""
+    ]
+    for i in range(_LP_ITERS):
+        parts.append(
+            f""",
+        l{i + 1} AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT e.dst AS node, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.dst
+                                      ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM edges e JOIN l{i} l ON l.node = e.src
+            GROUP BY e.dst, l.label
+          ) WHERE rn = 1
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT l.label AS community, COUNT(*) AS n_members,
+               CAST(SUM(d.outdeg) AS BIGINT) AS total_degree,
+               MIN(l.node) AS first_member
+        FROM l{_LP_ITERS} l JOIN deg d ON d.src = l.node
+        GROUP BY l.label
+        ORDER BY n_members DESC, community
+        """
+    )
+    return "".join(parts)
+
+
+@query("x_label_propagation", oracle=_lp_oracle())
+def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the part
+    co-purchase graph — the cheap clustering a curation pipeline uses to
+    group interlinked pages/documents when connected components is too
+    coarse (CC merges everything touching; LPA keeps densely-linked cores
+    together). Completes the graph family alongside importance
+    (x_pagerank), reachability (x_bfs_hops), CC (x_dedup_clusters) and
+    local structure (x_triangle_count).
+
+    Determinism contract: classic async LPA is run-order dependent, so
+    this is the SYNCHRONOUS variant — every node simultaneously adopts
+    the most frequent label among its neighbors, ties broken by smallest
+    label — which makes iteration k a pure function of iteration k-1.
+    Mode selection is a count + ROW_NUMBER total order (count DESC,
+    label ASC), bit-replayable in the oracle's unrolled CTE chain.
+
+    Scale shape: per iteration ONE edges ⋈ labels equi-join on the src
+    key (the same partitioning every iteration — co-partitioned with the
+    checkpoint-pinned edges) + one (dst, label) count with map-side
+    partials + one dst-keyed window for the argmax. Linear in |edges| per
+    round, fixed {iters} rounds, no driver-side state, lineage cut per
+    round exactly like pagerank/CC. Every node has degree >= 1 (the
+    co-purchase relation is symmetric) so no node is orphaned by the
+    neighbor-mode update."""
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    labels = deg.select(F.col("src").alias("node"), F.col("src").alias("label"))
+    w = Window.partitionBy("dst").orderBy(F.col("n").desc(), F.col("label"))
+    for _ in range(_LP_ITERS):
+        labels = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.join(deg, labels["node"] == deg["src"])
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("outdeg").alias("total_degree"),
+            F.min("node").alias("first_member"),
+        )
+        .orderBy(F.col("n_members").desc(), "community")
+    )
+
+
+x_label_propagation.__doc__ = x_label_propagation.__doc__.format(iters=_LP_ITERS)

@@ -16,7 +16,7 @@ Scale architecture (100 TB of vectors):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -390,6 +390,21 @@ def semdedup_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the sf-dir basename + iteration count; doubles round-trip parquet
     bit-exactly, so a reloaded model assigns identically to a fresh fit
     and the unrolled DuckDB oracle keeps hash-matching."""
+    return cached_centroids(
+        spark,
+        sf_dir,
+        "all",
+        tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding"),
+    )
+
+
+def cached_centroids(
+    spark: SparkSession, sf_dir: str, subset: str, train: DataFrame
+) -> DataFrame:
+    """Load-or-train a √N-k-means model for ``train`` (a (vec_id,
+    embedding) frame), keyed by (sf-dir, subset, iters) in the versioned
+    snapshot store. Shared by the full-corpus and incremental semdedup
+    paths."""
     import os
 
     from ..sources.versioned import published_version, read_snapshot, write_snapshot
@@ -400,14 +415,10 @@ def semdedup_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ".cache",
         "semdedup_centroids",
     )
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_i{_SEMDEDUP_ITERS}"
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{subset}_i{_SEMDEDUP_ITERS}"
     path = os.path.join(cache_root, key)
     if published_version(path) is None:
-        model = kmeans_sqrtn_model(
-            tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding"),
-            n_iter=_SEMDEDUP_ITERS,
-        )
-        write_snapshot(model, path)
+        write_snapshot(kmeans_sqrtn_model(train, n_iter=_SEMDEDUP_ITERS), path)
     return read_snapshot(spark, path)
 
 
@@ -492,3 +503,300 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SemDeDup: new batch vs established corpus (round 8)
+# ---------------------------------------------------------------------------
+
+#: Batch split: every 11th vector arrives as the "new batch"; the rest
+#: are the established (already-deduplicated) corpus.
+_INC_MOD = 11
+
+
+def _sql_semdedup_incremental() -> str:
+    from .vectors import sql_kmeans_sqrtn_parts
+
+    chain = ",\n".join(
+        sql_kmeans_sqrtn_parts(_SEMDEDUP_ITERS, where=f"vec_id % {_INC_MOD} <> 0")
+    )
+    sq_dist = (
+        "list_dot_product("
+        "list_transform(generate_series(1, len(n.v)), i -> n.v[i] - c.cvec[i]), "
+        "list_transform(generate_series(1, len(n.v)), i -> n.v[i] - c.cvec[i]))"
+    )
+    return f"""
+    WITH {chain},
+    newv AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % {_INC_MOD} = 0
+    ),
+    new_assign AS (
+      SELECT vec_id, label, v, cell FROM (
+        SELECT n.vec_id, n.label, n.v, c.cell, {sq_dist} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {sq_dist}, c.cell) AS rn
+        FROM newv n CROSS JOIN c{_SEMDEDUP_ITERS} c
+      ) WHERE rn = 1
+    ),
+    hits AS (
+      SELECT n.vec_id,
+             COUNT(*) AS n_close,
+             MAX({_SQL_COSINE.format(a='n.v', b='x.v')}) AS max_sim
+      FROM new_assign n JOIN a{_SEMDEDUP_ITERS} x ON x.cell = n.cell
+      WHERE {_SQL_COSINE.format(a='n.v', b='x.v')} >= {_SEMDEDUP_TAU}
+      GROUP BY n.vec_id
+    )
+    SELECT n.vec_id, n.label, CAST(n.cell AS INT) AS cluster,
+           COALESCE(h.n_close, 0) AS n_close,
+           h.max_sim,
+           (h.vec_id IS NOT NULL) AS pruned
+    FROM new_assign n LEFT JOIN hits h USING (vec_id)
+    ORDER BY n.vec_id
+    """
+
+
+@query("x_semdedup_incremental", oracle=_sql_semdedup_incremental())
+def x_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup — the steady-state a production corpus
+    actually runs: the quantizer is trained on the ESTABLISHED corpus
+    only (vec_id % {m} != 0; at scale it is loaded from the versioned
+    model store, cf. :func:`semdedup_centroids`), the arriving batch
+    (vec_id % {m} == 0) is assigned to cells map-side against the
+    broadcast centroids, and each new vector is compared ONLY to
+    established vectors in its own cell — pruned iff any existing
+    neighbor has cosine >= {tau}. Per-batch cost is batch_size x
+    cell_occupancy, independent of corpus^2 and of every previous
+    batch (the batch analogue of `x_dedup_incremental`'s text path).
+
+    Emits the new batch's verdicts: assigned cluster, count of
+    established near-dups, strongest similarity, pruned flag — the rows
+    a curation pipeline appends to the corpus manifest each ingest tick.
+
+    Plan shape: train once on the established corpus (amortized to zero
+    via the model store), ONE broadcast (k x d centroids) for the batch
+    assignment, one cluster-keyed join batch x corpus — no batch-batch
+    or corpus-corpus pairs anywhere."""
+    from .vectors import kmeans_assign_mapside
+
+    e = tables(spark, sf_dir)["embeddings"]
+    is_new = F.col("vec_id") % _INC_MOD == 0
+    existing = e.where(~is_new)
+    batch = e.where(is_new)
+
+    # load-or-train on the ESTABLISHED corpus only (versioned model
+    # store — the steady-state ingest tick never refits)
+    model = cached_centroids(
+        spark, sf_dir, f"est_mod{_INC_MOD}", existing.select("vec_id", "embedding")
+    )
+    corpus = kmeans_assign_mapside(existing.select("vec_id", "embedding"), model).select(
+        F.col("cell").alias("cluster"),
+        F.col("embedding").alias("x_emb"),
+        norm(F.col("embedding")).alias("x_nrm"),
+    )
+    new_assign = kmeans_assign_mapside(
+        batch.select("vec_id", "label", "embedding"), model
+    ).select(
+        "vec_id",
+        "label",
+        F.col("cell").cast("int").alias("cluster"),
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    sim = (
+        dot(F.col("embedding"), F.col("x_emb")) / F.col("nrm") / F.col("x_nrm")
+    )
+    hits = (
+        new_assign.join(corpus, "cluster")
+        .select("vec_id", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= _SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_close"), F.max("cos_sim").alias("max_sim"))
+    )
+    return (
+        new_assign.drop("embedding", "nrm")
+        .join(hits.withColumn("hit", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cluster",
+            F.coalesce("n_close", F.lit(0).cast("long")).alias("n_close"),
+            "max_sim",
+            F.coalesce("hit", F.lit(False)).alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+x_semdedup_incremental.__doc__ = x_semdedup_incremental.__doc__.format(
+    m=_INC_MOD, tau=_SEMDEDUP_TAU
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF recall calibration: measured accuracy of the ANN scale path (round 8)
+# ---------------------------------------------------------------------------
+
+#: Fixed probe-query panel: the first _RECALL_Q vec_ids. A CONSTANT-size
+#: panel (not a fixed fraction) keeps the exact ground-truth side linear
+#: in corpus size — panel x corpus, never corpus x corpus.
+_RECALL_Q = 32
+_RECALL_K = 10
+_RECALL_MAX_PROBE = 3
+
+
+def _sql_ivf_recall() -> str:
+    from .centroids import _SQL_CENTROIDS
+
+    return f"""
+    WITH cd AS ({_SQL_CENTROIDS}),
+    cent AS (
+      SELECT label, list(centroid ORDER BY dim) AS centroid
+      FROM cd GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_RECALL_Q}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT q.qid, e.vec_id, e.label,
+             {_SQL_COSINE.format(a='e.embedding', b='q.qv')} AS sim
+      FROM embeddings e JOIN q ON e.vec_id <> q.qid
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM pairs
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    cellrank AS (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               {_SQL_COSINE.format(a='centroid', b='qv')} DESC, label
+             ) AS probe_rank
+      FROM cent, q
+    ),
+    ivf AS (
+      SELECT nprobe, qid, vec_id FROM (
+        SELECT g.nprobe, p.qid, p.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY g.nprobe, p.qid
+                                  ORDER BY p.sim DESC, p.vec_id) AS rn
+        FROM pairs p
+        JOIN cellrank c ON c.qid = p.qid AND c.label = p.label
+        JOIN (SELECT unnest(generate_series(1, {_RECALL_MAX_PROBE})) AS nprobe) g
+          ON c.probe_rank <= g.nprobe
+      ) WHERE rn <= {_RECALL_K}
+    )
+    SELECT i.nprobe,
+           (SELECT COUNT(*) FROM q) AS n_queries,
+           COUNT(*) AS retrieved,
+           COUNT(e.vec_id) AS hits,
+           COUNT(e.vec_id) * 1000000
+             // ((SELECT COUNT(*) FROM q) * {_RECALL_K}) AS recall_ppm
+    FROM ivf i LEFT JOIN exact e
+      ON e.qid = i.qid AND e.vec_id = i.vec_id
+    GROUP BY i.nprobe
+    ORDER BY i.nprobe
+    """
+
+
+@query("x_ivf_recall", oracle=_sql_ivf_recall())
+def x_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN quality ledger — the measured recall@{k} of the coarse-
+    quantized scale path (x_knn_ivf_topk's plan) against exact brute
+    force, per probe depth 1..{p}. This is the number an operator tunes
+    n_probe against before pointing the index at 100 TB: the exact tier
+    runs only over a CONSTANT {q}-query panel (panel x corpus — linear in
+    corpus, never corpus x corpus), and the entire curve — cell ranking,
+    per-probe candidate sets, per-query top-{k}, hit counting — replays
+    bit-identically in the oracle because cosine uses the shared fold
+    ordering and recall is integer ppm.
+
+    Plan shape: the panel and the k x d centroid table are broadcast
+    (two rows << any shuffle); pairs = one map-side pass over the corpus;
+    both rank steps are {q}-key (x probe-depth) windows; the probe-depth
+    fan-out is a 3x map-only explode. One scan of embeddings feeds the
+    whole curve."""
+    t = tables(spark, sf_dir)
+    e = t["embeddings"]
+    from .centroids import centroids_assembled
+
+    q = e.where(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    by_sim = [F.col("sim").desc(), F.col("vec_id")]
+    w_exact = Window.partitionBy("qid").orderBy(*by_sim)
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w_exact))
+        .where(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id", F.lit(True).alias("is_hit"))
+    )
+    cellrank = (
+        centroids_assembled(e)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "label",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    cosine(F.col("centroid"), F.col("qv")).desc(), F.col("label")
+                )
+            )
+            .alias("probe_rank"),
+        )
+    )
+    w_ivf = Window.partitionBy("nprobe", "qid").orderBy(*by_sim)
+    ivf = (
+        # probe_rank <= max BEFORE the sequence fan-out: F.sequence(a, b)
+        # with a > b counts DOWN (it would mint phantom nprobe values),
+        # and candidates beyond the probe horizon are dead weight anyway
+        pairs.join(F.broadcast(cellrank), ["qid", "label"])
+        .where(F.col("probe_rank") <= _RECALL_MAX_PROBE)
+        .select(
+            "qid",
+            "vec_id",
+            "sim",
+            F.explode(
+                F.sequence(F.col("probe_rank"), F.lit(_RECALL_MAX_PROBE))
+            ).alias("nprobe"),
+        )
+        .withColumn("rn", F.row_number().over(w_ivf))
+        .where(F.col("rn") <= _RECALL_K)
+    )
+    n_q = q.agg(F.count("*").alias("n_queries"))
+    return (
+        ivf.join(exact, ["qid", "vec_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count("*").alias("retrieved"),
+            F.count(F.when(F.col("is_hit"), 1)).alias("hits"),
+        )
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            "nprobe",
+            "n_queries",
+            "retrieved",
+            "hits",
+            F.expr(f"hits * 1000000 DIV (n_queries * {_RECALL_K})").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("nprobe")
+    )
+
+
+x_ivf_recall.__doc__ = x_ivf_recall.__doc__.format(
+    k=_RECALL_K, p=_RECALL_MAX_PROBE, q=_RECALL_Q
+)

@@ -367,11 +367,13 @@ def kmeans_sqrtn_model(e: DataFrame, n_iter: int = 2) -> DataFrame:
     return cent
 
 
-def sql_kmeans_sqrtn_parts(n_iter: int = 2) -> list[str]:
+def sql_kmeans_sqrtn_parts(n_iter: int = 2, where: str = "TRUE") -> list[str]:
     """CTE parts replaying :func:`kmeans_sqrtn` in DuckDB, k derived from
     the data (ceil(sqrt(COUNT(*)))) exactly as the Spark trainer derives
     it — the final assignment CTE is ``a{n_iter}`` (vec_id, v, cell,
-    dist). Same unroll discipline as :func:`_sql_kmeans`."""
+    dist). ``where`` restricts the TRAINING corpus (the incremental
+    semdedup path trains on the established corpus only). Same unroll
+    discipline as :func:`_sql_kmeans`."""
     q = "1000000000.0"
     sq_dist = (
         "list_dot_product("
@@ -379,7 +381,8 @@ def sql_kmeans_sqrtn_parts(n_iter: int = 2) -> list[str]:
         "list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cvec[i]))"
     )
     parts = [
-        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
+        f"FROM embeddings WHERE {where})",
         "kn AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM e)",
         """c0 AS MATERIALIZED (
           SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec

@@ -152,7 +152,10 @@ _GRADE_FIRST = (
     "x_decontam_e2e",
     "x_zorder_pruning_gain",
     "x_minhash_calibration",
-    # 8: re-grade after the r8 rewrite — x_semdedup now assigns against
+    "x_semdedup_incremental",
+    "x_ivf_recall",
+    "x_label_propagation",
+    # re-grade after the r8 rewrite — x_semdedup now assigns against
     # the persisted train-once centroid model (semdedup_centroids);
     # grading it again certifies the cached path, not just the r7 fit
     "x_semdedup",
@@ -197,9 +200,6 @@ _GRADE_FIRST = (
     "x_line_dedup",
     "x_contamination_ngrams",
     "x_sessionize_stats",
-    "x_retention_cohorts",
-    "x_attribution_touch",
-    "x_bigram_lm",
 )
 
 

@@ -1,0 +1,166 @@
+"""Round-8 operator tests: IVF recall calibration (x_ivf_recall),
+label-propagation communities (x_label_propagation), and incremental
+SemDeDup (x_semdedup_incremental). Oracle equality is covered by
+tools/verify_local.py + the driver gate; these pin the algorithmic
+properties the hash compare can't see — monotonicity, independent
+python/numpy replays, and batch/corpus partition invariants."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from recommender_systems_pyspark_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# x_ivf_recall
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_recall_curve_shape_and_monotonicity(spark, sf_dir):
+    from recommender_systems_pyspark_spark.functions.similarity import (
+        _RECALL_K,
+        _RECALL_MAX_PROBE,
+        _RECALL_Q,
+        x_ivf_recall,
+    )
+
+    rows = {r.nprobe: r for r in x_ivf_recall(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, _RECALL_MAX_PROBE + 1))
+    for r in rows.values():
+        assert r.n_queries == _RECALL_Q
+        assert 0 < r.retrieved <= r.n_queries * _RECALL_K
+        assert 0 <= r.hits <= r.retrieved
+        assert r.recall_ppm == r.hits * 1_000_000 // (r.n_queries * _RECALL_K)
+    # widening the probe set can only add candidates: recall is monotone
+    for p in range(2, _RECALL_MAX_PROBE + 1):
+        assert rows[p].hits >= rows[p - 1].hits
+        assert rows[p].retrieved >= rows[p - 1].retrieved
+    # probing every cell whose centroid ranks top-3 of 10 must find a
+    # nontrivial share of true neighbors (labels cluster the fixture)
+    assert rows[_RECALL_MAX_PROBE].recall_ppm > 300_000
+
+
+def test_ivf_recall_matches_numpy_replay(spark):
+    """Full-chain numpy replay at sf0.001: exact top-k, floor-quantized
+    per-label centroids, per-query cell ranking, per-probe candidate
+    top-k, hit counts — every row of the curve reproduced independently."""
+    from recommender_systems_pyspark_spark.functions.similarity import (
+        _RECALL_K,
+        _RECALL_MAX_PROBE,
+        _RECALL_Q,
+        x_ivf_recall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.nprobe: r for r in x_ivf_recall(spark, sf).collect()}
+
+    raw = sorted(
+        load_table(spark, sf, "embeddings").collect(), key=lambda r: r.vec_id
+    )
+    ids = np.array([r.vec_id for r in raw])
+    labels = np.array([r.label for r in raw])
+    V = np.array([r.embedding for r in raw], dtype=np.float64)
+
+    def cos(a, b):
+        return (a @ b) / math.sqrt(a @ a) / math.sqrt(b @ b)
+
+    # per-label floor-quantized centroids (the engine's exact average)
+    cents = {}
+    for lab in np.unique(labels):
+        m = labels == lab
+        cents[lab] = np.floor(V[m] * 1e9).astype(np.int64).sum(axis=0) / m.sum() / 1e9
+
+    hits = Counter()
+    retrieved = Counter()
+    qids = [i for i, v in enumerate(ids) if v < _RECALL_Q]
+    for qi in qids:
+        sims = np.array([cos(V[qi], V[j]) if j != qi else -2.0 for j in range(len(ids))])
+        order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+        exact = {ids[j] for j in order[:_RECALL_K] if j != qi}
+        cell_order = sorted(cents, key=lambda lab: (-cos(cents[lab], V[qi]), lab))
+        for p in range(1, _RECALL_MAX_PROBE + 1):
+            probed = set(cell_order[:p])
+            cand = [j for j in order if j != qi and labels[j] in probed]
+            top = {ids[j] for j in cand[:_RECALL_K]}
+            retrieved[p] += len(top)
+            hits[p] += len(top & exact)
+
+    for p in range(1, _RECALL_MAX_PROBE + 1):
+        assert got[p].retrieved == retrieved[p], f"nprobe={p}"
+        assert got[p].hits == hits[p], f"nprobe={p}"
+        assert got[p].recall_ppm == hits[p] * 1_000_000 // (len(qids) * _RECALL_K)
+
+
+# ---------------------------------------------------------------------------
+# x_label_propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """Synchronous LPA replayed driver-side at sf0.001: identical
+    community sizes, degree mass, and first members."""
+    from recommender_systems_pyspark_spark.functions.pagerank import (
+        _LP_ITERS,
+        copurchase_edges,
+        x_label_propagation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = copurchase_edges(spark, sf).collect()
+    adj = defaultdict(list)  # dst -> [src] (incoming = neighbors; symmetric)
+    outdeg = Counter()
+    for e in edges:
+        adj[e.dst].append(e.src)
+        outdeg[e.src] += 1
+    nodes = sorted(outdeg)
+
+    label = {n: n for n in nodes}
+    for _ in range(_LP_ITERS):
+        nxt = {}
+        for n in nodes:
+            freq = Counter(label[s] for s in adj[n])
+            # mode, ties -> smallest label (the engine's total order)
+            nxt[n] = min(freq, key=lambda lab: (-freq[lab], lab))
+        label = nxt
+
+    want = defaultdict(lambda: [0, 0, None])  # community -> [members, degree, first]
+    for n in nodes:
+        w = want[label[n]]
+        w[0] += 1
+        w[1] += outdeg[n]
+        w[2] = n if w[2] is None else min(w[2], n)
+
+    rows = x_label_propagation(spark, sf).collect()
+    got = {r.community: (r.n_members, r.total_degree, r.first_member) for r in rows}
+    assert got == {c: tuple(w) for c, w in want.items()}
+    # result ordering: size desc, community asc
+    keys = [(-r.n_members, r.community) for r in rows]
+    assert keys == sorted(keys)
+    # every node belongs to exactly one community
+    assert sum(r.n_members for r in rows) == len(nodes)
+
+
+# ---------------------------------------------------------------------------
+# x_semdedup_incremental
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_incremental_batch_partition_invariants(spark, sf_dir):
+    from recommender_systems_pyspark_spark.functions.similarity import (
+        _INC_MOD,
+        x_semdedup_incremental,
+    )
+
+    rows = x_semdedup_incremental(spark, sf_dir).collect()
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    # the output is exactly the arriving batch, one verdict per vector
+    assert len(rows) == (n_vec + _INC_MOD - 1) // _INC_MOD
+    assert all(r.vec_id % _INC_MOD == 0 for r in rows)
+    for r in rows:
+        assert r.pruned == (r.n_close > 0)
+        assert (r.max_sim is None) == (r.n_close == 0)

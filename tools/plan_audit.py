@@ -103,6 +103,17 @@ DEFAULT_QUERIES = [
     "j10_full_outer",
     "w5_rank_fractions",
     "x_bfs_hops",
+    # round-7/8 additions (VERDICT r7 #8: semdedup kmeans chain, bucketed
+    # join, bloom, zorder, dsir all need an audited executed plan)
+    "x_bloom_decontaminate",
+    "x_dsir_select",
+    "x_zorder_cells",
+    "x_bucketed_join",
+    "x_decontam_e2e",
+    "x_zorder_pruning_gain",
+    "x_minhash_calibration",
+    "x_ivf_recall",
+    "x_label_propagation",
 ]
 
 
