@@ -78,6 +78,7 @@ RECORD_ONLY = [
     "x_semdedup_incremental",
     "x_ivf_recall",
     "x_label_propagation",
+    "s10_late_data_audit",
 ]
 
 

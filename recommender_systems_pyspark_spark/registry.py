@@ -110,6 +110,8 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.functions.strata",
     # --- new in r6 --------------------------------------------------------
     "recommender_systems_pyspark_spark.streaming.foreach_upsert",
+    # --- new in r8 --------------------------------------------------------
+    "recommender_systems_pyspark_spark.streaming.late_audit",
     "recommender_systems_pyspark_spark.ml.topics",
     # --- new in r7, WIRED in r8 (VERDICT r7 #1: these three were written
     # in r7 but never added here — dead code for a round; the
@@ -155,6 +157,7 @@ _GRADE_FIRST = (
     "x_semdedup_incremental",
     "x_ivf_recall",
     "x_label_propagation",
+    "s10_late_data_audit",
     # re-grade after the r8 rewrite — x_semdedup now assigns against
     # the persisted train-once centroid model (semdedup_centroids);
     # grading it again certifies the cached path, not just the r7 fit
@@ -199,7 +202,6 @@ _GRADE_FIRST = (
     "g4_grouping_sets",
     "x_line_dedup",
     "x_contamination_ngrams",
-    "x_sessionize_stats",
 )
 
 

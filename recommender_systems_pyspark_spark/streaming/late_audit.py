@@ -1,0 +1,191 @@
+"""Watermark late-data audit — the REAL multi-micro-batch stream whose
+finalized-window ledger is hash-certified against a SQL replay of
+Structured Streaming's watermark semantics.
+
+SURVEY.md §2.10 extension (the reference has no streaming). s1–s3 are
+batch twins of windowed aggregations and tests/test_streaming.py proves
+late-drop behavior live on synthetic rows; this query closes the gap
+between the two: it drives the full engine — staged file source (one
+micro-batch per file, deterministic order), ``withWatermark`` + tumbling
+window aggregation, APPEND-mode memory sink — over the real ``events``
+fixture, and its oracle replays, in plain SQL, every semantic the engine
+applies:
+
+1. **Batch assignment**: file i holds ``user_id % 4 == i`` (mtime-ordered,
+   ``maxFilesPerTrigger=1`` → batch i).
+2. **Two watermarks per batch** (SPARK-40925, Spark ≥ 3.4): the
+   watermark ADVANCES from batch k−1's event-time stats (max event time
+   FLOORED TO THE MILLISECOND — EventTimeStats accumulates in ms, minus
+   the delay), but batch k filters late input with the PREVIOUS value
+   (``watermarkForLateEvents`` = stats through batch k−2) while evicting
+   state with the current one (``watermarkForEviction`` = stats through
+   batch k−1). The split is what makes filter-then-evict race-free: the
+   filter of batch k+1 equals the eviction point of batch k, so a window
+   can never be emitted and then receive an admitted late row. Verified
+   empirically here — modeling the filter with the eviction watermark
+   yields 224 finalized windows at sf0.001 vs the engine's 362; the
+   two-watermark model matches the emitted (window, count) multiset
+   exactly.
+3. **Late drop**: a row is dropped iff its window END ≤
+   ``watermarkForLateEvents`` (with hour-aligned window ends, a
+   97-minute delay, and μs-noise event times, the ≤/< boundary is
+   unreachable — asserted by the oracle's exactness, not hoped).
+4. **Append finalization**: a window is emitted iff its end ≤ the FINAL
+   watermark (the post-last-batch no-data micro-batch flushes state;
+   ``processAllAvailable`` waits for it).
+
+Why user_id-bucketed batches: each batch's max event time is near the
+global max, so the very first batch advances the watermark to ~(end −
+delay) and batches 1–3 arrive mostly late — the audit certifies real
+drops (~3/4 of rows), not a no-op pass-through. The decimal value
+accumulator keeps emitted totals batch-boundary-independent, same
+contract as s9.
+
+Scale shape: per micro-batch one shuffle of that batch's rows into
+(window) keys with map-side partials; state is bounded by windows inside
+the watermark horizon (delay/1h windows × 1 aggregate row). At 100 TB
+the same plan runs against Kafka with the identical watermark semantics
+— the oracle here is what certifies those semantics once, portably.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query, sql_exact_sum
+from ..sources import load_table
+
+_N_BATCHES = 4
+_DELAY = "97 minutes"  # odd on purpose: watermark never lands on the hour grid
+
+
+def _stage_batches(spark: SparkSession, sf_dir: str, src: str) -> None:
+    """Write events as _N_BATCHES single-file parquets with strictly
+    increasing mtimes (and names) so the file source's oldest-first
+    listing yields batch order 0,1,2,…, deterministically."""
+    os.makedirs(src, exist_ok=True)
+    # withWatermark demands TIMESTAMP (LTZ); the fixture is NTZ. The cast
+    # interprets wall clock in the session timezone — the caller pins UTC
+    # for the whole run, so instants == fixture wall clock and the output
+    # cast back to NTZ is lossless.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    t0 = 1_700_000_000  # any fixed epoch; only the ORDER matters
+    for i in range(_N_BATCHES):
+        stage = os.path.join(src, f"_stage{i}")
+        ev.where(F.col("user_id") % _N_BATCHES == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch{i}.parquet")
+        os.rename(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (t0 + i, t0 + i))
+
+
+@query(
+    "s10_late_data_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id % {_N_BATCHES} AS b, ts, value,
+             date_trunc('hour', ts) AS wstart
+      FROM events
+    ),
+    mx AS (
+      -- max event time per batch, floored to the millisecond (Spark's
+      -- EventTimeStats accumulates event times in ms)
+      SELECT b, MAX(date_trunc('milliseconds', ts)) AS mts FROM e GROUP BY b
+    ),
+    wm AS (
+      -- watermarkForLateEvents of batch b: the PREVIOUS batch's eviction
+      -- watermark, i.e. data seen through batch b-2 (SPARK-40925)
+      SELECT d.b,
+             (SELECT MAX(m.mts) FROM mx m WHERE m.b < d.b - 1)
+               - INTERVAL '{_DELAY}' AS wmark
+      FROM (SELECT DISTINCT b FROM e) d
+    ),
+    fw AS (SELECT MAX(mts) - INTERVAL '{_DELAY}' AS f FROM mx),
+    admitted AS (
+      SELECT e.wstart, e.value
+      FROM e JOIN wm USING (b)
+      WHERE wm.wmark IS NULL OR e.wstart + INTERVAL '1 hour' > wm.wmark
+    )
+    SELECT a.wstart AS window_start,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('a.value', 'total_value')}
+    FROM admitted a, fw
+    WHERE a.wstart + INTERVAL '1 hour' <= fw.f
+    GROUP BY a.wstart
+    ORDER BY window_start
+    """,
+)
+def s10_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finalized-window ledger of a real watermarked stream: 4 staged
+    micro-batches (user_id % 4), 1-hour tumbling windows, 97-minute
+    watermark, APPEND mode — the rows a downstream consumer would have
+    actually received. Hash-equality with the oracle certifies the
+    watermark-lag / late-drop / finalization semantics end-to-end (see
+    module docstring for the replayed rules)."""
+    d = tempfile.mkdtemp(prefix="s10_late_")
+    src = os.path.join(d, "src")
+    sink = "s10_sink_" + os.path.basename(d).removeprefix("s10_late_")
+    # Pin UTC for the whole run (stage → stream → read-back): the NTZ→LTZ
+    # cast and the window-start cast back must agree on the wall clock no
+    # matter what session the driver hands us. Restored in finally — the
+    # returned frame is eagerly checkpointed, so the restore can't race a
+    # lazy action.
+    tz_prev = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        _stage_batches(spark, sf_dir, src)
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", _DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("tot_dec"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = (
+            spark.table(sink)
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "n_events",
+                F.col("tot_dec").cast("double").alias("total_value"),
+            )
+            .orderBy("window_start")
+        )
+        # pin the (windows-count-sized) result to blocks so the temp dirs
+        # and the memory sink can be dropped before the caller's action
+        out = final.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return out
+    finally:
+        if tz_prev is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", tz_prev)
+        shutil.rmtree(d, ignore_errors=True)

@@ -164,3 +164,34 @@ def test_semdedup_incremental_batch_partition_invariants(spark, sf_dir):
     for r in rows:
         assert r.pruned == (r.n_close > 0)
         assert (r.max_sim is None) == (r.n_close == 0)
+
+
+# ---------------------------------------------------------------------------
+# s10_late_data_audit
+# ---------------------------------------------------------------------------
+
+
+def test_late_data_audit_certifies_real_drops(spark, sf_dir):
+    """The emitted ledger must show REAL late-data drops — strictly fewer
+    events in the finalized windows than a batch run of the same
+    aggregation sees there — and no window inside the watermark horizon."""
+    from recommender_systems_pyspark_spark.streaming.late_audit import (
+        s10_late_data_audit,
+    )
+
+    rows = s10_late_data_audit(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count("*").alias("n_all"))
+    )
+    full = {r.window_start: r.n_all for r in ev.collect()}
+    emitted = {r.window_start: r.n_events for r in rows}
+    # every emitted window exists in the batch view, never with more rows
+    assert all(emitted[w] <= full[w] for w in emitted)
+    # drops are real: strictly fewer events survived in total
+    assert sum(emitted.values()) < sum(full[w] for w in emitted)
+    # append mode: nothing inside the watermark horizon is finalized
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    assert all(w < max_ts for w in emitted)
