@@ -79,6 +79,7 @@ RECORD_ONLY = [
     "x_ivf_recall",
     "x_label_propagation",
     "s10_late_data_audit",
+    "x_ingest_gate_e2e",
 ]
 
 

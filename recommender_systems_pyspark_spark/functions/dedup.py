@@ -820,7 +820,13 @@ def jaccard_join_pairs(docs: DataFrame) -> DataFrame:
 # Incremental dedup: admit a NEW batch against an EXISTING corpus
 # ---------------------------------------------------------------------------
 
-def _sql_incremental() -> str:
+def sql_incremental_text_parts(corpus_pred: str, batch_pred: str) -> str:
+    """CTE parts (already comma-joined) for the incremental text-dedup
+    oracle, parameterized on the corpus/batch split predicates. Ends in
+    ``batch`` (doc_id, text), ``exact`` (doc_ids whose canonical sha256
+    matches a corpus digest) and ``near`` (doc_ids with a
+    Jaccard-verified MinHash-LSH band collision against the corpus).
+    Shared by x_dedup_incremental and the cross-modal ingest gate."""
     bands_sql = """
       SELECT doc_id, b.i AS band,
              md5(array_to_string(
@@ -836,9 +842,8 @@ def _sql_incremental() -> str:
       FROM {src}
     """
     consts = dict(H=_NUM_HASHES, R=_BAND_ROWS, NB=_NUM_HASHES // _BAND_ROWS)
-    return f"""
-    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
-    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+    return f"""corpus AS (SELECT doc_id, text FROM documents WHERE {corpus_pred}),
+    batch AS (SELECT doc_id, text FROM documents WHERE {batch_pred}),
     ch AS (SELECT DISTINCT sha256(lower(trim(text))) AS h FROM corpus),
     bh AS (SELECT doc_id, sha256(lower(trim(text))) AS h FROM batch),
     exact AS (SELECT DISTINCT bh.doc_id FROM bh JOIN ch USING (h)),
@@ -860,7 +865,12 @@ def _sql_incremental() -> str:
       JOIN sc ON sc.doc_id = c.corpus_id
       WHERE CAST(len(list_intersect(sb.sh, sc.sh)) AS DOUBLE)
               / len(list_distinct(list_concat(sb.sh, sc.sh))) >= 0.8
-    )
+    )"""
+
+
+def _sql_incremental() -> str:
+    return f"""
+    WITH {sql_incremental_text_parts("doc_id % 10 < 8", "doc_id % 10 >= 8")}
     SELECT b.doc_id,
            (e.doc_id IS NOT NULL) AS exact_dup,
            (n.doc_id IS NOT NULL) AS near_dup,
@@ -891,8 +901,24 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic stage. Verification joins fetch only colliding docs'
     shingle sets."""
     docs = tables(spark, sf_dir)["documents"]
-    corpus = docs.where(F.col("doc_id") % 10 < 8)
-    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    verdicts = incremental_text_verdicts(
+        docs.where(F.col("doc_id") % 10 < 8),
+        docs.where(F.col("doc_id") % 10 >= 8),
+    )
+    return verdicts.select(
+        "doc_id",
+        "exact_dup",
+        "near_dup",
+        (~(F.col("exact_dup") | F.col("near_dup"))).alias("admitted"),
+    ).orderBy("doc_id")
+
+
+def incremental_text_verdicts(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """(doc_id, exact_dup, near_dup) for every batch document checked
+    against the corpus — canonical-sha256 digest probe + Jaccard-verified
+    MinHash-LSH band probe. The Spark twin of
+    :func:`sql_incremental_text_parts`; shared by x_dedup_incremental and
+    the cross-modal ingest gate."""
     canon = F.sha2(F.lower(F.trim(F.col("text"))), 256)
 
     corpus_digests = corpus.select(canon.alias("h")).distinct()
@@ -934,11 +960,5 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
             F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
-            (
-                F.coalesce("exact_dup", F.lit(False))
-                | F.coalesce("near_dup", F.lit(False))
-            ).alias("admitted"),
         )
-        .withColumn("admitted", ~F.col("admitted"))
-        .orderBy("doc_id")
     )

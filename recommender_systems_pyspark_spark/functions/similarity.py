@@ -514,22 +514,27 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_MOD = 11
 
 
-def _sql_semdedup_incremental() -> str:
+def sql_semdedup_inc_parts(pred_new: str) -> str:
+    """CTE parts (already comma-joined) for the incremental-semdedup
+    oracle, parameterized on the batch predicate: the quantizer chain is
+    trained on ``NOT pred_new`` rows and ends in ``new_assign`` (vec_id,
+    label, v, cell — the batch's map-side cell assignment) and ``hits``
+    (vec_id, n_close, max_sim — established near-dups per batch vector).
+    Shared by x_semdedup_incremental and the cross-modal ingest gate."""
     from .vectors import sql_kmeans_sqrtn_parts
 
     chain = ",\n".join(
-        sql_kmeans_sqrtn_parts(_SEMDEDUP_ITERS, where=f"vec_id % {_INC_MOD} <> 0")
+        sql_kmeans_sqrtn_parts(_SEMDEDUP_ITERS, where=f"NOT ({pred_new})")
     )
     sq_dist = (
         "list_dot_product("
         "list_transform(generate_series(1, len(n.v)), i -> n.v[i] - c.cvec[i]), "
         "list_transform(generate_series(1, len(n.v)), i -> n.v[i] - c.cvec[i]))"
     )
-    return f"""
-    WITH {chain},
+    return f"""{chain},
     newv AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v
-      FROM embeddings WHERE vec_id % {_INC_MOD} = 0
+      FROM embeddings WHERE {pred_new}
     ),
     new_assign AS (
       SELECT vec_id, label, v, cell FROM (
@@ -546,7 +551,12 @@ def _sql_semdedup_incremental() -> str:
       FROM new_assign n JOIN a{_SEMDEDUP_ITERS} x ON x.cell = n.cell
       WHERE {_SQL_COSINE.format(a='n.v', b='x.v')} >= {_SEMDEDUP_TAU}
       GROUP BY n.vec_id
-    )
+    )"""
+
+
+def _sql_semdedup_incremental() -> str:
+    return f"""
+    WITH {sql_semdedup_inc_parts(f"vec_id % {_INC_MOD} = 0")}
     SELECT n.vec_id, n.label, CAST(n.cell AS INT) AS cluster,
            COALESCE(h.n_close, 0) AS n_close,
            h.max_sim,
@@ -577,17 +587,30 @@ def x_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the model store), ONE broadcast (k x d centroids) for the batch
     assignment, one cluster-keyed join batch x corpus — no batch-batch
     or corpus-corpus pairs anywhere."""
+    return semdedup_inc_verdicts(
+        spark, sf_dir, f"est_mod{_INC_MOD}", F.col("vec_id") % _INC_MOD == 0
+    ).orderBy("vec_id")
+
+
+def semdedup_inc_verdicts(
+    spark: SparkSession, sf_dir: str, subset: str, is_new: Column
+) -> DataFrame:
+    """Batch-vs-corpus semantic near-dup verdicts (vec_id, label, cluster,
+    n_close, max_sim, pruned) for the ``is_new`` slice of embeddings,
+    with the √N quantizer load-or-trained on the complement under the
+    given model-store ``subset`` key. The Spark twin of
+    :func:`sql_semdedup_inc_parts`; shared by x_semdedup_incremental and
+    the cross-modal ingest gate."""
     from .vectors import kmeans_assign_mapside
 
     e = tables(spark, sf_dir)["embeddings"]
-    is_new = F.col("vec_id") % _INC_MOD == 0
     existing = e.where(~is_new)
     batch = e.where(is_new)
 
     # load-or-train on the ESTABLISHED corpus only (versioned model
     # store — the steady-state ingest tick never refits)
     model = cached_centroids(
-        spark, sf_dir, f"est_mod{_INC_MOD}", existing.select("vec_id", "embedding")
+        spark, sf_dir, subset, existing.select("vec_id", "embedding")
     )
     corpus = kmeans_assign_mapside(existing.select("vec_id", "embedding"), model).select(
         F.col("cell").alias("cluster"),
@@ -624,7 +647,6 @@ def x_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_sim",
             F.coalesce("hit", F.lit(False)).alias("pruned"),
         )
-        .orderBy("vec_id")
     )
 
 

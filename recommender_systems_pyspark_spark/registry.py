@@ -112,6 +112,7 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.streaming.foreach_upsert",
     # --- new in r8 --------------------------------------------------------
     "recommender_systems_pyspark_spark.streaming.late_audit",
+    "recommender_systems_pyspark_spark.functions.ingest",
     "recommender_systems_pyspark_spark.ml.topics",
     # --- new in r7, WIRED in r8 (VERDICT r7 #1: these three were written
     # in r7 but never added here — dead code for a round; the
@@ -141,9 +142,13 @@ _QUERY_MODULES = (
 #:         r3 cohort (operators/stats a9-a14, rollup_tree, lines,
 #:         events_analytics) to fill 50 — drift-guard, same rationale
 #:         as the r5/r6/r7 rotations.
-#: ROUND-9 QUEUE (if this window grades green): the remaining r3-vintage
-#: rows (x_embed_* quantization family, x_quality_*, x_media_resize,
-#: x_levenshtein_blocked, x_triangle_count, …) then the r5 cohort.
+#: ROUND-9 QUEUE (if this window grades green): the four r3-vintage rows
+#: trimmed to fit the r8 additions (x_contamination_ngrams,
+#: x_sessionize_stats, x_retention_cohorts, x_attribution_touch), then
+#: the remaining
+#: r3-vintage rows (x_embed_* quantization family, x_quality_*,
+#: x_media_resize, x_levenshtein_blocked, x_triangle_count, …), then the
+#: r5 cohort.
 _GRADE_FIRST = (
     # 1-4: r7-written, first driver grade (PENDING_FIRST_GRADE drained)
     "x_bloom_decontaminate",
@@ -158,6 +163,7 @@ _GRADE_FIRST = (
     "x_ivf_recall",
     "x_label_propagation",
     "s10_late_data_audit",
+    "x_ingest_gate_e2e",
     # re-grade after the r8 rewrite — x_semdedup now assigns against
     # the persisted train-once centroid model (semdedup_centroids);
     # grading it again certifies the cached path, not just the r7 fit
@@ -201,7 +207,6 @@ _GRADE_FIRST = (
     "f13_try_cast",
     "g4_grouping_sets",
     "x_line_dedup",
-    "x_contamination_ngrams",
 )
 
 

@@ -195,3 +195,53 @@ def test_late_data_audit_certifies_real_drops(spark, sf_dir):
     # append mode: nothing inside the watermark horizon is finalized
     max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
     assert all(w < max_ts for w in emitted)
+
+
+# ---------------------------------------------------------------------------
+# x_ingest_gate_e2e
+# ---------------------------------------------------------------------------
+
+
+def test_ingest_gate_composes_tier_verdicts(spark, sf_dir):
+    """The gate's text columns must equal x_dedup_incremental's verdicts
+    row for row, its semantic columns must equal the standalone
+    incremental-semdedup verdicts on the same split, and ``admitted``
+    must be exactly the conjunction of the tiers."""
+    from recommender_systems_pyspark_spark.functions.dedup import (
+        x_dedup_incremental,
+    )
+    from recommender_systems_pyspark_spark.functions.ingest import (
+        x_ingest_gate_e2e,
+    )
+    from recommender_systems_pyspark_spark.functions.similarity import (
+        semdedup_inc_verdicts,
+    )
+
+    rows = x_ingest_gate_e2e(spark, sf_dir).collect()
+    assert rows and all(r.doc_id % 10 >= 8 for r in rows)
+    for r in rows:
+        assert r.admitted == (
+            not r.exact_dup and not r.near_dup and r.quality_ok and not r.sem_dup
+        )
+        if not r.has_embedding:
+            assert not r.sem_dup and r.n_close == 0
+
+    text = {r.doc_id: r for r in x_dedup_incremental(spark, sf_dir).collect()}
+    assert set(text) == {r.doc_id for r in rows}
+    for r in rows:
+        assert (r.exact_dup, r.near_dup) == (
+            text[r.doc_id].exact_dup,
+            text[r.doc_id].near_dup,
+        )
+
+    sem = {
+        r.vec_id: r
+        for r in semdedup_inc_verdicts(
+            spark, sf_dir, "est_mod10ge8", F.col("vec_id") % 10 >= 8
+        ).collect()
+    }
+    for r in rows:
+        if r.has_embedding:
+            assert (r.sem_dup, r.n_close) == (sem[r.doc_id].pruned, sem[r.doc_id].n_close)
+        else:
+            assert r.doc_id not in sem

@@ -114,6 +114,7 @@ DEFAULT_QUERIES = [
     "x_minhash_calibration",
     "x_ivf_recall",
     "x_label_propagation",
+    "x_ingest_gate_e2e",
 ]
 
 

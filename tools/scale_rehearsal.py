@@ -82,6 +82,16 @@ DEFAULT_QUERIES = (
     "x_dedup_incremental",
     "x_semdedup",
     "x_tokens_e2e",
+    # round-8 additions: steady-state semdedup ingest (model trained per
+    # corpus — the replica trains its own), the iterative LPA communities,
+    # the constant-panel ANN recall ledger, and the wired decontamination
+    # shapes (bloom screen, DSIR resample, two-tier funnel).
+    "x_semdedup_incremental",
+    "x_label_propagation",
+    "x_ivf_recall",
+    "x_bloom_decontaminate",
+    "x_dsir_select",
+    "x_decontam_e2e",
 )
 
 
