@@ -80,6 +80,7 @@ RECORD_ONLY = [
     "x_label_propagation",
     "s10_late_data_audit",
     "x_ingest_gate_e2e",
+    "x_kcore_layers",
 ]
 
 

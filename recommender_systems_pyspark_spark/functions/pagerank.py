@@ -435,3 +435,152 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x_label_propagation.__doc__ = x_label_propagation.__doc__.format(iters=_LP_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling layers (round 8)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3        # minimum within-subgraph degree to survive a peel round
+_KCORE_ROUNDS = 3   # fixed peel rounds (unrolled in the oracle)
+_KCORE_MIN_CO = 2   # strong-tie gate: parts co-purchased in >= 2 orders
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        f"""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS c
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2
+          ) WHERE c >= {_KCORE_MIN_CO}
+        ),
+        n0 AS MATERIALIZED (
+          SELECT src AS node, COUNT(*) AS degree0 FROM edges GROUP BY src
+        )"""
+    ]
+    prev = "n0"
+    for i in range(_KCORE_ROUNDS):
+        parts.append(
+            f""",
+        e{i + 1} AS MATERIALIZED (
+          SELECT e.src, e.dst FROM edges e
+          JOIN {prev} a ON a.node = e.src
+          JOIN {prev} b ON b.node = e.dst
+        ),
+        n{i + 1} AS MATERIALIZED (
+          SELECT src AS node FROM e{i + 1}
+          GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
+        )"""
+        )
+        prev = f"n{i + 1}"
+    survive_case = " ".join(
+        f"WHEN s{i + 1}.node IS NULL THEN {i + 1}"
+        for i in range(_KCORE_ROUNDS)
+    )
+    joins = "\n".join(
+        f"        LEFT JOIN n{i + 1} s{i + 1} ON s{i + 1}.node = n0.node"
+        for i in range(_KCORE_ROUNDS)
+    )
+    parts.append(
+        f"""
+        SELECT n0.node AS part_key, n0.degree0,
+               CAST(CASE {survive_case} ELSE 0 END AS INT) AS peeled_round,
+               (s{_KCORE_ROUNDS}.node IS NOT NULL) AS in_core
+        FROM n0
+{joins}
+        ORDER BY part_key
+        """
+    )
+    return "".join(parts)
+
+
+@query("x_kcore_layers", oracle=_kcore_oracle())
+def x_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling over the STRONG-TIE co-purchase graph (parts
+    co-occurring in >= {co} orders): {r} synchronous peel rounds at
+    k = {k}, emitting every node's verdict — the round it was peeled
+    (1..{r}) or 0 with ``in_core`` set if it survived all rounds. The
+    onion-layer view a curation pipeline uses to separate densely
+    interlinked cores (hubs, boilerplate clusters, link farms) from the
+    sparse periphery; complements CC (membership), LPA (communities),
+    PageRank (importance) and triangles (local density).
+
+    Determinism: peeling is a pure function of the edge set — each round
+    simultaneously removes every node whose within-subgraph degree is
+    below k (no removal order exists to matter, unlike sequential peel).
+    All arithmetic is integer counts; the oracle unrolls the identical
+    recurrence.
+
+    Scale shape: the strong-tie gate is the same wedge join as
+    copurchase_edges plus a COUNT >= {co} filter (bounded by order fan-
+    out). Each round is two left-semi joins of edges against the ~shrinking
+    survivor set (both sides partitioned on the join key) + one src-keyed
+    count — linear in \\|edges\\| per round, {r} fixed rounds, lineage cut
+    per round, no driver-side state."""
+    li = (
+        tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= _KCORE_MIN_CO)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    n0 = edges.groupBy("src").agg(F.count("*").alias("degree0")).select(
+        F.col("src").alias("node"), "degree0"
+    )
+    survivors = [n0.select("node")]
+    cur = survivors[0]
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            edges.join(cur.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(cur.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        )
+        cur = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        survivors.append(cur)
+
+    out = n0
+    for i in range(1, _KCORE_ROUNDS + 1):
+        out = out.join(
+            survivors[i].withColumn(f"s{i}", F.lit(True)), "node", "left"
+        )
+    peeled = F.lit(0)
+    for i in range(_KCORE_ROUNDS, 0, -1):
+        peeled = F.when(F.col(f"s{i}").isNull(), F.lit(i)).otherwise(peeled)
+    return (
+        out.select(
+            F.col("node").alias("part_key"),
+            "degree0",
+            peeled.cast("int").alias("peeled_round"),
+            F.coalesce(F.col(f"s{_KCORE_ROUNDS}"), F.lit(False)).alias("in_core"),
+        )
+        .orderBy("part_key")
+    )
+
+
+x_kcore_layers.__doc__ = x_kcore_layers.__doc__.format(
+    co=_KCORE_MIN_CO, r=_KCORE_ROUNDS, k=_KCORE_K
+)

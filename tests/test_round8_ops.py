@@ -245,3 +245,56 @@ def test_ingest_gate_composes_tier_verdicts(spark, sf_dir):
             assert (r.sem_dup, r.n_close) == (sem[r.doc_id].pruned, sem[r.doc_id].n_close)
         else:
             assert r.doc_id not in sem
+
+
+# ---------------------------------------------------------------------------
+# x_kcore_layers
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_layers_matches_python_replay(spark):
+    """Synchronous k-core peeling replayed driver-side at sf0.001:
+    identical per-node peel rounds and in-core set."""
+    from recommender_systems_pyspark_spark.functions.pagerank import (
+        _KCORE_K,
+        _KCORE_MIN_CO,
+        _KCORE_ROUNDS,
+        x_kcore_layers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    co = Counter()
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    co[(a, b)] += 1
+    edges = {p for p, c in co.items() if c >= _KCORE_MIN_CO}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    degree0 = {n: len(vs) for n, vs in adj.items()}
+
+    alive = set(adj)
+    peeled = {}
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        nxt = {n for n in alive if len(adj[n] & alive) >= _KCORE_K}
+        for n in alive - nxt:
+            peeled[n] = rnd
+        alive = nxt
+
+    rows = x_kcore_layers(spark, sf).collect()
+    assert {r.part_key for r in rows} == set(adj)
+    for r in rows:
+        assert r.degree0 == degree0[r.part_key]
+        assert r.peeled_round == peeled.get(r.part_key, 0)
+        assert r.in_core == (r.part_key in alive)

@@ -115,6 +115,7 @@ DEFAULT_QUERIES = [
     "x_ivf_recall",
     "x_label_propagation",
     "x_ingest_gate_e2e",
+    "x_kcore_layers",
 ]
 
 

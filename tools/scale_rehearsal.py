@@ -92,6 +92,7 @@ DEFAULT_QUERIES = (
     "x_bloom_decontaminate",
     "x_dsir_select",
     "x_decontam_e2e",
+    "x_kcore_layers",
 )
 
 
