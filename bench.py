@@ -81,6 +81,7 @@ RECORD_ONLY = [
     "s10_late_data_audit",
     "x_ingest_gate_e2e",
     "x_kcore_layers",
+    "s11_restart_recovery",
 ]
 
 

@@ -165,6 +165,7 @@ _GRADE_FIRST = (
     "s10_late_data_audit",
     "x_ingest_gate_e2e",
     "x_kcore_layers",
+    "s11_restart_recovery",
     # re-grade after the r8 rewrite — x_semdedup now assigns against
     # the persisted train-once centroid model (semdedup_centroids);
     # grading it again certifies the cached path, not just the r7 fit
@@ -206,7 +207,6 @@ _GRADE_FIRST = (
     "d2_rollup_tree",
     "d3_calendar_features",
     "f13_try_cast",
-    "g4_grouping_sets",
 )
 
 

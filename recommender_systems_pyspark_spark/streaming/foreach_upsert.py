@@ -127,3 +127,100 @@ def s9_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint restart recovery (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _stage_user_files(spark: SparkSession, sf_dir: str, src: str, buckets) -> None:
+    """Stage ``user_id % 4 == i`` slices as single-file parquets with
+    strictly increasing mtimes (file-source order is mtime-based)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    t0 = 1_700_000_000
+    for i in buckets:
+        stage = os.path.join(src, f"_stage{i}")
+        ev.where(F.col("user_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch{i}.parquet")
+        os.rename(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (t0 + i, t0 + i))
+
+
+def _run_upsert_stream(spark: SparkSession, src: str, state: str, ck: str) -> None:
+    """One stream lifetime against ``src``: file source (1 file per
+    micro-batch) → foreachBatch merge-upsert → graceful stop."""
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, _id: upsert_batch(batch_df, state)
+        )
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@query(
+    "s11_restart_recovery",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {sql_exact_sum('value', 'total_value')}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def s11_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-and-resume ingest certification: run the s9 foreachBatch
+    merge-upsert over HALF the staged files, STOP the query, then start a
+    brand-new query object on the SAME checkpoint with the remaining
+    files landed — the checkpointed file-source offsets must make the
+    second lifetime ingest exactly the unseen files, so the final state
+    hash-equals the one-shot batch aggregate: nothing lost across the
+    restart, nothing double-ingested.
+
+    This is the recovery half of the exactly-once contract that s9's
+    single-lifetime run cannot exercise: the checkpoint (source offsets +
+    batch id) is the ONLY carrier of progress between the two lifetimes.
+    A graceful stop commits the last batch's offsets; crash-interrupted
+    foreachBatch additionally requires the sink write to be idempotent or
+    transactional per batch-id (upsert_batch's write-new + atomic swap is
+    the stand-in; production uses Delta/Iceberg MERGE keyed on batchId).
+
+    Scale shape: identical to s9 — per-batch shuffles of that batch's own
+    rows, key-equi merge against the state table."""
+    d = tempfile.mkdtemp(prefix="s11_restart_")
+    src, state, ck = f"{d}/src", f"{d}/state", f"{d}/ck"
+    try:
+        # lifetime 1: only buckets 0,1 exist
+        _stage_user_files(spark, sf_dir, src, (0, 1))
+        _run_upsert_stream(spark, src, state, ck)
+        # land the rest, then resume from the SAME checkpoint with a new
+        # query object (fresh readStream/writeStream — nothing in-memory
+        # survives; only the checkpoint carries progress)
+        _stage_user_files(spark, sf_dir, src, (2, 3))
+        _run_upsert_stream(spark, src, state, ck)
+        final = spark.read.parquet(state).select(
+            "user_id",
+            "n_events",
+            F.col("total_dec").cast("double").alias("total_value"),
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
