@@ -197,6 +197,14 @@ def test_no_accidental_cartesian_in_any_registered_query(spark):
         "ml_item_item_similarity",
         "ml_user_crud_flow",
         "g4_grouping_sets",
+        # run a REAL multi-micro-batch stream in-query and return an
+        # eagerly checkpointed frame — the executed result plan is a
+        # block scan, so the invariant is vacuous and the stream run
+        # (~15 s each) is pure suite cost; their semantics are certified
+        # by their own oracles + tests
+        "s9_foreach_upsert",
+        "s10_late_data_audit",
+        "s11_restart_recovery",
     }
 
     sf_dir = "/root/testdata/sf0.001"
@@ -246,6 +254,14 @@ def test_no_unpartitioned_window_in_any_registered_query(spark):
         "ml_item_item_similarity",
         "ml_user_crud_flow",
         "g4_grouping_sets",
+        # run a REAL multi-micro-batch stream in-query and return an
+        # eagerly checkpointed frame — the executed result plan is a
+        # block scan, so the invariant is vacuous and the stream run
+        # (~15 s each) is pure suite cost; their semantics are certified
+        # by their own oracles + tests
+        "s9_foreach_upsert",
+        "s10_late_data_audit",
+        "s11_restart_recovery",
     }
 
     sf_dir = "/root/testdata/sf0.001"
