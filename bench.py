@@ -82,6 +82,7 @@ RECORD_ONLY = [
     "x_ingest_gate_e2e",
     "x_kcore_layers",
     "s11_restart_recovery",
+    "x_length_bucketing",
 ]
 
 

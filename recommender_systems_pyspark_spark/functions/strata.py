@@ -464,3 +464,82 @@ def x_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((po - pe) / (1.0 - pe)).alias("cohens_kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching efficiency (round 8)
+# ---------------------------------------------------------------------------
+
+_LB_BUCKETS = 8
+
+
+@query(
+    "x_length_bucketing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tok,
+             NTILE({_LB_BUCKETS}) OVER (ORDER BY n_tok, doc_id) AS bucket
+      FROM tok
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+           -- SUM(BIGINT) widens to HUGEINT (pandas float64) — pin BIGINT
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           COUNT(*) * MAX(n_tok) AS padded_tok,
+           CAST((COUNT(*) * MAX(n_tok) - SUM(n_tok)) * 1000000
+             // (COUNT(*) * MAX(n_tok)) AS BIGINT) AS waste_ppm
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def x_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching ledger: documents NTILE'd into
+    {g} equal-population buckets by token count (exact SQL-standard
+    ntile via the DISTRIBUTED two-phase rank — never a single-partition
+    window), then per bucket the padding waste a trainer pays batching
+    that bucket to its own max length (pad-to-max within the bucket,
+    integer ppm). This is the ledger that justifies length-grouped
+    batching: compare Σ waste against the one-bucket degenerate case and
+    pick the bucket count where marginal savings flatten.
+
+    Scale shape: token counting is map-only; the ntile is
+    range-repartition + per-partition rank + broadcast offsets
+    (O(#partitions) driver state, operators/ranking.py); the ledger is
+    one bounded-key aggregate. All integers — COUNT·MAX and the ppm
+    division replay exactly in the oracle."""
+    from ..operators.ranking import with_global_ntile
+
+    tok = tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    b = with_global_ntile(
+        tok, _LB_BUCKETS, [F.col("n_tok"), F.col("doc_id")], alias="bucket"
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_tok",
+            "max_tok",
+            "sum_tok",
+            (F.col("n_docs") * F.col("max_tok")).alias("padded_tok"),
+            F.expr(
+                "(n_docs * max_tok - sum_tok) * 1000000 DIV (n_docs * max_tok)"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+x_length_bucketing.__doc__ = x_length_bucketing.__doc__.format(g=_LB_BUCKETS)

@@ -40,8 +40,10 @@ ROWS_ONLY_BY_DESIGN = {
 #: emptied into _GRADE_FIRST when the next window is planned.
 # r7 pendings (x_bucketed_join + the three orphaned-module queries) drained
 # into the round-8 _GRADE_FIRST window (slots 1-4). Names below are queries
-# newly registered in r8 and not yet slotted into the window.
-PENDING_FIRST_GRADE: set[str] = set()
+# newly registered in r8 and not yet slotted into the window (the 50-slot
+# r8 window was already full of first-grades + the re-grade rotation);
+# they head the round-9 window.
+PENDING_FIRST_GRADE: set[str] = {"x_length_bucketing"}
 
 
 def _correctness_rounds() -> list[tuple[str, dict]]:

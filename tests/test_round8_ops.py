@@ -344,3 +344,36 @@ def test_restart_recovery_phases_split_the_work(spark, sf_dir):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# x_length_bucketing
+# ---------------------------------------------------------------------------
+
+
+def test_length_bucketing_partitions_and_waste(spark, sf_dir):
+    """Buckets must partition the corpus into near-equal populations with
+    non-overlapping, ascending token ranges; waste accounting must be
+    internally consistent and beat the one-bucket degenerate case."""
+    from recommender_systems_pyspark_spark.functions.strata import (
+        _LB_BUCKETS,
+        x_length_bucketing,
+    )
+
+    rows = sorted(
+        x_length_bucketing(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    assert [r.bucket for r in rows] == list(range(1, _LB_BUCKETS + 1))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.max_tok <= cur.min_tok  # ascending, non-overlapping ranges
+    for r in rows:
+        assert r.min_tok <= r.max_tok
+        assert r.padded_tok == r.n_docs * r.max_tok
+        assert r.sum_tok <= r.padded_tok
+        assert r.waste_ppm == (r.padded_tok - r.sum_tok) * 1_000_000 // r.padded_tok
+    # bucketed padding strictly beats padding everything to the global max
+    global_padded = n_docs * rows[-1].max_tok
+    assert sum(r.padded_tok for r in rows) < global_padded
