@@ -83,6 +83,7 @@ RECORD_ONLY = [
     "x_kcore_layers",
     "s11_restart_recovery",
     "x_length_bucketing",
+    "x_target_encoding",
 ]
 
 

@@ -543,3 +543,105 @@ def x_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x_length_bucketing.__doc__ = x_length_bucketing.__doc__.format(g=_LB_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe K-fold target encoding (round 8)
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+
+
+@query(
+    "x_target_encoding",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_nationkey AS category, o.o_totalprice AS target,
+             ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % {_TE_FOLDS} AS fold
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cf AS (
+      SELECT category, fold, COUNT(*) AS n,
+             SUM(CAST(target AS DECIMAL(18,6))) AS s
+      FROM base GROUP BY 1, 2
+    ),
+    cat AS (
+      SELECT category, CAST(SUM(n) AS BIGINT) AS n_cat, SUM(s) AS s_cat
+      FROM cf GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tot, SUM(s) AS s_tot FROM cf
+    )
+    SELECT cf.category, cf.fold, cf.n AS n_rows,
+           COALESCE(
+             CASE WHEN cat.n_cat > cf.n
+                  THEN CAST(cat.s_cat - cf.s AS DOUBLE) / (cat.n_cat - cf.n)
+             END,
+             CAST(tot.s_tot - cf.s AS DOUBLE) / (tot.n_tot - cf.n)
+           ) AS enc
+    FROM cf JOIN cat USING (category), tot
+    ORDER BY category, fold
+    """,
+)
+def x_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold target encoding of customer nation against
+    order value — the feature-prep operator that replaces a high-
+    cardinality category with the mean target of OTHER folds' rows
+    (enc(cat, fold) = (Σ_cat − Σ_cat,fold) / (n_cat − n_cat,fold)), so a
+    model trained on fold f never sees its own rows' targets inside the
+    feature. Folds come from the md5 of the row key ([[split_bucket]]
+    discipline) — engine-, run- and partition-stable. A category entirely
+    inside one fold falls back to the global out-of-fold mean.
+
+    Determinism: all sums are exact DECIMAL(18,6) (associative), the
+    subtraction stays decimal, and ONE double conversion + ONE exact-
+    integer division produce the encoding — bit-replayable in the oracle.
+
+    Scale shape: one fact-side join (customer broadcastable), one
+    (category, fold) hash aggregate with map-side partials, one tiny
+    per-category re-aggregate + a 1-row global frame broadcast back —
+    the fact table is scanned once; output is |categories| × K rows."""
+    t = tables(spark, sf_dir)
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % _TE_FOLDS
+    )
+    base = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_nationkey").alias("category"),
+            F.col("o_totalprice").alias("target"),
+            fold.alias("fold"),
+        )
+    )
+    cf = base.groupBy("category", "fold").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("target").cast("decimal(18,6)")).alias("s"),
+    )
+    cat = cf.groupBy("category").agg(
+        F.sum("n").alias("n_cat"), F.sum("s").alias("s_cat")
+    )
+    tot = cf.agg(F.sum("n").alias("n_tot"), F.sum("s").alias("s_tot"))
+    oof = (F.col("s_cat") - F.col("s")).cast("double") / (
+        F.col("n_cat") - F.col("n")
+    )
+    fallback = (F.col("s_tot") - F.col("s")).cast("double") / (
+        F.col("n_tot") - F.col("n")
+    )
+    return (
+        cf.join(cat, "category")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "fold",
+            F.col("n").alias("n_rows"),
+            F.coalesce(
+                F.when(F.col("n_cat") > F.col("n"), oof), fallback
+            ).alias("enc"),
+        )
+        .orderBy("category", "fold")
+    )

@@ -377,3 +377,52 @@ def test_length_bucketing_partitions_and_waste(spark, sf_dir):
     # bucketed padding strictly beats padding everything to the global max
     global_padded = n_docs * rows[-1].max_tok
     assert sum(r.padded_tok for r in rows) < global_padded
+
+
+# ---------------------------------------------------------------------------
+# x_target_encoding
+# ---------------------------------------------------------------------------
+
+
+def test_target_encoding_is_leakage_free(spark, sf_dir):
+    """Every (category, fold) encoding must equal the mean target over
+    that category's rows in the OTHER folds (pandas replay) — never
+    include the fold's own rows."""
+    from recommender_systems_pyspark_spark.functions.strata import (
+        _TE_FOLDS,
+        x_target_encoding,
+    )
+
+    rows = x_target_encoding(spark, sf_dir).collect()
+    assert rows and all(0 <= r.fold < _TE_FOLDS for r in rows)
+
+    t_orders = load_table(spark, sf_dir, "orders")
+    t_cust = load_table(spark, sf_dir, "customer")
+    base = (
+        t_orders.join(t_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_nationkey").alias("category"),
+            F.col("o_totalprice").alias("target"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _TE_FOLDS
+            ).alias("fold"),
+        )
+        .toPandas()
+    )
+    n_pairs = base.groupby(["category", "fold"]).size()
+    assert len(rows) == len(n_pairs)
+    for r in rows:
+        cat = base[base.category == r.category]
+        oof = cat[cat.fold != r.fold]
+        if len(oof):
+            want = oof.target.sum() / len(oof)
+        else:  # category entirely inside one fold -> global out-of-fold
+            rest = base[(base.category != r.category) | (base.fold != r.fold)]
+            want = rest.target.sum() / len(rest)
+        assert r.n_rows == len(cat) - len(oof)
+        assert abs(r.enc - want) < 1e-6 * max(1.0, abs(want))
