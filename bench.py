@@ -84,6 +84,7 @@ RECORD_ONLY = [
     "s11_restart_recovery",
     "x_length_bucketing",
     "x_target_encoding",
+    "x_snapshot_diff",
 ]
 
 

@@ -831,3 +831,106 @@ def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         purge_table(spark, "xbj_orders")
         purge_table(spark, "xbj_lineitem")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot time-travel diff (round 8)
+# ---------------------------------------------------------------------------
+
+_SNAP_CUTOFF = "2000-01-01"
+
+
+@query(
+    "x_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_custkey, COUNT(*) AS n,
+             {sql_exact_sum('o_totalprice', 'total')}
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_CUTOFF}'
+      GROUP BY 1
+    ),
+    v2 AS (
+      SELECT o_custkey, COUNT(*) AS n,
+             {sql_exact_sum('o_totalprice', 'total')}
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(v2.o_custkey, v1.o_custkey) AS custkey,
+           v1.n AS n_old, v2.n AS n_new,
+           v1.total AS total_old, v2.total AS total_new,
+           CASE WHEN v1.o_custkey IS NULL THEN 'added'
+                WHEN v2.n <> v1.n OR v2.total <> v1.total THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM v1 FULL JOIN v2 ON v1.o_custkey = v2.o_custkey
+    ORDER BY custkey
+    """,
+)
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot diff — the audit a lakehouse runs between two
+    published versions of a serving table: version 1 (per-customer order
+    counts/revenue as of {cutoff}) and version 2 (after the later orders
+    load) are WRITTEN to and READ BACK from the versioned snapshot store
+    (``sources/versioned.py`` time travel: ``read_snapshot(version=1)``
+    vs the published head), then full-outer diffed per key into
+    added / changed / unchanged verdicts. The query certifies the
+    store's version isolation INSIDE the oracle gate: the oracle computes
+    both versions straight from the raw facts, so any cross-version
+    contamination in the store (v2 write bleeding into a v1 read, a
+    non-atomic publish) breaks the hash. Customers never disappear from
+    an append-only fact table, so 'removed' cannot occur here (the CASE
+    still orders its arms to surface it as 'added' asymmetry if it did).
+
+    Scale shape: two scans of the fact table (the v1 predicate is pushed
+    to parquet), one uniform-key aggregate each, snapshots written once
+    per version (range-free parquet), one key-equi full outer join of
+    two |customers|-sized frames. Doubles (exact decimal sums) and longs
+    round-trip parquet bit-exactly, so the store adds nothing to the
+    comparison surface."""
+    import shutil
+    import tempfile
+
+    from ..registry import ts_ntz
+    from ..sources import tables
+    from ..sources.versioned import read_snapshot, write_snapshot
+
+    orders = tables(spark, sf_dir)["orders"]
+
+    def per_customer(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n"), exact_sum(F.col("o_totalprice"), "total")
+        )
+
+    d = tempfile.mkdtemp(prefix="snapdiff_")
+    path = d + "/cust_orders"
+    try:
+        write_snapshot(
+            per_customer(orders.where(F.col("o_orderdate") < ts_ntz(_SNAP_CUTOFF))),
+            path,
+        )
+        write_snapshot(per_customer(orders), path)
+        v1 = read_snapshot(spark, path, version=1).alias("v1")
+        v2 = read_snapshot(spark, path, version=2).alias("v2")
+        diff = (
+            v1.join(v2, F.col("v1.o_custkey") == F.col("v2.o_custkey"), "full")
+            .select(
+                F.coalesce("v2.o_custkey", "v1.o_custkey").alias("custkey"),
+                F.col("v1.n").alias("n_old"),
+                F.col("v2.n").alias("n_new"),
+                F.col("v1.total").alias("total_old"),
+                F.col("v2.total").alias("total_new"),
+                F.when(F.col("v1.o_custkey").isNull(), "added")
+                .when(
+                    (F.col("v2.n") != F.col("v1.n"))
+                    | (F.col("v2.total") != F.col("v1.total")),
+                    "changed",
+                )
+                .otherwise("unchanged")
+                .alias("change_type"),
+            )
+            .orderBy("custkey")
+        )
+        return diff.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+x_snapshot_diff.__doc__ = x_snapshot_diff.__doc__.format(cutoff=_SNAP_CUTOFF)

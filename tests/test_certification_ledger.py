@@ -43,7 +43,11 @@ ROWS_ONLY_BY_DESIGN = {
 # newly registered in r8 and not yet slotted into the window (the 50-slot
 # r8 window was already full of first-grades + the re-grade rotation);
 # they head the round-9 window.
-PENDING_FIRST_GRADE: set[str] = {"x_length_bucketing", "x_target_encoding"}
+PENDING_FIRST_GRADE: set[str] = {
+    "x_length_bucketing",
+    "x_target_encoding",
+    "x_snapshot_diff",
+}
 
 
 def _correctness_rounds() -> list[tuple[str, dict]]:
