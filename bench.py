@@ -85,6 +85,8 @@ RECORD_ONLY = [
     "x_length_bucketing",
     "x_target_encoding",
     "x_snapshot_diff",
+    "x_forget_users",
+    "x_schema_evolution",
 ]
 
 

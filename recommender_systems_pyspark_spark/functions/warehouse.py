@@ -934,3 +934,100 @@ def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x_snapshot_diff.__doc__ = x_snapshot_diff.__doc__.format(cutoff=_SNAP_CUTOFF)
+
+
+# ---------------------------------------------------------------------------
+# Right-to-erasure sweep (round 8)
+# ---------------------------------------------------------------------------
+
+_FORGET_MOD = 97
+
+
+@query(
+    "x_forget_users",
+    oracle=f"""
+    WITH forget AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % {_FORGET_MOD} = 0
+    ),
+    eo AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM forget)),
+    t AS (
+      SELECT 'customer' AS tbl, (SELECT COUNT(*) FROM customer) AS rows_before,
+             (SELECT COUNT(*) FROM forget) AS rows_erased
+      UNION ALL
+      SELECT 'orders', (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM eo)
+      UNION ALL
+      SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM eo))
+      UNION ALL
+      SELECT 'events', (SELECT COUNT(*) FROM events),
+             (SELECT COUNT(*) FROM events
+              WHERE user_id IN (SELECT k FROM forget))
+    )
+    SELECT tbl, rows_before, rows_erased,
+           rows_before - rows_erased AS rows_after,
+           0 AS residual_refs
+    FROM t ORDER BY tbl
+    """,
+)
+def x_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) sweep: given the forget-request
+    key set (c_custkey % {m} = 0), CASCADE the erasure through the
+    referential graph — customer rows, their orders, those orders'
+    lineitems, and the users' events — and emit the per-table compliance
+    ledger (rows before / erased / after) plus ``residual_refs``: the
+    COUNTED number of post-erasure rows still referencing a forgotten
+    key, recomputed from the erased frames themselves (not assumed) — a
+    cascade bug surfaces as a nonzero count and a hash mismatch against
+    the oracle's constant 0.
+
+    Scale shape: the forget set is tiny (1/{m} of customers) and
+    broadcast into every probe (left_semi for the erase counts,
+    left_anti for the survivors and the residual re-check); the
+    lineitem cascade goes through the erased-orders key set, also
+    broadcast under AQE. Each fact table is scanned twice (erase count +
+    residual check) — at 100 TB the erasure itself would be a
+    partition-rewrite MERGE, but the LEDGER is exactly this plan."""
+    t = tables(spark, sf_dir)
+    forget = t["customer"].where(F.col("c_custkey") % _FORGET_MOD == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    eo = (
+        t["orders"]
+        .join(forget, F.col("o_custkey") == F.col("k"), "left_semi")
+        .select("o_orderkey")
+    )
+
+    def ledger(tbl: str, df: DataFrame, key: str, keys: DataFrame, kcol: str):
+        erased = df.join(keys, F.col(key) == F.col(kcol), "left_semi")
+        kept = df.join(keys, F.col(key) == F.col(kcol), "left_anti")
+        residual = kept.join(keys, F.col(key) == F.col(kcol), "left_semi")
+        return (
+            df.agg(F.count("*").alias("rows_before"))
+            .crossJoin(F.broadcast(erased.agg(F.count("*").alias("rows_erased"))))
+            .crossJoin(F.broadcast(kept.agg(F.count("*").alias("rows_after"))))
+            .crossJoin(
+                F.broadcast(residual.agg(F.count("*").alias("residual_refs")))
+            )
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "rows_before",
+                "rows_erased",
+                "rows_after",
+                "residual_refs",
+            )
+        )
+
+    out = (
+        ledger("customer", t["customer"], "c_custkey", forget, "k")
+        .unionByName(ledger("orders", t["orders"], "o_custkey", forget, "k"))
+        .unionByName(
+            ledger("lineitem", t["lineitem"], "l_orderkey", eo, "o_orderkey")
+        )
+        .unionByName(ledger("events", t["events"], "user_id", forget, "k"))
+    )
+    return out.orderBy("tbl")
+
+
+x_forget_users.__doc__ = x_forget_users.__doc__.format(m=_FORGET_MOD)

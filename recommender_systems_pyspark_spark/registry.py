@@ -113,6 +113,7 @@ _QUERY_MODULES = (
     # --- new in r8 --------------------------------------------------------
     "recommender_systems_pyspark_spark.streaming.late_audit",
     "recommender_systems_pyspark_spark.functions.ingest",
+    "recommender_systems_pyspark_spark.sources.sinks",
     "recommender_systems_pyspark_spark.ml.topics",
     # --- new in r7, WIRED in r8 (VERDICT r7 #1: these three were written
     # in r7 but never added here — dead code for a round; the

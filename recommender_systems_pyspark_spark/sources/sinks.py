@@ -231,3 +231,80 @@ def jdbc_write(
     batchsize + rewriteBatchedStatements)."""
     props = {"batchsize": str(batchsize), **(properties or {})}
     df.write.jdbc(url, table, mode=mode, properties=props)
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution read (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _register_schema_evolution() -> None:
+    """Registered here (sources/) because the operator under test is the
+    READER: ``mergeSchema`` reconciliation of two parquet generations
+    written by different producer versions."""
+    from pyspark.sql import functions as F
+
+    from ..registry import exact_sum, query, sql_exact_sum
+
+    @query(
+        "x_schema_evolution",
+        oracle=f"""
+        SELECT COALESCE(CASE WHEN event_id % 2 = 0 THEN NULL
+                             ELSE event_type END, '__missing__') AS event_type,
+               COUNT(*) AS n_events,
+               {sql_exact_sum('value', 'total_value')}
+        FROM events
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+    def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Schema-evolution read: generation 1 of a dataset (even
+        event_ids) was written by an old producer WITHOUT the event_type
+        column; generation 2 (odd event_ids) carries it. The reader
+        reconciles both with ``mergeSchema=true`` — gen-1 rows surface
+        event_type as NULL — and the per-type ledger (missing rows bucketed
+        under '__missing__') must hash-equal an oracle that simulates the
+        same column history over the raw table. Certifies that adding a
+        column never corrupts or drops old-generation rows/values.
+
+        Scale shape: mergeSchema reconciles footers at planning time (at
+        production scale pin the merged schema in a metastore instead of
+        re-inferring per query — the read path is identical); the ledger
+        is one scan + one bounded-key aggregate."""
+        import shutil
+        import tempfile
+
+        from . import load_table
+
+        d = tempfile.mkdtemp(prefix="schemaevo_")
+        try:
+            ev = load_table(spark, sf_dir, "events")
+            even = F.col("event_id") % 2 == 0
+            ev.where(even).select("event_id", "user_id", "value").write.mode(
+                "overwrite"
+            ).parquet(d + "/gen1")
+            ev.where(~even).select(
+                "event_id", "user_id", "value", "event_type"
+            ).write.mode("overwrite").parquet(d + "/gen2")
+            merged = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(d + "/gen1", d + "/gen2")
+            )
+            out = (
+                merged.groupBy(
+                    F.coalesce("event_type", F.lit("__missing__")).alias(
+                        "event_type"
+                    )
+                )
+                .agg(
+                    F.count("*").alias("n_events"),
+                    exact_sum(F.col("value"), "total_value"),
+                )
+                .orderBy("event_type")
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_register_schema_evolution()

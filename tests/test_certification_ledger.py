@@ -47,6 +47,8 @@ PENDING_FIRST_GRADE: set[str] = {
     "x_length_bucketing",
     "x_target_encoding",
     "x_snapshot_diff",
+    "x_forget_users",
+    "x_schema_evolution",
 }
 
 
