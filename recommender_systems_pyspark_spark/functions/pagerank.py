@@ -439,18 +439,7 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor-mode update."""
     edges = cached_copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    labels = deg.select(F.col("src").alias("node"), F.col("src").alias("label"))
-    w = Window.partitionBy("dst").orderBy(F.col("n").desc(), F.col("label"))
-    for _ in range(_LP_ITERS):
-        labels = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst", "label")
-            .agg(F.count("*").alias("n"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), "label")
-            .localCheckpoint(eager=False)
-        )
+    labels = lpa_labels(edges, _LP_ITERS)
     return (
         labels.join(deg, labels["node"] == deg["src"])
         .groupBy(F.col("label").alias("community"))
@@ -464,6 +453,30 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x_label_propagation.__doc__ = x_label_propagation.__doc__.format(iters=_LP_ITERS)
+
+
+def lpa_labels(edges: DataFrame, iters: int) -> DataFrame:
+    """Synchronous label propagation over a SYMMETRIC (src, dst) edge
+    list: ``iters`` rounds of every node adopting the most frequent
+    neighbor label, ties to the smallest label. Returns (node, label).
+    The reusable core behind :func:`x_label_propagation`; the hypothesis
+    property test drives it with random graphs to probe tie-breaking and
+    oscillation cases beyond the fixture."""
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("n").desc(), F.col("label"))
+    for _ in range(iters):
+        labels = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels
 
 
 # ---------------------------------------------------------------------------
@@ -596,40 +609,9 @@ def x_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — linear in \\|edges\\| per round, {r} fixed rounds, lineage cut
     per round, no driver-side state."""
     edges = _cached_strong_edges(spark, sf_dir)
-    n0 = edges.groupBy("src").agg(F.count("*").alias("degree0")).select(
-        F.col("src").alias("node"), "degree0"
-    )
-    survivors = [n0.select("node")]
-    cur = survivors[0]
-    for _ in range(_KCORE_ROUNDS):
-        alive = (
-            edges.join(cur.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(cur.withColumnRenamed("node", "dst"), "dst", "left_semi")
-        )
-        cur = (
-            alive.groupBy("src")
-            .agg(F.count("*").alias("d"))
-            .where(F.col("d") >= _KCORE_K)
-            .select(F.col("src").alias("node"))
-            .localCheckpoint(eager=False)
-        )
-        survivors.append(cur)
-
-    out = n0
-    for i in range(1, _KCORE_ROUNDS + 1):
-        out = out.join(
-            survivors[i].withColumn(f"s{i}", F.lit(True)), "node", "left"
-        )
-    peeled = F.lit(0)
-    for i in range(_KCORE_ROUNDS, 0, -1):
-        peeled = F.when(F.col(f"s{i}").isNull(), F.lit(i)).otherwise(peeled)
     return (
-        out.select(
-            F.col("node").alias("part_key"),
-            "degree0",
-            peeled.cast("int").alias("peeled_round"),
-            F.coalesce(F.col(f"s{_KCORE_ROUNDS}"), F.lit(False)).alias("in_core"),
-        )
+        kcore_verdicts(edges, _KCORE_K, _KCORE_ROUNDS)
+        .withColumnRenamed("node", "part_key")
         .orderBy("part_key")
     )
 
@@ -637,3 +619,46 @@ def x_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_kcore_layers.__doc__ = x_kcore_layers.__doc__.format(
     co=_KCORE_MIN_CO, r=_KCORE_ROUNDS, k=_KCORE_K
 )
+
+
+def kcore_verdicts(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Synchronous k-core peel over a SYMMETRIC (src, dst) edge list:
+    ``rounds`` rounds of simultaneously removing every node whose
+    within-subgraph degree is < k. Returns (node, degree0, peeled_round,
+    in_core) — peeled_round 1..rounds, or 0 with in_core for survivors.
+    The reusable core behind :func:`x_kcore_layers`; the hypothesis
+    property test drives it with random graphs to probe empty-core and
+    cascade cases beyond the fixture."""
+    n0 = edges.groupBy("src").agg(F.count("*").alias("degree0")).select(
+        F.col("src").alias("node"), "degree0"
+    )
+    survivors = [n0.select("node")]
+    cur = survivors[0]
+    for _ in range(rounds):
+        alive = (
+            edges.join(cur.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(cur.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        )
+        cur = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        survivors.append(cur)
+
+    out = n0
+    for i in range(1, rounds + 1):
+        out = out.join(
+            survivors[i].withColumn(f"s{i}", F.lit(True)), "node", "left"
+        )
+    peeled = F.lit(0)
+    for i in range(rounds, 0, -1):
+        peeled = F.when(F.col(f"s{i}").isNull(), F.lit(i)).otherwise(peeled)
+    return out.select(
+        "node",
+        "degree0",
+        peeled.cast("int").alias("peeled_round"),
+        F.coalesce(F.col(f"s{rounds}"), F.lit(False)).alias("in_core"),
+    )

@@ -227,3 +227,81 @@ def test_xor_checksum_detects_any_single_row_change(rows, flip):
     changed = rows[:]
     changed[i] = (changed[i][0], changed[i][1] + "~")
     assert fold(changed) != base, "single-row sensitivity"
+
+
+# ---------------------------------------------------------------------------
+# Synchronous LPA / k-core on random graphs (round 8)
+# ---------------------------------------------------------------------------
+
+#: directed arc on a tiny node domain; symmetrized before use so ties,
+#: self-contained cliques, isolated pairs, and oscillators are common
+_ARC = st.tuples(st.integers(0, 7), st.integers(0, 7))
+
+
+def _sym_edges(arcs):
+    es = {(a, b) for a, b in arcs if a != b}
+    return sorted(es | {(b, a) for a, b in es})
+
+
+@given(arcs=st.lists(_ARC, min_size=1, max_size=20), iters=st.integers(1, 3))
+@_SPARK_SETTINGS
+def test_lpa_labels_match_python_replay(spark, arcs, iters):
+    from collections import Counter, defaultdict
+
+    from recommender_systems_pyspark_spark.functions.pagerank import lpa_labels
+
+    edges = _sym_edges(arcs)
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in lpa_labels(df, iters).collect()}
+
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[b].append(a)  # incoming = neighbors (symmetric)
+    label = {n: n for n in adj}
+    for _ in range(iters):
+        label = {
+            n: min(
+                Counter(label[s] for s in adj[n]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for n in adj
+        }
+    assert got == label
+
+
+@given(
+    arcs=st.lists(_ARC, min_size=1, max_size=20),
+    k=st.integers(1, 4),
+    rounds=st.integers(1, 3),
+)
+@_SPARK_SETTINGS
+def test_kcore_verdicts_match_python_replay(spark, arcs, k, rounds):
+    from collections import defaultdict
+
+    from recommender_systems_pyspark_spark.functions.pagerank import kcore_verdicts
+
+    edges = _sym_edges(arcs)
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.degree0, r.peeled_round, r.in_core)
+        for r in kcore_verdicts(df, k, rounds).collect()
+    }
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    alive = set(adj)
+    peeled = {}
+    for rnd in range(1, rounds + 1):
+        nxt = {n for n in alive if len(adj[n] & alive) >= k}
+        for n in alive - nxt:
+            peeled[n] = rnd
+        alive = nxt
+    want = {
+        n: (len(adj[n]), peeled.get(n, 0), n in alive) for n in adj
+    }
+    assert got == want
