@@ -1,0 +1,75 @@
+"""Round-9 operator tests. Oracle equality is covered by
+tools/verify_local.py + the driver gate; these pin the algorithmic
+properties the hash compare can't see — score formulas recomputed
+independently, leg/fusion consistency, and partition invariants."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_EVEN, Decimal
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# x_hybrid_rrf
+# ---------------------------------------------------------------------------
+
+
+def _q9(x: float) -> Decimal:
+    return Decimal(x).quantize(Decimal("1.000000000"), rounding=ROUND_HALF_EVEN)
+
+
+def test_hybrid_rrf_score_formula_and_order(spark, sf_dir):
+    from recommender_systems_pyspark_spark.functions.search import (
+        _FUSE_K,
+        _RRF_C,
+        _TOP_K,
+        x_hybrid_rrf,
+    )
+
+    rows = x_hybrid_rrf(spark, sf_dir).collect()
+    assert len(rows) == _TOP_K
+    prev = None
+    for r in rows:
+        assert r.doc_id != 0  # the query document never retrieves itself
+        assert r.lex_rank is not None or r.sem_rank is not None
+        expect = Decimal(0)
+        for rank in (r.lex_rank, r.sem_rank):
+            if rank is not None:
+                assert 1 <= rank <= _FUSE_K
+                expect += _q9(1.0 / (_RRF_C + rank))
+        # the returned double is exactly the decimal sum of the quantized
+        # reciprocal contributions — recomputed here from the ranks alone
+        assert float(expect) == r.rrf_score
+        if prev is not None:
+            assert r.rrf_score <= prev
+        prev = r.rrf_score
+
+
+def test_hybrid_rrf_legs_agree_with_certified_rankers(spark, sf_dir):
+    """Each leg's rank order must agree with the standalone certified
+    rankers (x_bm25_topk / x_knn_cosine_topk) on the shared candidates —
+    fusion may not perturb within-leg order."""
+    from recommender_systems_pyspark_spark.functions.search import (
+        x_bm25_topk,
+        x_hybrid_rrf,
+    )
+    from recommender_systems_pyspark_spark.functions.similarity import (
+        x_knn_cosine_topk,
+    )
+
+    fused = x_hybrid_rrf(spark, sf_dir).collect()
+    lex_order = [r.doc_id for r in x_bm25_topk(spark, sf_dir).collect() if r.doc_id != 0]
+    sem_order = [r.vec_id for r in x_knn_cosine_topk(spark, sf_dir).collect()]
+    got_lex = sorted(
+        [r for r in fused if r.lex_rank is not None], key=lambda r: r.lex_rank
+    )
+    got_sem = sorted(
+        [r for r in fused if r.sem_rank is not None], key=lambda r: r.sem_rank
+    )
+    # the fused frame's lex-ranked docs appear in the same relative order
+    # as the standalone BM25 top-10 (restricted to shared docs)
+    lex_shared = [r.doc_id for r in got_lex if r.doc_id in lex_order]
+    assert lex_shared == [d for d in lex_order if d in lex_shared]
+    sem_shared = [r.doc_id for r in got_sem if r.doc_id in sem_order]
+    assert sem_shared == [d for d in sem_order if d in sem_shared]
