@@ -400,3 +400,121 @@ def x_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_chars"),
     )
+
+
+@query(
+    "x_cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    asg AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+                    THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM comp
+    ),
+    stats AS (
+      SELECT split,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT cluster_id) AS n_clusters,
+             CAST(SUM(CAST(d.n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars
+      FROM asg JOIN documents d USING (doc_id)
+      GROUP BY split
+    ),
+    leak AS (
+      SELECT s AS split, COUNT(*) AS leaked FROM (
+        SELECT a.split AS s
+        FROM pairs p JOIN asg a ON p.src = a.doc_id JOIN asg b ON p.dst = b.doc_id
+        WHERE a.split <> b.split
+        UNION ALL
+        SELECT b.split AS s
+        FROM pairs p JOIN asg a ON p.src = a.doc_id JOIN asg b ON p.dst = b.doc_id
+        WHERE a.split <> b.split
+      ) GROUP BY s
+    )
+    SELECT stats.split, n_docs, n_clusters, total_chars,
+           COALESCE(leaked, 0) AS leaked_pairs
+    FROM stats LEFT JOIN leak ON stats.split = leak.split
+    ORDER BY stats.split
+    """,
+)
+def x_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster-safe train/val/test split: every near-dup CLUSTER —
+    not document — is hashed to a split (md5 bucket of cluster_id,
+    80/10/10), so no near-duplicate pair can straddle the holdout
+    boundary (the classic eval-contamination leak a doc-keyed split
+    invites). ``leaked_pairs`` is COMPUTED from the ground-truth pair
+    graph — a wrong assignment breaks the hash, not just an assertion.
+
+    Scale: cluster assignment is one map-side md5 over the components
+    output (itself the certified star-contraction loop); the audit join
+    streams the pair list against the broadcast-size split table. At
+    100 TB the pair stream comes from MinHash-LSH instead of the
+    SQL-expressible ground-truth join — same schema, same audit."""
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    from .strata import split_bucket
+
+    comp = x_dedup_clusters(spark, sf_dir)
+    bucket = split_bucket(F.col("cluster_id"))
+    asg = comp.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    stats = (
+        asg.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    # ground-truth near-dup pairs (same generator as x_dedup_clusters)
+    s = docs.select("doc_id", shingles().alias("sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(jaccard(F.col("a.sh"), F.col("b.sh")) >= 0.8)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    sp = asg.select("doc_id", "split")
+    straddle = (
+        pairs.join(sp.withColumnsRenamed({"doc_id": "src", "split": "split_a"}), "src")
+        .join(sp.withColumnsRenamed({"doc_id": "dst", "split": "split_b"}), "dst")
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    leak = (
+        straddle.select(F.explode(F.array("split_a", "split_b")).alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("leaked"))
+    )
+    return (
+        stats.join(leak, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "total_chars",
+            F.coalesce(F.col("leaked"), F.lit(0).cast("bigint")).alias("leaked_pairs"),
+        )
+        .orderBy("split")
+    )

@@ -153,6 +153,7 @@ _GRADE_FIRST = (
     "x_schema_evolution",
     # --- new in r9 (inserted as they land) -------------------------------
     "x_hybrid_rrf",
+    "x_cluster_safe_split",
     # rest: the full r3-vintage cohort (oldest grades), oldest families first
     "x_contamination_ngrams",
     "x_sessionize_stats",

@@ -73,3 +73,43 @@ def test_hybrid_rrf_legs_agree_with_certified_rankers(spark, sf_dir):
     assert lex_shared == [d for d in lex_order if d in lex_shared]
     sem_shared = [r.doc_id for r in got_sem if r.doc_id in sem_order]
     assert sem_shared == [d for d in sem_order if d in sem_shared]
+
+
+# ---------------------------------------------------------------------------
+# x_cluster_safe_split
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_safe_split_partitions_and_no_leakage(spark, sf_dir):
+    from recommender_systems_pyspark_spark.functions.graph import (
+        x_cluster_safe_split,
+        x_dedup_clusters,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    rows = x_cluster_safe_split(spark, sf_dir).collect()
+    by_split = {r.split: r for r in rows}
+    assert set(by_split) <= {"train", "val", "test"}
+    # splits partition the corpus exactly
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # zero near-dup pairs straddle any split — the whole point
+    assert all(r.leaked_pairs == 0 for r in rows)
+    # cluster-atomicity: no cluster_id appears under two splits
+    comp = x_dedup_clusters(spark, sf_dir)
+    from recommender_systems_pyspark_spark.functions.strata import split_bucket
+
+    multi = (
+        comp.select(
+            "cluster_id",
+            F.when(split_bucket(F.col("cluster_id")) < 80, "train")
+            .when(split_bucket(F.col("cluster_id")) < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert multi == 0
