@@ -662,3 +662,143 @@ def kcore_verdicts(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         peeled.cast("int").alias("peeled_round"),
         F.coalesce(F.col(f"s{rounds}"), F.lit(False)).alias("in_core"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded random walks (node2vec/DeepWalk corpus prep)
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 4
+_WALK_SEED_MOD = 101  # walkers start at parts with part_key % 101 == 0
+
+
+def _walk_pick_sql(start: str, step: int, cur: str) -> str:
+    """DuckDB twin of the walk-step chooser: md5 of ``start:step:cur``
+    first-8-hex as integer, mod outdegree → 1-based neighbor rank."""
+    return (
+        f"1 + (('0x' || substr(md5(CAST({start} AS VARCHAR) || ':{step}:' "
+        f"|| CAST({cur} AS VARCHAR)), 1, 8))::BIGINT % outdeg)"
+    )
+
+
+def _walks_oracle() -> str:
+    parts = [
+        f"""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS MATERIALIZED (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2
+        ),
+        deg AS MATERIALIZED (
+          SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+        ),
+        rk AS MATERIALIZED (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+          FROM edges
+        ),
+        w0 AS MATERIALIZED (
+          SELECT src AS start_node, src AS cur FROM deg
+          WHERE src % {_WALK_SEED_MOD} = 0
+        )"""
+    ]
+    prev = "w0"
+    cols = []
+    for s in range(1, _WALK_STEPS + 1):
+        pick = _walk_pick_sql(f"{prev}.start_node", s, f"{prev}.cur")
+        carry = ", ".join(f"{prev}.hop{i}" for i in range(1, s)) + (", " if cols else "")
+        parts.append(
+            f""",
+        w{s} AS MATERIALIZED (
+          SELECT {prev}.start_node, {carry}rk.dst AS hop{s}, rk.dst AS cur
+          FROM {prev}
+          JOIN deg ON deg.src = {prev}.cur
+          JOIN rk ON rk.src = {prev}.cur AND rk.rn = {pick}
+        )"""
+        )
+        cols.append(f"hop{s}")
+        prev = f"w{s}"
+    hops = ", ".join(cols)
+    parts.append(
+        f"""
+        SELECT start_node, {hops}
+        FROM {prev}
+        ORDER BY start_node
+        """
+    )
+    return "".join(parts)
+
+
+@query("x_random_walks", oracle=_walks_oracle())
+def x_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic random walks over the co-purchase graph — the
+    corpus-prep step of DeepWalk/node2vec (walk sequences feed a skip-gram
+    embedder). One {steps}-step walk per seed (parts ≡ 0 mod {mod}); the
+    step chooser is md5(start:step:cur) mod outdegree over the dst-ordered
+    neighbor ranking, so the 'random' walk is a pure function of the graph
+    — no RNG state, identical in any engine, stable under repartitioning.
+
+    Scale (100 TB): each step is two shuffle joins — frontier ⋈ degree
+    (pick computation) and frontier ⋈ rank-indexed edges (the move) — on
+    the part key; cost per step is O(|walkers|), never O(|edges|), and the
+    dst-ordered neighbor index is a corpus artifact built once with the
+    edge snapshot. Walkers are embarrassingly parallel; longer walks or
+    more walks per node scale linearly."""
+    edges = cached_copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    rk = edges.select(
+        "src",
+        "dst",
+        F.row_number().over(Window.partitionBy("src").orderBy("dst")).alias("rn"),
+    )
+    frontier = deg.where(F.col("src") % _WALK_SEED_MOD == 0).select(
+        F.col("src").alias("start_node"), F.col("src").alias("cur")
+    )
+    for s in range(1, _WALK_STEPS + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("start_node").cast("string"),
+                            F.lit(str(s)),
+                            F.col("cur").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("outdeg")
+            + 1
+        )
+        hops = [f"hop{i}" for i in range(1, s)]
+        frontier = (
+            frontier.join(deg, deg["src"] == frontier["cur"])
+            .select("start_node", *hops, "cur", pick.alias("pick"))
+            .join(
+                rk,
+                (rk["src"] == F.col("cur")) & (rk["rn"] == F.col("pick")),
+            )
+            .select(
+                "start_node",
+                *hops,
+                F.col("dst").alias(f"hop{s}"),
+                F.col("dst").alias("cur"),
+            )
+        )
+    return frontier.select(
+        "start_node", *[f"hop{i}" for i in range(1, _WALK_STEPS + 1)]
+    ).orderBy("start_node")
+
+
+x_random_walks.__doc__ = x_random_walks.__doc__.format(
+    steps=_WALK_STEPS, mod=_WALK_SEED_MOD
+)

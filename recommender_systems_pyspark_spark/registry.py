@@ -154,6 +154,7 @@ _GRADE_FIRST = (
     # --- new in r9 (inserted as they land) -------------------------------
     "x_hybrid_rrf",
     "x_cluster_safe_split",
+    "x_random_walks",
     # rest: the full r3-vintage cohort (oldest grades), oldest families first
     "x_contamination_ngrams",
     "x_sessionize_stats",

@@ -113,3 +113,58 @@ def test_cluster_safe_split_partitions_and_no_leakage(spark, sf_dir):
         .count()
     )
     assert multi == 0
+
+
+# ---------------------------------------------------------------------------
+# x_random_walks
+# ---------------------------------------------------------------------------
+
+
+def test_random_walks_python_replay(spark):
+    """Independent python replay at sf0.001: rebuild the co-purchase
+    adjacency, re-derive every walk with hashlib md5 — every hop of every
+    walk must match the engine's walk exactly."""
+    import hashlib
+    from collections import defaultdict
+
+    from recommender_systems_pyspark_spark.functions.pagerank import (
+        _WALK_SEED_MOD,
+        _WALK_STEPS,
+        cached_copurchase_edges,
+        x_random_walks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = cached_copurchase_edges(spark, sf).collect()
+    adj = defaultdict(list)
+    for e in edges:
+        adj[e.src].append(e.dst)
+    for n in adj:
+        adj[n].sort()
+
+    def pick(start: int, step: int, cur: int) -> int:
+        h = hashlib.md5(f"{start}:{step}:{cur}".encode()).hexdigest()[:8]
+        return int(h, 16) % len(adj[cur])
+
+    got = {r.start_node: r for r in x_random_walks(spark, sf).collect()}
+    seeds = sorted(n for n in adj if n % _WALK_SEED_MOD == 0)
+    assert sorted(got) == seeds
+    for start in seeds:
+        cur = start
+        for s in range(1, _WALK_STEPS + 1):
+            cur = adj[cur][pick(start, s, cur)]
+            assert got[start][f"hop{s}"] == cur, (start, s)
+
+
+def test_random_walks_hops_are_edges(spark, sf_dir):
+    from recommender_systems_pyspark_spark.functions.pagerank import (
+        _WALK_STEPS,
+        cached_copurchase_edges,
+        x_random_walks,
+    )
+
+    edges = {(e.src, e.dst) for e in cached_copurchase_edges(spark, sf_dir).collect()}
+    for r in x_random_walks(spark, sf_dir).collect():
+        path = [r.start_node] + [r[f"hop{s}"] for s in range(1, _WALK_STEPS + 1)]
+        for u, v in zip(path, path[1:]):
+            assert (u, v) in edges
