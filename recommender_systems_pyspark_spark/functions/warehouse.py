@@ -1031,3 +1031,99 @@ def x_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x_forget_users.__doc__ = x_forget_users.__doc__.format(m=_FORGET_MOD)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (OPTIMIZE-style bin packing)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 4_000   # target bytes per compacted output file
+_COMPACT_FILE_MOD = 5     # manifest granularity: one "file" per (source, doc_id//5)
+
+
+@query(
+    "x_compaction_plan",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT source, doc_id // {_COMPACT_FILE_MOD} AS file_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT source, file_id, n_docs, bytes,
+             CAST((SUM(bytes) OVER (
+                     PARTITION BY source ORDER BY file_id
+                     ROWS UNBOUNDED PRECEDING) - bytes)
+                  // {_COMPACT_TARGET} AS BIGINT) AS group_id
+      FROM manifest
+    )
+    SELECT source, group_id,
+           COUNT(*) AS n_files,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+           MIN(file_id) AS first_file, MAX(file_id) AS last_file
+    FROM packed
+    GROUP BY source, group_id
+    ORDER BY source, group_id
+    """,
+)
+def x_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style small-file compaction plan: per table partition
+    (``source``), pack the file manifest into rewrite groups of
+    ~{target} bytes by cumulative-sum binning — ``group_id = (running
+    bytes before this file) div target`` — preserving file order so the
+    rewrite keeps any clustering. Group boundaries are the multiples of
+    target on the cumulative-bytes axis, so every group approximates the
+    target within one file's bytes of slack on each side.
+
+    The manifest here is derived deterministically from the documents
+    table (one "file" per (source, doc_id div {mod}) of summed chars);
+    in production it comes straight from the table's transaction log /
+    parquet footers — same schema, same plan. Scale: the planner itself
+    touches only manifest metadata (file count, not data), one window
+    partitioned by table-partition key; the rewrite it emits is
+    embarrassingly parallel per group. This is the maintenance operator
+    that keeps scan task counts bounded after high-frequency ingest."""
+    t = tables(spark, sf_dir)
+    manifest = (
+        t["documents"]
+        .groupBy(
+            "source",
+            (F.col("doc_id") / _COMPACT_FILE_MOD).cast("bigint").alias("file_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("bytes"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = manifest.select(
+        "source",
+        "file_id",
+        "n_docs",
+        "bytes",
+        ((F.sum("bytes").over(w) - F.col("bytes")) / _COMPACT_TARGET)
+        .cast("bigint")
+        .alias("group_id"),
+    )
+    return (
+        packed.groupBy("source", "group_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("bytes").cast("bigint").alias("group_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .orderBy("source", "group_id")
+    )
+
+
+x_compaction_plan.__doc__ = x_compaction_plan.__doc__.format(
+    target=_COMPACT_TARGET, mod=_COMPACT_FILE_MOD
+)

@@ -168,3 +168,43 @@ def test_random_walks_hops_are_edges(spark, sf_dir):
         path = [r.start_node] + [r[f"hop{s}"] for s in range(1, _WALK_STEPS + 1)]
         for u, v in zip(path, path[1:]):
             assert (u, v) in edges
+
+
+# ---------------------------------------------------------------------------
+# x_compaction_plan
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_plan_invariants(spark, sf_dir):
+    """Groups partition the manifest, stay in file order, and every
+    non-tail group's bytes land in [target, target + max_file): the
+    cumsum binning can overshoot by at most one file and never leaves a
+    group under target unless it is the partition's last."""
+    from recommender_systems_pyspark_spark.functions.warehouse import (
+        _COMPACT_TARGET,
+        x_compaction_plan,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    rows = x_compaction_plan(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total_docs = docs.count()
+    total_bytes = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r.n_docs for r in rows) == total_docs
+    assert sum(r.group_bytes for r in rows) == total_bytes
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, grps in by_src.items():
+        grps.sort(key=lambda r: r.group_id)
+        # group ids are dense from 0 and file ranges never interleave
+        assert grps[0].group_id == 0
+        for a, b in zip(grps, grps[1:]):
+            assert b.group_id >= a.group_id + 1
+            assert b.first_file > a.last_file
+        # exact binning law: each group's id is the floor of the cumulative
+        # bytes that precede its first file (replayed from group totals)
+        cum = 0
+        for g in grps:
+            assert g.group_id == cum // _COMPACT_TARGET
+            cum += g.group_bytes
