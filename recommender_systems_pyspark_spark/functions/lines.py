@@ -632,3 +632,86 @@ def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV curve (tokenizer sizing)
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZES = (64, 256, 512)  # candidate vocabulary sizes (word-bigram units)
+
+
+@query(
+    "x_vocab_coverage",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKENS}),
+    bigrams AS (
+      SELECT doc_id, tok AS head,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM toks
+    ),
+    units AS (SELECT head || ' ' || nxt AS unit FROM bigrams WHERE nxt IS NOT NULL),
+    c AS (SELECT unit, COUNT(*) AS n FROM units GROUP BY 1),
+    r AS (SELECT unit, n, ROW_NUMBER() OVER (ORDER BY n DESC, unit) AS rk FROM c),
+    v(vocab_size) AS (VALUES {", ".join(f"({s})" for s in _VOCAB_SIZES)})
+    SELECT vocab_size,
+           CAST(SUM(CASE WHEN rk <= vocab_size THEN n ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN rk <= vocab_size THEN n ELSE 0 END) * 1000000
+                // SUM(n) AS BIGINT) AS coverage_ppm,
+           CAST(SUM(CASE WHEN rk > vocab_size THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_types
+    FROM r CROSS JOIN v
+    GROUP BY vocab_size
+    ORDER BY vocab_size
+    """,
+)
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve for tokenizer sizing: for each candidate
+    vocab size V, the fraction of the corpus token stream (word-bigram
+    units — the fixture's unigram vocabulary saturates) covered by the V
+    most frequent units, plus the out-of-vocabulary type count. The
+    engineering question it answers at 100 TB: how large a tokenizer
+    vocabulary buys how much compression / how much <unk> mass.
+
+    Scale: unit counting is one hash aggregate over the token stream
+    (map-side partial); the frequency ranking runs over the TYPE table
+    (vocabulary-sized, millions of rows at worst, not corpus-sized) via
+    the distributed two-phase global rank; the curve itself is a 3-row
+    broadcast cross join folded in a single pass over the type table."""
+    from ..operators.ranking import with_global_row_number
+
+    docs = tables(spark, sf_dir)["documents"]
+    toks = _tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    units = (
+        toks.select(
+            F.concat_ws(" ", F.col("tok"), F.lead("tok").over(w)).alias("unit"),
+            F.lead("tok").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .select("unit")
+    )
+    counts = units.groupBy("unit").agg(F.count("*").alias("n"))
+    ranked, _ = with_global_row_number(
+        counts, [F.col("n").desc(), F.col("unit")], alias="rk"
+    )
+    sizes = spark.createDataFrame([(s,) for s in _VOCAB_SIZES], "vocab_size int")
+    covered = F.sum(F.when(F.col("rk") <= F.col("vocab_size"), F.col("n")).otherwise(0))
+    return (
+        ranked.crossJoin(F.broadcast(sizes))
+        .groupBy("vocab_size")
+        .agg(
+            covered.cast("bigint").alias("covered_tokens"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.expr(
+                "CAST(SUM(CASE WHEN rk <= vocab_size THEN n ELSE 0 END) * 1000000"
+                " DIV SUM(n) AS BIGINT)"
+            ).alias("coverage_ppm"),
+            F.sum((F.col("rk") > F.col("vocab_size")).cast("int"))
+            .cast("bigint")
+            .alias("oov_types"),
+        )
+        .orderBy("vocab_size")
+    )

@@ -156,6 +156,7 @@ _GRADE_FIRST = (
     "x_cluster_safe_split",
     "x_random_walks",
     "x_compaction_plan",
+    "x_vocab_coverage",
     # rest: the full r3-vintage cohort (oldest grades), oldest families first
     "x_contamination_ngrams",
     "x_sessionize_stats",

@@ -176,10 +176,9 @@ def test_random_walks_hops_are_edges(spark, sf_dir):
 
 
 def test_compaction_plan_invariants(spark, sf_dir):
-    """Groups partition the manifest, stay in file order, and every
-    non-tail group's bytes land in [target, target + max_file): the
-    cumsum binning can overshoot by at most one file and never leaves a
-    group under target unless it is the partition's last."""
+    """Groups partition the manifest, stay in file order, and obey the
+    exact binning law: each group's id is the floor of the cumulative
+    bytes preceding it over the target size."""
     from recommender_systems_pyspark_spark.functions.warehouse import (
         _COMPACT_TARGET,
         x_compaction_plan,
@@ -208,3 +207,41 @@ def test_compaction_plan_invariants(spark, sf_dir):
         for g in grps:
             assert g.group_id == cum // _COMPACT_TARGET
             cum += g.group_bytes
+
+
+# ---------------------------------------------------------------------------
+# x_vocab_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_monotone_and_replayed(spark, sf_dir):
+    """Coverage is monotone in vocab size, ppm is exact integer math, and
+    a pandas replay from the raw token stream reproduces every row."""
+    from collections import Counter
+
+    from recommender_systems_pyspark_spark.functions.lines import (
+        _VOCAB_SIZES,
+        x_vocab_coverage,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    rows = {r.vocab_size: r for r in x_vocab_coverage(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(_VOCAB_SIZES)
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    cnt = Counter()
+    for d in docs:
+        ts = [t for t in d.text.split(" ") if t != ""]
+        for a, b in zip(ts, ts[1:]):
+            cnt[f"{a} {b}"] += 1
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    prev_cov = -1
+    for v in sorted(_VOCAB_SIZES):
+        covered = sum(n for _, n in ordered[:v])
+        r = rows[v]
+        assert r.covered_tokens == covered
+        assert r.total_tokens == total
+        assert r.coverage_ppm == covered * 1_000_000 // total
+        assert r.oov_types == max(0, len(ordered) - v)
+        assert r.coverage_ppm >= prev_cov
+        prev_cov = r.coverage_ppm
