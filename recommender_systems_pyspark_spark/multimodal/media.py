@@ -650,3 +650,149 @@ def x_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.sum("frame_len").alias("sampled_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash (aHash) near-dup candidates over decoded images
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "doc_id bigint, w0 int, w1 int, w2 int, w3 int"
+_AHASH_BITS = 64
+_AHASH_WORDS = 4  # 4 × 16-bit words — the banding key for candidate pairing
+
+
+def ahash_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash stage: decode the REAL container, sample
+    ``_AHASH_BITS`` evenly-spaced positions with the exact integer stride
+    (same ``i*(n-1)//(bits-1)`` law as the resize stage), threshold each
+    sample against the SAMPLED mean in pure integer arithmetic
+    (``bits*s_i >= Σs``) and pack the bit string into 4 little-endian
+    16-bit words — the hash is a pure function of the decoded raster,
+    bit-identical in any engine."""
+    steps = np.arange(_AHASH_BITS, dtype=np.int64)
+    for pdf in batches:
+        rows = []
+        for doc_id, payload, mtype in zip(
+            pdf["doc_id"], pdf["payload"], pdf["media_type"]
+        ):
+            buf = decode_any(bytes(payload), mtype)
+            if len(buf) == 0:
+                continue
+            idx = steps * (len(buf) - 1) // (_AHASH_BITS - 1)
+            s = buf[idx].astype(np.int64)
+            bits = (_AHASH_BITS * s >= s.sum()).astype(np.int64)
+            words = [
+                int((bits[w * 16 : (w + 1) * 16] << np.arange(16)).sum())
+                for w in range(_AHASH_WORDS)
+            ]
+            rows.append((doc_id, *words))
+        yield pd.DataFrame(rows, columns=["doc_id", "w0", "w1", "w2", "w3"])
+
+
+@query(
+    "x_media_ahash_pairs",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 = 0 AND length(text) > 0
+        AND octet_length(encode(text)) = length(text)
+    ),
+    bits AS (
+      SELECT doc_id, f.i,
+             CASE WHEN {_AHASH_BITS} * ord(substr(text,
+                    CAST(f.i * (length(text) - 1) // {_AHASH_BITS - 1} AS BIGINT) + 1, 1))
+                  >= SUM(ord(substr(text,
+                    CAST(f.i * (length(text) - 1) // {_AHASH_BITS - 1} AS BIGINT) + 1, 1)))
+                     OVER (PARTITION BY doc_id)
+                  THEN 1 ELSE 0 END AS bit
+      FROM imgs, LATERAL (SELECT unnest(range(0, {_AHASH_BITS})) AS i) f
+    ),
+    words AS (
+      SELECT doc_id, i // 16 AS band,
+             CAST(SUM(bit * (1 << (i % 16))) AS BIGINT) AS val
+      FROM bits GROUP BY doc_id, i // 16
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS shared_bands
+      FROM words a JOIN words b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.shared_bands,
+           CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER)
+             AS hamming
+    FROM cand c
+    JOIN bits x ON x.doc_id = c.doc_a
+    JOIN bits y ON y.doc_id = c.doc_b AND y.i = x.i
+    GROUP BY c.doc_a, c.doc_b, c.shared_bands
+    ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def x_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup candidates over DECODED images: a 64-bit
+    average hash per image (decode → integer-stride 64-sample thumbnail →
+    threshold on the sampled mean, all exact integer math), banded into
+    4×16-bit words; any two images sharing a band value become a
+    candidate pair and are scored with their full Hamming distance. The
+    downstream dedup policy thresholds ``hamming``; this ledger certifies
+    the decode → hash → band → distance chain (by the 4-band pigeonhole,
+    every pair within Hamming ≤ 3 is guaranteed a shared band).
+
+    Scale (100 TB of images): hashing is one map-only Arrow-batched pass
+    over the blobs; pairing is an equi-join on (band, word) — the
+    SimHash blocking scheme (`dedup.simhash_pairs_blocked`) applied to a
+    PERCEPTUAL hash, so candidate count grows with bucket collisions,
+    never images². The oracle replays the full chain from the ASCII
+    payload bytes (same gate as the other media oracles)."""
+    m = encoded_media_table(spark, sf_dir).where(
+        (F.col("media_type") == "image")
+        & (F.col("byte_len") > 0)
+        & (F.col("byte_len") == F.char_length(F.decode(F.col("payload"), "UTF-8")))
+    )
+    hashes = m.select(
+        "doc_id", "media_type", F.col("payload_enc").alias("payload")
+    ).mapInPandas(ahash_words, schema=AHASH_SCHEMA)
+    words = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("band"), F.col(f"w{w}").cast("long").alias("val")
+                    )
+                    for w in range(_AHASH_WORDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.val")
+    a, b = words.alias("a"), words.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_bands"))
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"w{w}").alias(f"a{w}") for w in range(_AHASH_WORDS)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"w{w}").alias(f"b{w}") for w in range(_AHASH_WORDS)],
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"a{w} ^ b{w}")) for w in range(_AHASH_WORDS)
+    ).cast("int")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", "shared_bands", ham.alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

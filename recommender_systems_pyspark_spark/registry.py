@@ -157,6 +157,7 @@ _GRADE_FIRST = (
     "x_random_walks",
     "x_compaction_plan",
     "x_vocab_coverage",
+    "x_media_ahash_pairs",
     # rest: the full r3-vintage cohort (oldest grades), oldest families first
     "x_contamination_ngrams",
     "x_sessionize_stats",

@@ -245,3 +245,64 @@ def test_vocab_coverage_monotone_and_replayed(spark, sf_dir):
         assert r.oov_types == max(0, len(ordered) - v)
         assert r.coverage_ppm >= prev_cov
         prev_cov = r.coverage_ppm
+
+
+# ---------------------------------------------------------------------------
+# x_media_ahash_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_media_ahash_numpy_replay(spark, sf_dir):
+    """Full-chain numpy replay from raw text: recompute every image's
+    64-bit aHash, re-derive banded candidates and Hamming distances —
+    the engine's pair ledger must match exactly (including the 4-band
+    pigeonhole guarantee: any pair with hamming <= 3 must be present)."""
+    import itertools
+
+    import numpy as np
+
+    from recommender_systems_pyspark_spark.multimodal.media import (
+        _AHASH_BITS,
+        _AHASH_WORDS,
+        x_media_ahash_pairs,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 3 = 0 AND length(text) > 0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    steps = np.arange(_AHASH_BITS, dtype=np.int64)
+    bits_by_doc = {}
+    for r in docs:
+        raw = r.text.encode()
+        if len(raw) != len(r.text):
+            continue  # non-ASCII rows are gated out on both sides
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        idx = steps * (len(buf) - 1) // (_AHASH_BITS - 1)
+        s = buf[idx].astype(np.int64)
+        bits_by_doc[r.doc_id] = (_AHASH_BITS * s >= s.sum()).astype(np.int64)
+
+    def words(bits):
+        return tuple(
+            int((bits[w * 16 : (w + 1) * 16] << np.arange(16)).sum())
+            for w in range(_AHASH_WORDS)
+        )
+
+    w_by_doc = {d: words(b) for d, b in bits_by_doc.items()}
+    expect = {}
+    for a, b in itertools.combinations(sorted(bits_by_doc), 2):
+        shared = sum(x == y for x, y in zip(w_by_doc[a], w_by_doc[b]))
+        if shared:
+            expect[(a, b)] = (shared, int((bits_by_doc[a] != bits_by_doc[b]).sum()))
+    got = {
+        (r.doc_a, r.doc_b): (r.shared_bands, r.hamming)
+        for r in x_media_ahash_pairs(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # pigeonhole: hamming <= 3 with 4 bands forces a shared band
+    for a, b in itertools.combinations(sorted(bits_by_doc), 2):
+        if int((bits_by_doc[a] != bits_by_doc[b]).sum()) <= 3:
+            assert (a, b) in got
