@@ -123,6 +123,8 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.functions.bloom",
     "recommender_systems_pyspark_spark.functions.dsir",
     "recommender_systems_pyspark_spark.operators.zorder",
+    # --- new in r9 --------------------------------------------------------
+    "recommender_systems_pyspark_spark.streaming.cdc_apply",
 )
 
 #: Round-9 grading window (the driver grades the FIRST 50 entries of
@@ -158,6 +160,7 @@ _GRADE_FIRST = (
     "x_compaction_plan",
     "x_vocab_coverage",
     "x_media_ahash_pairs",
+    "s12_cdc_apply",
     # rest: the full r3-vintage cohort (oldest grades), oldest families first
     "x_contamination_ngrams",
     "x_sessionize_stats",

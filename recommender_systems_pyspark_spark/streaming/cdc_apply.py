@@ -1,0 +1,177 @@
+"""Streaming CDC materialization — applying a change-data-capture feed
+(upserts AND deletes, version-ordered) to a keyed serving table via
+``foreachBatch``. The missing third of the streaming-maintenance story:
+s9 certifies additive upserts, s11 certifies restart recovery; this
+certifies LAST-WRITER-WINS semantics with tombstones — the shape a
+Debezium/Delta-CDF consumer actually materializes.
+
+The merge is commutative-associative by construction — per key, the
+winner is the row with the MAX version (versions are globally unique),
+op counts are additive, and DELETE winners persist as tombstones in the
+stored state (dropping them early would let a lower-version upsert in a
+later micro-batch resurrect the key). Batch boundaries therefore cannot
+change the final state, which is why a full SQL oracle (one-shot
+``arg_max`` over the whole feed) can hash-certify a real 4-micro-batch
+stream.
+
+Scale shape (100 TB feed): each micro-batch shuffles only its own rows
+(key-partitioned, map-side max_by); the state merge is one key-equi full
+outer join per batch against a keyed store (Delta/Iceberg MERGE at
+production scale — the write-new-and-swap here stands in for that
+transactional commit). Tombstones are compacted away on read, exactly
+like a log-structured table's.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+#: CDC op derivation: every 7th version is a DELETE for its key.
+_DELETE_MOD = 7
+_N_BATCHES = 4
+
+
+def changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic changefeed: one op per event — key = user_id,
+    version = event_id (globally unique), op = DELETE on every
+    ``_DELETE_MOD``-th version else UPSERT of ``value``."""
+    return load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_id").alias("version"),
+        F.col("value"),
+        F.when(F.col("event_id") % _DELETE_MOD == 0, "D").otherwise("U").alias("op"),
+    )
+
+
+def apply_cdc_batch(batch_df: DataFrame, state_dir: str) -> None:
+    """Apply one micro-batch of CDC ops: per key, reduce the batch to its
+    max-version row (map-side ``max_by``), then last-writer-wins merge
+    against the stored state. DELETE winners are KEPT as tombstones."""
+    spark = batch_df.sparkSession
+    inc = batch_df.groupBy("user_id").agg(
+        F.max("version").alias("i_version"),
+        F.max_by(F.struct("op", "value"), "version").alias("i_last"),
+        F.count("*").alias("i_ops"),
+    )
+    if os.path.exists(state_dir):
+        prev = spark.read.parquet(state_dir)
+        newer = F.col("i_version").isNotNull() & (
+            F.col("version").isNull() | (F.col("i_version") > F.col("version"))
+        )
+        zero = F.lit(0).cast("long")
+        merged = prev.join(inc, "user_id", "full").select(
+            "user_id",
+            F.when(newer, F.col("i_version")).otherwise(F.col("version")).alias(
+                "version"
+            ),
+            F.when(newer, F.col("i_last.op")).otherwise(F.col("op")).alias("op"),
+            F.when(newer, F.col("i_last.value")).otherwise(F.col("value")).alias(
+                "value"
+            ),
+            (F.coalesce("n_ops", zero) + F.coalesce("i_ops", zero)).alias("n_ops"),
+        )
+    else:
+        merged = inc.select(
+            "user_id",
+            F.col("i_version").alias("version"),
+            F.col("i_last.op").alias("op"),
+            F.col("i_last.value").alias("value"),
+            F.col("i_ops").alias("n_ops"),
+        )
+    tmp = state_dir + "_new"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    os.rename(tmp, state_dir)
+
+
+@query(
+    "s12_cdc_apply",
+    oracle=f"""
+    WITH feed AS (
+      SELECT user_id, event_id AS version, value,
+             CASE WHEN event_id % {_DELETE_MOD} = 0 THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    state AS (
+      SELECT user_id,
+             MAX(version) AS last_version,
+             arg_max(value, version) AS last_value,
+             arg_max(op, version) AS last_op,
+             COUNT(*) AS n_ops
+      FROM feed GROUP BY user_id
+    )
+    SELECT user_id, last_version, last_value, n_ops
+    FROM state WHERE last_op <> 'D'
+    ORDER BY user_id
+    """,
+)
+def s12_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the changefeed through a REAL 4-micro-batch stream (version-
+    quartile files, maxFilesPerTrigger=1) applying last-writer-wins CDC
+    with tombstoned deletes, and return the final serving table (deleted
+    keys absent). The oracle is the one-shot ``arg_max`` over the whole
+    feed — equality certifies the incremental materialization converges
+    to the batch answer regardless of micro-batch boundaries."""
+    import glob
+
+    d = tempfile.mkdtemp(prefix="s12_cdc_")
+    src, state = f"{d}/src", f"{d}/state"
+    try:
+        feed = changefeed(spark, sf_dir)
+        os.makedirs(src, exist_ok=True)
+        # stage version-quartile files with increasing mtimes so the file
+        # source replays the feed in version order (one scalar collect)
+        max_v = feed.agg(F.max("version")).collect()[0][0]
+        span = (max_v + _N_BATCHES) // _N_BATCHES
+        t0 = 1_700_000_000
+        for i in range(_N_BATCHES):
+            stage = os.path.join(src, f"_stage{i}")
+            feed.where(
+                (F.col("version") >= i * span) & (F.col("version") < (i + 1) * span)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch{i}.parquet")
+            os.rename(part, dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (t0 + i, t0 + i))
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, version bigint, value double, op string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, _id: apply_cdc_batch(batch_df, state)
+            )
+            .option("checkpointLocation", f"{d}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = (
+            spark.read.parquet(state)
+            .where(F.col("op") != "D")
+            .select(
+                "user_id",
+                F.col("version").alias("last_version"),
+                F.col("value").alias("last_value"),
+                "n_ops",
+            )
+            .orderBy("user_id")
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

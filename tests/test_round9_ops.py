@@ -306,3 +306,52 @@ def test_media_ahash_numpy_replay(spark, sf_dir):
     for a, b in itertools.combinations(sorted(bits_by_doc), 2):
         if int((bits_by_doc[a] != bits_by_doc[b]).sum()) <= 3:
             assert (a, b) in got
+
+
+# ---------------------------------------------------------------------------
+# s12_cdc_apply
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_batch_merge_is_order_free(spark, sf_dir):
+    """Apply the same changefeed in version order and in REVERSED batch
+    order through the batch-merge core — the final state must be
+    identical (the commutative last-writer-wins + tombstone contract that
+    makes the streaming query micro-batch-boundary-proof), and deleted
+    keys must stay deleted when a lower-version upsert arrives later."""
+    import os
+    import shutil
+    import tempfile
+
+    from recommender_systems_pyspark_spark.streaming.cdc_apply import (
+        apply_cdc_batch,
+        changefeed,
+    )
+
+    feed = changefeed(spark, sf_dir)
+    max_v = feed.agg(F.max("version")).collect()[0][0]
+    span = (max_v + 4) // 4
+    slices = [
+        feed.where((F.col("version") >= i * span) & (F.col("version") < (i + 1) * span))
+        for i in range(4)
+    ]
+
+    def run(order):
+        d = tempfile.mkdtemp(prefix="cdc_order_")
+        state = os.path.join(d, "state")
+        try:
+            for i in order:
+                apply_cdc_batch(slices[i], state)
+            rows = spark.read.parquet(state).collect()
+            return {r.user_id: (r.version, r.op, r.value, r.n_ops) for r in rows}
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    fwd = run([0, 1, 2, 3])
+    rev = run([3, 2, 1, 0])
+    assert fwd == rev
+    # tombstones exist in stored state and win over earlier versions
+    assert any(v[1] == "D" for v in fwd.values())
+    for _uid, (version, op, _val, _n) in fwd.items():
+        assert version is not None
+        assert op in ("D", "U")
