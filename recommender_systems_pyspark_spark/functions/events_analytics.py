@@ -785,3 +785,87 @@ def x_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s2").cast("long").alias("users_clicked_after_view"),
         F.sum("s3").cast("long").alias("users_strict_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift monitor: total-variation distance between cohorts
+# ---------------------------------------------------------------------------
+
+_DRIFT_BIN_W = 25   # equal-width value bins
+_DRIFT_BINS = 20    # bucket ids 0..19 (tail clamped)
+
+
+@query(
+    "x_tvd_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'ref' ELSE 'cur' END AS cohort,
+             LEAST(CAST(FLOOR(value / {_DRIFT_BIN_W}) AS BIGINT), {_DRIFT_BINS - 1})
+               AS bucket
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN cohort = 'ref' THEN 1 ELSE 0 END) AS ref_n,
+             SUM(CASE WHEN cohort = 'cur' THEN 1 ELSE 0 END) AS cur_n
+      FROM binned GROUP BY bucket
+    ),
+    totals AS (
+      SELECT SUM(ref_n) AS ref_total, SUM(cur_n) AS cur_total FROM counts
+    )
+    SELECT bucket,
+           CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(cur_n AS BIGINT) AS cur_n,
+           CAST(ref_n * 1000000 // ref_total AS BIGINT) AS ref_ppm,
+           CAST(cur_n * 1000000 // cur_total AS BIGINT) AS cur_ppm,
+           CAST(ABS(ref_n * 1000000 // ref_total
+                    - cur_n * 1000000 // cur_total) AS BIGINT) AS abs_diff_ppm
+    FROM counts CROSS JOIN totals
+    ORDER BY bucket
+    """,
+)
+def x_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two event cohorts (reference =
+    clicks, current = purchases): equal-width value histogram per cohort
+    in exact integer parts-per-million shares; the per-bucket
+    ``abs_diff_ppm`` column sums to 2,000,000 × the total-variation
+    distance. Log-free by design — PSI/KL need ln(), whose last-ulp
+    varies across engines; TVD certifies the same "did the ingest
+    distribution move" question in integer arithmetic a hash gate can
+    verify.
+
+    Scale: one map-side bucket projection + one 20-key hash aggregate
+    over the cohort stream; the totals are a broadcast scalar pair. At
+    100 TB the monitor runs per ingest tick over the new slice vs the
+    published reference histogram (a 20-row artifact, not a rescan)."""
+    ev = tables(spark, sf_dir)["events"].where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    binned = ev.select(
+        F.when(F.col("event_type") == "click", "ref").otherwise("cur").alias("cohort"),
+        F.least(
+            F.floor(F.col("value") / _DRIFT_BIN_W).cast("bigint"),
+            F.lit(_DRIFT_BINS - 1).cast("bigint"),
+        ).alias("bucket"),
+    )
+    counts = binned.groupBy("bucket").agg(
+        F.sum(F.when(F.col("cohort") == "ref", 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(F.col("cohort") == "cur", 1).otherwise(0)).alias("cur_n"),
+    )
+    totals = counts.agg(
+        F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
+    )
+    ref_ppm = F.expr("CAST(ref_n * 1000000 DIV ref_total AS BIGINT)")
+    cur_ppm = F.expr("CAST(cur_n * 1000000 DIV cur_total AS BIGINT)")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.col("ref_n").cast("bigint").alias("ref_n"),
+            F.col("cur_n").cast("bigint").alias("cur_n"),
+            ref_ppm.alias("ref_ppm"),
+            cur_ppm.alias("cur_ppm"),
+            F.abs(ref_ppm - cur_ppm).cast("bigint").alias("abs_diff_ppm"),
+        )
+        .orderBy("bucket")
+    )

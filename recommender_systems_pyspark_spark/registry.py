@@ -161,6 +161,7 @@ _GRADE_FIRST = (
     "x_vocab_coverage",
     "x_media_ahash_pairs",
     "s12_cdc_apply",
+    "x_tvd_drift",
     # rest: the full r3-vintage cohort (oldest grades), oldest families first
     "x_contamination_ngrams",
     "x_sessionize_stats",

@@ -355,3 +355,44 @@ def test_cdc_apply_batch_merge_is_order_free(spark, sf_dir):
     for _uid, (version, op, _val, _n) in fwd.items():
         assert version is not None
         assert op in ("D", "U")
+
+
+# ---------------------------------------------------------------------------
+# x_tvd_drift
+# ---------------------------------------------------------------------------
+
+
+def test_tvd_drift_replay_and_bounds(spark, sf_dir):
+    """Pandas replay of the histogram + ppm math; TVD (= Σ|diff|/2e6) is
+    in [0,1]; shares each sum to ~1e6 (floor rounding loses < n_buckets)."""
+    from recommender_systems_pyspark_spark.functions.events_analytics import (
+        _DRIFT_BIN_W,
+        _DRIFT_BINS,
+        x_tvd_drift,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    rows = x_tvd_drift(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    )
+    from collections import Counter
+
+    ref, cur = Counter(), Counter()
+    for r in ev:
+        b = min(int(r.value // _DRIFT_BIN_W), _DRIFT_BINS - 1)
+        (ref if r.event_type == "click" else cur)[b] += 1
+    rt, ct = sum(ref.values()), sum(cur.values())
+    for r in rows:
+        assert r.ref_n == ref.get(r.bucket, 0)
+        assert r.cur_n == cur.get(r.bucket, 0)
+        assert r.ref_ppm == r.ref_n * 1_000_000 // rt
+        assert r.cur_ppm == r.cur_n * 1_000_000 // ct
+        assert r.abs_diff_ppm == abs(r.ref_ppm - r.cur_ppm)
+    tvd = sum(r.abs_diff_ppm for r in rows) / 2_000_000
+    assert 0.0 <= tvd <= 1.0
+    assert sum(r.ref_ppm for r in rows) > 1_000_000 - _DRIFT_BINS
+    assert sum(r.cur_ppm for r in rows) > 1_000_000 - _DRIFT_BINS
