@@ -87,6 +87,20 @@ RECORD_ONLY = [
     "x_snapshot_diff",
     "x_forget_users",
     "x_schema_evolution",
+    # Round-9 shapes (own baselines from this round's first recording):
+    # hybrid retrieval fusion, graph walk corpus prep, layout maintenance,
+    # tokenizer sizing, perceptual image near-dup, streaming CDC, drift.
+    # x_cluster_safe_split is deliberately NOT benched: its Spark side
+    # reuses the quadratic ground-truth pair join (same rule that keeps
+    # x_dedup_clusters out of the bench — the scale path feeds the same
+    # audit from LSH pairs).
+    "x_hybrid_rrf",
+    "x_random_walks",
+    "x_compaction_plan",
+    "x_vocab_coverage",
+    "x_media_ahash_pairs",
+    "s12_cdc_apply",
+    "x_tvd_drift",
 ]
 
 

@@ -155,6 +155,28 @@ _RRF_C = 60    # RRF smoothing constant
 _SQL_RRF_CONTRIB = "CAST(CAST(1 AS DOUBLE) / (60 + {r}) AS DECIMAL(18,9))"
 
 
+def _ranked_topk(df, score, ascending_id: str, k: int, alias: str):
+    """Rank a candidate frame's top-``k`` by (score desc, id asc) WITHOUT a
+    window or range shuffle: TakeOrderedAndProject selects the k rows,
+    then ONE aggregation packs them as sort_array(collect_list(struct(-score,
+    id))) — lexicographic struct order = (score desc, id asc) — and
+    posexplode re-emits (rank, id). Constant k keeps the packed row tiny;
+    this replaces two range-repartition + localCheckpoint stages the
+    general distributed ranker would spend on a 20-row frame."""
+    top = df.orderBy(score.desc(), ascending_id).limit(k)
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-score).alias("ns"), F.col(ascending_id)))
+        ).alias("arr")
+    )
+    return packed.select(
+        F.posexplode("arr").alias("pos", "s")
+    ).select(
+        F.col(f"s.{ascending_id}").alias(ascending_id),
+        (F.col("pos") + 1).cast("int").alias(alias),
+    )
+
+
 @query(
     "x_hybrid_rrf",
     oracle=f"""
@@ -225,8 +247,6 @@ def x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     against document 0's embedding, each contributing its top-20. RRF
     contributions are decimal-quantized doubles so the fused score is
     hash-stable; candidates outside one leg fuse with a single term."""
-    from ..operators.ranking import with_global_row_number
-
     t = tables(spark, sf_dir)
     docs = t["documents"].where(F.col("doc_id") != 0)
 
@@ -257,11 +277,7 @@ def x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("term_score").alias("s"))
     )
-    lex_top = bm25.orderBy(F.col("s").desc(), "doc_id").limit(_FUSE_K)
-    lex, _ = with_global_row_number(
-        lex_top, [F.col("s").desc(), F.col("doc_id")], alias="lex_rank"
-    )
-    lex = lex.select("doc_id", F.col("lex_rank").cast("int").alias("lex_rank"))
+    lex = _ranked_topk(bm25, F.col("s"), "doc_id", _FUSE_K, "lex_rank")
 
     # --- semantic leg: cosine vs doc 0's embedding ----------------------
     from .similarity import cosine
@@ -276,11 +292,7 @@ def x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("embedding"), F.col("qv")).alias("c"),
         )
     )
-    sem_top = cos.orderBy(F.col("c").desc(), "doc_id").limit(_FUSE_K)
-    sem, _ = with_global_row_number(
-        sem_top, [F.col("c").desc(), F.col("doc_id")], alias="sem_rank"
-    )
-    sem = sem.select("doc_id", F.col("sem_rank").cast("int").alias("sem_rank"))
+    sem = _ranked_topk(cos, F.col("c"), "doc_id", _FUSE_K, "sem_rank")
 
     # --- fusion: two K-row frames, O(K) ---------------------------------
     zero = F.lit(0).cast("decimal(18,9)")
