@@ -116,6 +116,15 @@ DEFAULT_QUERIES = [
     "x_label_propagation",
     "x_ingest_gate_e2e",
     "x_kcore_layers",
+    # round-9 additions
+    "x_hybrid_rrf",
+    "x_random_walks",
+    "x_compaction_plan",
+    "x_vocab_coverage",
+    "x_media_ahash_pairs",
+    "x_tvd_drift",
+    "x_length_bucketing",
+    "x_target_encoding",
 ]
 
 

@@ -93,6 +93,17 @@ DEFAULT_QUERIES = (
     "x_dsir_select",
     "x_decontam_e2e",
     "x_kcore_layers",
+    # round-9 additions: retrieval fusion, walk corpus prep, tokenizer
+    # sizing, perceptual image near-dup, compaction planning, streaming
+    # CDC apply, drift monitor. x_cluster_safe_split is excluded — its
+    # Spark side reuses the quadratic ground-truth pair join by design.
+    "x_hybrid_rrf",
+    "x_random_walks",
+    "x_vocab_coverage",
+    "x_media_ahash_pairs",
+    "x_compaction_plan",
+    "s12_cdc_apply",
+    "x_tvd_drift",
 )
 
 
