@@ -796,3 +796,193 @@ def x_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "shared_bands", ham.alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio analysis: signal energy + zero-crossing profile over decoded PCM
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = "doc_id bigint, n_samples bigint, energy bigint, zero_crossings bigint"
+_PCM_MID = 128  # unsigned-8-bit PCM midpoint
+
+
+def audio_energy_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio feature stage: decode the REAL WAV container to u8 PCM and
+    compute, in exact integer arithmetic, the signal energy
+    (Σ (s−128)²) and the zero-crossing count (sign flips around the
+    midpoint, ``(s_i < 128) != (s_{i+1} < 128)``) — the two cheapest
+    signals an audio-quality gate thresholds (silence / DC payloads have
+    near-zero energy; noise has a high crossing rate)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload, byte_len in zip(
+            pdf["doc_id"], pdf["payload"], pdf["byte_len"]
+        ):
+            pcm = decode_any(bytes(payload), "audio")[: int(byte_len)].astype(np.int64)
+            dev = pcm - _PCM_MID
+            below = pcm < _PCM_MID
+            zc = int(np.count_nonzero(below[:-1] != below[1:])) if len(pcm) > 1 else 0
+            rows.append((doc_id, len(pcm), int((dev * dev).sum()), zc))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_samples", "energy", "zero_crossings"]
+        )
+
+
+@query(
+    "x_audio_energy",
+    oracle=f"""
+    WITH audio AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 = 1 AND length(text) > 0
+        AND octet_length(encode(text)) = length(text)
+    ),
+    samples AS (
+      SELECT doc_id, f.i, ord(substr(text, f.i, 1)) AS s
+      FROM audio, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) f
+    ),
+    stepped AS (
+      SELECT doc_id, s,
+             lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      FROM samples
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_samples,
+           CAST(SUM((s - {_PCM_MID}) * (s - {_PCM_MID})) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN nxt IS NOT NULL
+                          AND (s < {_PCM_MID}) <> (nxt < {_PCM_MID})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM stepped
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def x_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-audio-document signal profile over DECODED PCM: exact integer
+    energy (Σ (s−128)²) and midpoint zero-crossing count — the
+    silence/noise gate of an audio ingest pipeline. One map-only
+    Arrow-batched pass over the WAV blobs (decode included); no shuffle
+    at all — the aggregate is per item, inside the pandas stage. The
+    oracle replays both statistics from the ASCII payload bytes (the
+    WAV decode round-trips the source bytes, same contract as the other
+    media oracles)."""
+    m = encoded_media_table(spark, sf_dir).where(
+        (F.col("media_type") == "audio")
+        & (F.col("byte_len") > 0)
+        & (F.col("byte_len") == F.char_length(F.decode(F.col("payload"), "UTF-8")))
+    )
+    return (
+        m.select("doc_id", F.col("payload_enc").alias("payload"), "byte_len")
+        .mapInPandas(audio_energy_stats, schema=AUDIO_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video analysis: shot-boundary detection over demuxed frames
+# ---------------------------------------------------------------------------
+
+SHOTS_SCHEMA = (
+    "doc_id bigint, n_frames bigint, n_pairs bigint,"
+    " total_abs_diff bigint, n_boundaries bigint"
+)
+_SHOT_TAU = 28  # boundary when mean abs frame diff exceeds this (integer gate)
+
+
+def shot_boundary_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Shot-boundary stage: demux the REAL Y4M container with the genuine
+    parser, trim the final frame's alignment pad via the byte_len sidecar,
+    and score every consecutive frame pair with the exact integer sum of
+    absolute luma differences over their overlap; a pair is a boundary
+    when ``sum > τ·n`` (integer compare — no float mean)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload, byte_len in zip(
+            pdf["doc_id"], pdf["payload"], pdf["byte_len"]
+        ):
+            frames = demux_frames(bytes(payload))
+            trimmed = []
+            remaining = int(byte_len)
+            for fr in frames:
+                take = min(len(fr), remaining)
+                trimmed.append(np.frombuffer(fr[:take], dtype=np.uint8))
+                remaining -= take
+            pairs = 0
+            total = 0
+            bounds = 0
+            for a, b in zip(trimmed, trimmed[1:]):
+                n = min(len(a), len(b))
+                if n == 0:
+                    continue
+                d = int(np.abs(a[:n].astype(np.int64) - b[:n].astype(np.int64)).sum())
+                pairs += 1
+                total += d
+                if d > _SHOT_TAU * n:
+                    bounds += 1
+            rows.append((doc_id, len(trimmed), pairs, total, bounds))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_frames", "n_pairs", "total_abs_diff", "n_boundaries"],
+        )
+
+
+@query(
+    "x_video_shot_boundaries",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 = 2 AND length(text) > 0
+        AND octet_length(encode(text)) = length(text)
+    ),
+    diffs AS (
+      SELECT doc_id, (f.i - 1) // {FRAME_BYTES} AS pair_k,
+             ABS(ord(substr(text, f.i, 1))
+                 - ord(substr(text, f.i + {FRAME_BYTES}, 1))) AS d
+      FROM vids,
+           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) f
+      WHERE f.i + {FRAME_BYTES} <= length(text)
+    ),
+    per_pair AS (
+      SELECT doc_id, pair_k, SUM(d) AS sum_d, COUNT(*) AS n
+      FROM diffs GROUP BY doc_id, pair_k
+    )
+    SELECT v.doc_id,
+           (length(v.text) + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS n_frames,
+           CAST(COALESCE(COUNT(p.pair_k), 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(p.sum_d), 0) AS BIGINT) AS total_abs_diff,
+           CAST(COALESCE(SUM(CASE WHEN p.sum_d > {_SHOT_TAU} * p.n THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_boundaries
+    FROM vids v LEFT JOIN per_pair p USING (doc_id)
+    GROUP BY v.doc_id, v.text
+    ORDER BY v.doc_id
+    """,
+)
+def x_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over DECODED video: demux Y4M frames,
+    score consecutive pairs with the exact integer sum of absolute luma
+    differences, and flag boundaries where the mean difference exceeds
+    τ={tau} (as the integer compare ``sum > τ·n`` — no float mean). The
+    keyframe/segmentation primitive of a video ingest pipeline, emitted
+    as a per-video ledger (frame count, pair count, total motion,
+    boundary count).
+
+    Map-only: demux + scoring happen inside one Arrow-batched pandas
+    stage, no shuffle; at 100 TB the stage parallelizes per blob and the
+    ledger is the only output that moves. The oracle replays frames as
+    {fb}-byte windows of the ASCII payload (the Y4M demux round-trips
+    the source bytes after pad trimming — certified by the frame-sample
+    oracle)."""
+    m = encoded_media_table(spark, sf_dir).where(
+        (F.col("media_type") == "video")
+        & (F.col("byte_len") > 0)
+        & (F.col("byte_len") == F.char_length(F.decode(F.col("payload"), "UTF-8")))
+    )
+    return (
+        m.select("doc_id", F.col("payload_enc").alias("payload"), "byte_len")
+        .mapInPandas(shot_boundary_stats, schema=SHOTS_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+x_video_shot_boundaries.__doc__ = x_video_shot_boundaries.__doc__.format(
+    tau=_SHOT_TAU, fb=FRAME_BYTES
+)

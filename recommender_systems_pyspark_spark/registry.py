@@ -142,8 +142,10 @@ _QUERY_MODULES = (
 #:         rows trimmed from the r8 window — drift-guard, same rationale
 #:         as the r5-r8 rotations. Rows that no longer fit the 50-slot
 #:         window head the ROUND-10 queue below.
-#: ROUND-10 QUEUE (if this window grades green): any r3-vintage rows
-#: trimmed from the tail below, then the r5 cohort (x_dedup_minhash_lsh,
+#: ROUND-10 QUEUE (if this window grades green): the r9-registered
+#: queries that landed after this window filled (x_audio_energy,
+#: x_video_shot_boundaries — both sf0.01 oracle-green locally), then any
+#: r3-vintage rows trimmed from the tail below, then the r5 cohort (x_dedup_minhash_lsh,
 #: x_knn_ivf_topk, x_embed_kmeans/pq, s7_stream_dedup, tpch_q1, asof
 #: j8/j9, a15-a19, trends/warehouse families, …).
 _GRADE_FIRST = (

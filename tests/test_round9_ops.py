@@ -396,3 +396,83 @@ def test_tvd_drift_replay_and_bounds(spark, sf_dir):
     assert 0.0 <= tvd <= 1.0
     assert sum(r.ref_ppm for r in rows) > 1_000_000 - _DRIFT_BINS
     assert sum(r.cur_ppm for r in rows) > 1_000_000 - _DRIFT_BINS
+
+
+# ---------------------------------------------------------------------------
+# x_audio_energy / x_video_shot_boundaries (registered r9, graded r10)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_energy_numpy_replay(spark, sf_dir):
+    import numpy as np
+
+    from recommender_systems_pyspark_spark.multimodal.media import (
+        _PCM_MID,
+        x_audio_energy,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    got = {r.doc_id: r for r in x_audio_energy(spark, sf_dir).collect()}
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 3 = 1 AND length(text) > 0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n_checked = 0
+    for d in docs:
+        raw = d.text.encode()
+        if len(raw) != len(d.text):
+            continue
+        s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        r = got[d.doc_id]
+        assert r.n_samples == len(s)
+        assert r.energy == int(((s - _PCM_MID) ** 2).sum())
+        below = s < _PCM_MID
+        assert r.zero_crossings == int(np.count_nonzero(below[:-1] != below[1:]))
+        n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_video_shot_boundaries_numpy_replay(spark, sf_dir):
+    import numpy as np
+
+    from recommender_systems_pyspark_spark.multimodal.media import (
+        FRAME_BYTES,
+        _SHOT_TAU,
+        x_video_shot_boundaries,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    got = {r.doc_id: r for r in x_video_shot_boundaries(spark, sf_dir).collect()}
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 3 = 2 AND length(text) > 0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n_checked = 0
+    for d in docs:
+        raw = d.text.encode()
+        if len(raw) != len(d.text):
+            continue
+        b = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        frames = [b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                  for i in range((len(b) + FRAME_BYTES - 1) // FRAME_BYTES)]
+        pairs = total = bounds = 0
+        for a, c in zip(frames, frames[1:]):
+            n = min(len(a), len(c))
+            if n == 0:
+                continue
+            dsum = int(np.abs(a[:n] - c[:n]).sum())
+            pairs += 1
+            total += dsum
+            if dsum > _SHOT_TAU * n:
+                bounds += 1
+        r = got[d.doc_id]
+        assert (r.n_frames, r.n_pairs, r.total_abs_diff, r.n_boundaries) == (
+            len(frames), pairs, total, bounds,
+        )
+        assert r.n_boundaries <= r.n_pairs <= max(0, r.n_frames - 1)
+        n_checked += 1
+    assert n_checked == len(got) > 0
