@@ -645,3 +645,72 @@ def x_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category", "fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling: sequential Poisson (πps) per-stratum subsample
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 10  # sample size per language stratum
+
+
+@query(
+    "x_weighted_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT lang, doc_id, n_chars,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0) / CAST(n_chars AS DOUBLE) AS priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT lang, doc_id, n_chars, priority,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY priority, doc_id) AS rk
+      FROM pri
+    )
+    WHERE rk <= {_WSAMPLE_K}
+    ORDER BY lang, rank
+    """,
+)
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, probability ∝ size:
+    sequential Poisson sampling (Ohlsson 1998 — the πps estimator behind
+    several national CPI samples): each row gets priority u/w where u is
+    its md5 hash fraction (exact: 32-bit hash integer / 2³²) and w its
+    weight (n_chars); the k smallest priorities per stratum are the
+    sample. Both divisions are single IEEE ops on exactly-representable
+    operands, so the priorities — and the selected SET — are bit-identical
+    in any engine, stable under repartitioning, and reproducible without
+    RNG state. The weighted face of `x_quota_sample`'s uniform top-k:
+    quality- or length-weighted corpus subsampling at 100 TB is this
+    exact plan — map-side priority, per-stratum top-k heaps, no global
+    sort, no sampling pass over the data twice."""
+    docs = tables(spark, sf_dir)["documents"].where(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    pri = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (u / F.col("n_chars").cast("double")).alias("priority"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        pri.select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= _WSAMPLE_K)
+        .orderBy("lang", "rank")
+    )

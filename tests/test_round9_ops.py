@@ -476,3 +476,46 @@ def test_video_shot_boundaries_numpy_replay(spark, sf_dir):
         assert r.n_boundaries <= r.n_pairs <= max(0, r.n_frames - 1)
         n_checked += 1
     assert n_checked == len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# x_weighted_sample (registered r9, graded r10)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_python_replay_and_weight_bias(spark, sf_dir):
+    """Exact hashlib replay of the sequential-Poisson priorities and the
+    per-stratum selection; the sample must also show the πps property on
+    this fixture: mean sampled weight above the stratum mean weight."""
+    import hashlib
+
+    from recommender_systems_pyspark_spark.functions.strata import (
+        _WSAMPLE_K,
+        x_weighted_sample,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("n_chars > 0")
+        .select("lang", "doc_id", "n_chars")
+        .collect()
+    )
+    by_lang = {}
+    for d in docs:
+        u = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:8], 16) / 4294967296.0
+        by_lang.setdefault(d.lang, []).append((u / d.n_chars, d.doc_id, d.n_chars))
+    expect = {}
+    for lang, rows in by_lang.items():
+        rows.sort()
+        for rk, (_, doc_id, w) in enumerate(rows[:_WSAMPLE_K], start=1):
+            expect[(lang, doc_id)] = (w, rk)
+    got = {
+        (r.lang, r.doc_id): (r.weight, r.rank)
+        for r in x_weighted_sample(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # πps weight bias: sampled mean weight >= stratum mean weight overall
+    sampled_mean = sum(w for w, _ in got.values()) / len(got)
+    corpus_mean = sum(d.n_chars for d in docs) / len(docs)
+    assert sampled_mean > corpus_mean
