@@ -101,6 +101,9 @@ RECORD_ONLY = [
     "x_media_ahash_pairs",
     "s12_cdc_apply",
     "x_tvd_drift",
+    "x_audio_energy",
+    "x_video_shot_boundaries",
+    "x_weighted_sample",
 ]
 
 

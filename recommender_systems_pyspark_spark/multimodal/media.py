@@ -750,9 +750,14 @@ def x_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("byte_len") > 0)
         & (F.col("byte_len") == F.char_length(F.decode(F.col("payload"), "UTF-8")))
     )
-    hashes = m.select(
-        "doc_id", "media_type", F.col("payload_enc").alias("payload")
-    ).mapInPandas(ahash_words, schema=AHASH_SCHEMA)
+    # the hash frame feeds the band unpivot AND both sides of the
+    # Hamming join — pin it so the Arrow decode stage runs ONCE (at scale
+    # the hashes are a persisted per-corpus artifact anyway)
+    hashes = (
+        m.select("doc_id", "media_type", F.col("payload_enc").alias("payload"))
+        .mapInPandas(ahash_words, schema=AHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
     words = hashes.select(
         "doc_id",
         F.explode(

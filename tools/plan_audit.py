@@ -125,6 +125,9 @@ DEFAULT_QUERIES = [
     "x_tvd_drift",
     "x_length_bucketing",
     "x_target_encoding",
+    "x_audio_energy",
+    "x_video_shot_boundaries",
+    "x_weighted_sample",
 ]
 
 
