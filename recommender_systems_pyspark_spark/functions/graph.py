@@ -402,6 +402,59 @@ def x_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_safe_split_core(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The pair-source-parameterized split + audit: components over the
+    given ``(src, dst)`` near-dup pairs, split hashed on cluster_id
+    (80/10/10), per-split stats, and the COMPUTED cross-split leakage
+    count over the same pairs. ``x_cluster_safe_split`` feeds the
+    SQL-expressible ground-truth pair join (so DuckDB can verify); the
+    100 TB path feeds :func:`..dedup.jaccard_join_pairs` (PPJoin,
+    lossless at the same τ=0.8 — pytest proves both sources yield the
+    IDENTICAL split) or a MinHash-LSH candidate stream."""
+    from .strata import split_bucket
+
+    comp = connected_components(pairs, docs.select(F.col("doc_id").alias("id"))).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    bucket = split_bucket(F.col("cluster_id"))
+    asg = comp.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    stats = (
+        asg.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    sp = asg.select("doc_id", "split")
+    straddle = (
+        pairs.join(sp.withColumnsRenamed({"doc_id": "src", "split": "split_a"}), "src")
+        .join(sp.withColumnsRenamed({"doc_id": "dst", "split": "split_b"}), "dst")
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    leak = (
+        straddle.select(F.explode(F.array("split_a", "split_b")).alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("leaked"))
+    )
+    return (
+        stats.join(leak, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "total_chars",
+            F.coalesce(F.col("leaked"), F.lit(0).cast("bigint")).alias("leaked_pairs"),
+        )
+        .orderBy("split")
+    )
+
+
 @query(
     "x_cluster_safe_split",
     oracle=f"""
@@ -459,35 +512,18 @@ def x_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     not document — is hashed to a split (md5 bucket of cluster_id,
     80/10/10), so no near-duplicate pair can straddle the holdout
     boundary (the classic eval-contamination leak a doc-keyed split
-    invites). ``leaked_pairs`` is COMPUTED from the ground-truth pair
-    graph — a wrong assignment breaks the hash, not just an assertion.
+    invites). ``leaked_pairs`` is COMPUTED from the pair graph — a wrong
+    assignment breaks the hash, not just an assertion.
 
     Scale: cluster assignment is one map-side md5 over the components
     output (itself the certified star-contraction loop); the audit join
-    streams the pair list against the broadcast-size split table. At
-    100 TB the pair stream comes from MinHash-LSH instead of the
-    SQL-expressible ground-truth join — same schema, same audit."""
+    streams the pair list against the broadcast-size split table. This
+    registered face feeds the SQL-expressible ground-truth pair join so
+    DuckDB can verify; the scale path is the SAME
+    :func:`cluster_safe_split_core` fed by the lossless PPJoin pair
+    generator — pytest-proven to yield the identical split."""
     t = tables(spark, sf_dir)
     docs = t["documents"]
-    from .strata import split_bucket
-
-    comp = x_dedup_clusters(spark, sf_dir)
-    bucket = split_bucket(F.col("cluster_id"))
-    asg = comp.select(
-        "doc_id",
-        "cluster_id",
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
-    )
-    stats = (
-        asg.join(docs.select("doc_id", "n_chars"), "doc_id")
-        .groupBy("split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct("cluster_id").alias("n_clusters"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-        )
-    )
-    # ground-truth near-dup pairs (same generator as x_dedup_clusters)
     s = docs.select("doc_id", shingles().alias("sh"))
     a = s.alias("a")
     b = s.alias("b")
@@ -496,25 +532,4 @@ def x_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jaccard(F.col("a.sh"), F.col("b.sh")) >= 0.8)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
-    sp = asg.select("doc_id", "split")
-    straddle = (
-        pairs.join(sp.withColumnsRenamed({"doc_id": "src", "split": "split_a"}), "src")
-        .join(sp.withColumnsRenamed({"doc_id": "dst", "split": "split_b"}), "dst")
-        .where(F.col("split_a") != F.col("split_b"))
-    )
-    leak = (
-        straddle.select(F.explode(F.array("split_a", "split_b")).alias("split"))
-        .groupBy("split")
-        .agg(F.count("*").alias("leaked"))
-    )
-    return (
-        stats.join(leak, "split", "left")
-        .select(
-            "split",
-            "n_docs",
-            "n_clusters",
-            "total_chars",
-            F.coalesce(F.col("leaked"), F.lit(0).cast("bigint")).alias("leaked_pairs"),
-        )
-        .orderBy("split")
-    )
+    return cluster_safe_split_core(docs, pairs)

@@ -519,3 +519,31 @@ def test_weighted_sample_python_replay_and_weight_bias(spark, sf_dir):
     sampled_mean = sum(w for w, _ in got.values()) / len(got)
     corpus_mean = sum(d.n_chars for d in docs) / len(docs)
     assert sampled_mean > corpus_mean
+
+
+def test_cluster_safe_split_scale_path_identical(spark, sf_dir):
+    """The 100 TB face: feeding cluster_safe_split_core the lossless
+    PPJoin pair generator (sub-quadratic) must yield the IDENTICAL split
+    ledger as the registered ground-truth-pair face — the certification
+    that the scale path and the oracle-verified path are the same
+    operator."""
+    from recommender_systems_pyspark_spark.functions.dedup import jaccard_join_pairs
+    from recommender_systems_pyspark_spark.functions.graph import (
+        cluster_safe_split_core,
+        x_cluster_safe_split,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ppjoin_pairs = jaccard_join_pairs(docs.select("doc_id", "text")).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    via_ppjoin = {
+        r.split: (r.n_docs, r.n_clusters, r.total_chars, r.leaked_pairs)
+        for r in cluster_safe_split_core(docs, ppjoin_pairs).collect()
+    }
+    registered = {
+        r.split: (r.n_docs, r.n_clusters, r.total_chars, r.leaked_pairs)
+        for r in x_cluster_safe_split(spark, sf_dir).collect()
+    }
+    assert via_ppjoin == registered
