@@ -38,17 +38,16 @@ ROWS_ONLY_BY_DESIGN = {
 #: AND are not yet queued in _GRADE_FIRST. Adding a query without either
 #: queueing it or listing it here fails the ledger — the list must be
 #: emptied into _GRADE_FIRST when the next window is planned.
-# r7 pendings (x_bucketed_join + the three orphaned-module queries) drained
-# into the round-8 _GRADE_FIRST window (slots 1-4). Names below are queries
-# newly registered in r8 and not yet slotted into the window (the 50-slot
-# r8 window was already full of first-grades + the re-grade rotation);
-# they head the round-9 window.
+# r8 pendings (length bucketing / target encoding / snapshot diff /
+# forget-users / schema evolution) drained into the round-9 _GRADE_FIRST
+# window (slots 1-5). Names below are queries newly registered in r9 and
+# not yet slotted into the window (the 50-slot r9 window was already full
+# of first-grades + the r3-vintage re-grade rotation); they head the
+# round-10 window.
 PENDING_FIRST_GRADE: set[str] = {
-    "x_length_bucketing",
-    "x_target_encoding",
-    "x_snapshot_diff",
-    "x_forget_users",
-    "x_schema_evolution",
+    "x_audio_energy",
+    "x_video_shot_boundaries",
+    "x_weighted_sample",
 }
 
 
