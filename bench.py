@@ -104,6 +104,7 @@ RECORD_ONLY = [
     "x_audio_energy",
     "x_video_shot_boundaries",
     "x_weighted_sample",
+    "x_fd_profile",
 ]
 
 

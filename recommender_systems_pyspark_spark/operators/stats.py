@@ -986,3 +986,75 @@ def x_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_c").desc(), "item_a", "item_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency / column-correlation profile (ANALYZE statistics)
+# ---------------------------------------------------------------------------
+
+#: (table, determinant column, dependent column) pairs profiled — one
+#: perfect FD (nation key → name), one hierarchical partial (brand →
+#: type), and three independence-suspect pairs the optimizer would
+#: otherwise assume uncorrelated.
+_FD_PAIRS = (
+    ("nation", "n_nationkey", "n_name"),
+    ("part", "p_brand", "p_type"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = [
+        f"""
+    SELECT '{t}' AS tbl, '{a}' AS lhs, '{b}' AS rhs,
+           COUNT(DISTINCT {a}) AS ndv_lhs,
+           COUNT(DISTINCT {b}) AS ndv_rhs,
+           COUNT(DISTINCT ({a}, {b})) AS ndv_pair,
+           COUNT(DISTINCT {a}) = COUNT(DISTINCT ({a}, {b})) AS fd_holds,
+           CAST(COUNT(DISTINCT {a}) * 1000000
+                // COUNT(DISTINCT ({a}, {b})) AS BIGINT) AS strength_ppm
+    FROM {t}"""
+        for t, a, b in _FD_PAIRS
+    ]
+    return "\n    UNION ALL".join(parts) + "\n    ORDER BY tbl, lhs, rhs"
+
+
+@query("x_fd_profile", oracle=_fd_oracle())
+def x_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency strength profile — the ANALYZE statistic a
+    cost-based optimizer needs to avoid the independence assumption:
+    for each (determinant, dependent) column pair, the three distinct
+    counts and ``strength_ppm = 1e6·ndv(lhs)/ndv(lhs,rhs)`` (1e6 ⇔ a
+    perfect FD: the pair adds no entropy; smaller ⇔ the dependent
+    fans out). Complements `x_join_size_estimate` (histograms) and
+    `a17_table_profile` (single-column stats) with CROSS-column
+    structure.
+
+    Scale: one distinct-aggregate per profiled pair over its own scan —
+    at 100 TB each becomes approx_count_distinct over one pass (the
+    exact counts here keep the oracle hash-exact); no joins, no
+    windows, constant output."""
+    t = tables(spark, sf_dir)
+    outs = []
+    for tbl, a, b in _FD_PAIRS:
+        outs.append(
+            t[tbl].agg(
+                F.lit(tbl).alias("tbl"),
+                F.lit(a).alias("lhs"),
+                F.lit(b).alias("rhs"),
+                F.countDistinct(a).alias("ndv_lhs"),
+                F.countDistinct(b).alias("ndv_rhs"),
+                F.countDistinct(a, b).alias("ndv_pair"),
+                (F.countDistinct(a) == F.countDistinct(a, b)).alias("fd_holds"),
+                F.expr(
+                    f"CAST(COUNT(DISTINCT {a}) * 1000000"
+                    f" DIV COUNT(DISTINCT {a}, {b}) AS BIGINT)"
+                ).alias("strength_ppm"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("tbl", "lhs", "rhs")

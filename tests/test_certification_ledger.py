@@ -45,6 +45,7 @@ ROWS_ONLY_BY_DESIGN = {
 # of first-grades + the r3-vintage re-grade rotation); they head the
 # round-10 window.
 PENDING_FIRST_GRADE: set[str] = {
+    "x_fd_profile",
     "x_audio_energy",
     "x_video_shot_boundaries",
     "x_weighted_sample",

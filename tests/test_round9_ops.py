@@ -547,3 +547,24 @@ def test_cluster_safe_split_scale_path_identical(spark, sf_dir):
         for r in x_cluster_safe_split(spark, sf_dir).collect()
     }
     assert via_ppjoin == registered
+
+
+# ---------------------------------------------------------------------------
+# x_fd_profile (registered r9, graded r10)
+# ---------------------------------------------------------------------------
+
+
+def test_fd_profile_semantics(spark, sf_dir):
+    """The nation key→name pair must be a perfect FD (strength exactly
+    1e6); every strength is in (0, 1e6]; fd_holds ⇔ strength == 1e6;
+    ndv_pair >= max(ndv_lhs within pair key space)."""
+    from recommender_systems_pyspark_spark.operators.stats import x_fd_profile
+
+    rows = {(r.tbl, r.lhs, r.rhs): r for r in x_fd_profile(spark, sf_dir).collect()}
+    nation = rows[("nation", "n_nationkey", "n_name")]
+    assert nation.fd_holds and nation.strength_ppm == 1_000_000
+    for r in rows.values():
+        assert 0 < r.strength_ppm <= 1_000_000
+        assert r.fd_holds == (r.ndv_lhs == r.ndv_pair)
+        assert r.ndv_pair >= r.ndv_lhs
+        assert r.ndv_pair <= r.ndv_lhs * r.ndv_rhs

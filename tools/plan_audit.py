@@ -128,6 +128,7 @@ DEFAULT_QUERIES = [
     "x_audio_energy",
     "x_video_shot_boundaries",
     "x_weighted_sample",
+    "x_fd_profile",
 ]
 
 
