@@ -105,6 +105,7 @@ RECORD_ONLY = [
     "x_video_shot_boundaries",
     "x_weighted_sample",
     "x_fd_profile",
+    "s13_stream_scd2_enrich",
 ]
 
 

@@ -125,6 +125,7 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.operators.zorder",
     # --- new in r9 --------------------------------------------------------
     "recommender_systems_pyspark_spark.streaming.cdc_apply",
+    "recommender_systems_pyspark_spark.streaming.scd2_enrich",
 )
 
 #: Round-9 grading window (the driver grades the FIRST 50 entries of
@@ -144,8 +145,8 @@ _QUERY_MODULES = (
 #:         window head the ROUND-10 queue below.
 #: ROUND-10 QUEUE (if this window grades green): the r9-registered
 #: queries that landed after this window filled (x_audio_energy,
-#: x_video_shot_boundaries, x_weighted_sample, x_fd_profile — each
-#: sf0.01 oracle-green locally), then any
+#: x_video_shot_boundaries, x_weighted_sample, x_fd_profile,
+#: s13_stream_scd2_enrich — each sf0.01 oracle-green locally), then any
 #: r3-vintage rows trimmed from the tail below, then the r5 cohort (x_dedup_minhash_lsh,
 #: x_knn_ivf_topk, x_embed_kmeans/pq, s7_stream_dedup, tpch_q1, asof
 #: j8/j9, a15-a19, trends/warehouse families, …).

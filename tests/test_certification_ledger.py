@@ -46,6 +46,7 @@ ROWS_ONLY_BY_DESIGN = {
 # round-10 window.
 PENDING_FIRST_GRADE: set[str] = {
     "x_fd_profile",
+    "s13_stream_scd2_enrich",
     "x_audio_energy",
     "x_video_shot_boundaries",
     "x_weighted_sample",

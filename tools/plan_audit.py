@@ -129,6 +129,7 @@ DEFAULT_QUERIES = [
     "x_video_shot_boundaries",
     "x_weighted_sample",
     "x_fd_profile",
+    "s13_stream_scd2_enrich",
 ]
 
 
