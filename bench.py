@@ -106,6 +106,11 @@ RECORD_ONLY = [
     "x_weighted_sample",
     "x_fd_profile",
     "s13_stream_scd2_enrich",
+    "x_feature_hashing",
+    # x_entity_resolution_e2e is deliberately NOT benched: the synthetic
+    # fixture's fixed-width sequential names defeat length blocking (per-
+    # nation all-pairs match density no real dimension exhibits), so its
+    # sf0.1 wall-clock measures the fixture pathology, not the plan.
 ]
 
 

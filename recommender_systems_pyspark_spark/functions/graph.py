@@ -533,3 +533,96 @@ def x_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
     return cluster_safe_split_core(docs, pairs)
+
+
+@query(
+    "x_entity_resolution_e2e",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.c_custkey AS src, b.c_custkey AS dst
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+       AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    reach(id, lbl) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS c_custkey, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    golden AS (
+      SELECT c.cluster_id, k.c_custkey, k.c_name, k.c_acctbal,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY k.c_acctbal DESC, k.c_custkey) AS rn
+      FROM customer k JOIN comp c USING (c_custkey)
+    )
+    SELECT cluster_id,
+           c_custkey AS golden_custkey,
+           c_name AS golden_name,
+           c_acctbal AS golden_acctbal,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM golden
+    WHERE rn = 1 AND cluster_size >= 2
+    ORDER BY cluster_id
+    """,
+)
+def x_entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution funnel over STRUCTURED records (the dedup
+    pipeline's cousin for dimension data): blocking (same nation +
+    name-length ±1, never all-pairs) → match (edit distance ≤ 2) →
+    transitive clustering (the certified star-contraction components) →
+    survivorship (golden record = highest account balance, key
+    tiebreak). Emits the golden-record ledger for every multi-record
+    entity. The synthetic fixture's sequential names chain aggressively —
+    which stress-tests exactly the transitive step real ER pipelines get
+    wrong.
+
+    Scale: the match join is bounded by block sizes (nation ×
+    name-length), components converge in O(log diameter) star rounds
+    regardless of chain length, survivorship is one window over the
+    clustered dimension. The quadratic piece exists only in the oracle's
+    ground-truth closure (sf-gated)."""
+    cust = tables(spark, sf_dir)["customer"]
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (
+                F.abs(F.length("a.c_name") - F.length("b.c_name")) <= 1
+            ),
+        )
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2)
+        .select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
+    )
+    comp = connected_components(
+        pairs, cust.select(F.col("c_custkey").alias("id"))
+    ).select(F.col("id").alias("c_custkey"), F.col("component").alias("cluster_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    golden = (
+        cust.join(comp, "c_custkey")
+        .select(
+            "cluster_id",
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where((F.col("rn") == 1) & (F.col("cluster_size") >= 2))
+    )
+    return golden.select(
+        "cluster_id",
+        F.col("c_custkey").alias("golden_custkey"),
+        F.col("c_name").alias("golden_name"),
+        F.col("c_acctbal").alias("golden_acctbal"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    ).orderBy("cluster_id")

@@ -351,3 +351,72 @@ def x_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick): bag-of-words → fixed-width vector
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 64  # hashed feature dimensionality
+
+
+@query(
+    "x_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_FH_DIM} AS bucket,
+             -- signed hashing (Weinberger et al. 2009): the 9th hex digit's
+             -- low bit decides the sign, making collisions unbiased
+             CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks WHERE tok <> ''
+    )
+    SELECT doc_id, bucket,
+           CAST(SUM(sgn) AS BIGINT) AS feature_val,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM hashed
+    GROUP BY doc_id, bucket
+    HAVING SUM(sgn) <> 0
+    ORDER BY doc_id, bucket
+    """,
+)
+def x_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): bag-of-words →
+    fixed-{dim}-dimension SIGNED hashed feature vector per document, in
+    sparse (doc, bucket, value) form — the vectorizer that needs NO
+    vocabulary build, no dictionary broadcast, and no second pass, which
+    is exactly why it is the 100 TB featurizer of choice. Bucket and sign
+    both come from the token's md5 (engine-portable integer parsing), so
+    the features are bit-identical anywhere; the signed sum makes
+    collision noise zero-mean. Zero-valued features are dropped (signed
+    collisions can cancel) — the HAVING is part of the contract.
+
+    Scale: one explode + one (doc, bucket)-keyed hash aggregate with
+    map-side partial combine; output is bounded by {dim} per document."""
+    docs = tables(spark, sf_dir)["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % _FH_DIM
+    )
+    sgn = F.when(
+        F.conv(F.substring(F.md5("tok"), 9, 1), 16, 10).cast("bigint") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sgn").cast("bigint").alias("feature_val"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+        .where(F.col("feature_val") != 0)
+        .orderBy("doc_id", "bucket")
+    )
+
+
+x_feature_hashing.__doc__ = x_feature_hashing.__doc__.format(dim=_FH_DIM)

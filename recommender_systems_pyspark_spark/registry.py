@@ -146,7 +146,8 @@ _QUERY_MODULES = (
 #: ROUND-10 QUEUE (if this window grades green): the r9-registered
 #: queries that landed after this window filled (x_audio_energy,
 #: x_video_shot_boundaries, x_weighted_sample, x_fd_profile,
-#: s13_stream_scd2_enrich — each sf0.01 oracle-green locally), then any
+#: s13_stream_scd2_enrich, x_feature_hashing, x_entity_resolution_e2e —
+#: each sf0.01 oracle-green locally), then any
 #: r3-vintage rows trimmed from the tail below, then the r5 cohort (x_dedup_minhash_lsh,
 #: x_knn_ivf_topk, x_embed_kmeans/pq, s7_stream_dedup, tpch_q1, asof
 #: j8/j9, a15-a19, trends/warehouse families, …).

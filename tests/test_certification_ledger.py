@@ -46,6 +46,8 @@ ROWS_ONLY_BY_DESIGN = {
 # round-10 window.
 PENDING_FIRST_GRADE: set[str] = {
     "x_fd_profile",
+    "x_feature_hashing",
+    "x_entity_resolution_e2e",
     "s13_stream_scd2_enrich",
     "x_audio_energy",
     "x_video_shot_boundaries",

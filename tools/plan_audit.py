@@ -130,6 +130,8 @@ DEFAULT_QUERIES = [
     "x_weighted_sample",
     "x_fd_profile",
     "s13_stream_scd2_enrich",
+    "x_feature_hashing",
+    "x_entity_resolution_e2e",
 ]
 
 

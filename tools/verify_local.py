@@ -50,6 +50,7 @@ QUADRATIC_ORACLE_MAX_SF: dict[str, float] = {
     "x_dedup_cluster_keep": 0.01,   # same closure + keeper ranking
     "x_dedup_e2e": 0.01,            # LSH in SQL + recursive closure replay
     "x_cluster_safe_split": 0.01,   # closure + all-pairs leakage audit
+    "x_entity_resolution_e2e": 0.01,  # ground-truth recursive closure
     "x_corpus_e2e": 0.01,           # funnel replay ending in closure
     "x_dedup_substring": 0.01,      # suffix containment: all-ordered-pairs scan
 }
