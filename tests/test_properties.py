@@ -305,3 +305,73 @@ def test_kcore_verdicts_match_python_replay(spark, arcs, k, rounds):
         n: (len(adj[n]), peeled.get(n, 0), n in alive) for n in adj
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC tombstone merge law (s12_cdc_apply) under arbitrary batch partitions
+# ---------------------------------------------------------------------------
+
+
+def _cdc_merge(state: dict, batch) -> dict:
+    """Pure-python mirror of streaming.cdc_apply.apply_cdc_batch's merge
+    law: per key, max-version op wins (DELETE winners persist as
+    tombstones), op counts are additive."""
+    inc: dict = {}
+    for key, version, value, op in batch:
+        v, o, val, n = inc.get(key, (-1, None, None, 0))
+        if version > v:
+            v, o, val = version, op, value
+        inc[key] = (v, o, val, n + 1)
+    out = dict(state)
+    for key, (v, o, val, n) in inc.items():
+        pv, po, pval, pn = out.get(key, (-1, None, None, 0))
+        if v > pv:
+            out[key] = (v, o, val, pn + n)
+        else:
+            out[key] = (pv, po, pval, pn + n)
+    return out
+
+
+_OP = st.tuples(
+    st.integers(0, 5),                      # key
+    st.integers(0, 10_000),                 # version (deduped below)
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.sampled_from(["U", "D"]),
+)
+
+
+@given(
+    ops=st.lists(_OP, min_size=1, max_size=40, unique_by=lambda t: t[1]),
+    cuts=st.lists(st.integers(0, 39), max_size=4),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_cdc_merge_law_is_partition_invariant(ops, cuts, data):
+    """For ANY changefeed (unique versions) split into ANY batch
+    partition in ANY order, folding the merge law must equal the
+    one-shot arg_max — and a delete with the max version must keep the
+    key dead even when lower-version upserts arrive in later batches."""
+    bounds = sorted({c for c in cuts if c < len(ops)} | {len(ops)})
+    batches, prev = [], 0
+    for b in bounds:
+        if b > prev:
+            batches.append(ops[prev:b])
+            prev = b
+    if prev < len(ops):
+        batches.append(ops[prev:])
+    order = data.draw(st.permutations(range(len(batches))))
+    state: dict = {}
+    for i in order:
+        state = _cdc_merge(state, batches[i])
+    # one-shot oracle: arg_max(version) per key + total count
+    expect: dict = {}
+    for key, version, value, op in ops:
+        v, o, val, n = expect.get(key, (-1, None, None, 0))
+        if version > v:
+            v, o, val = version, op, value
+        expect[key] = (v, o, val, n + 1)
+    assert state == expect
+    # serving view drops tombstones; a dead key stays dead
+    for key, (v, o, _val, _n) in expect.items():
+        if o == "D":
+            assert state[key][1] == "D"
