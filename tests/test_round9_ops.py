@@ -660,3 +660,42 @@ def test_entity_resolution_union_find_replay(spark):
         for r in x_entity_resolution_e2e(spark, sf).collect()
     }
     assert got == expect and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# x_feature_hashing (registered r9, graded r10)
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hashing_hashlib_replay(spark, sf_dir):
+    """Replay every document's signed hashed features with hashlib —
+    buckets, signs, cancellation (zero features dropped) all exact."""
+    import hashlib
+    from collections import defaultdict
+
+    from recommender_systems_pyspark_spark.functions.text import (
+        _FH_DIM,
+        x_feature_hashing,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for d in docs:
+        acc = defaultdict(lambda: [0, 0])
+        for tok in d.text.split(" "):
+            if tok == "":
+                continue
+            h = hashlib.md5(tok.encode()).hexdigest()
+            bucket = int(h[:8], 16) % _FH_DIM
+            sgn = 1 if int(h[8], 16) % 2 == 0 else -1
+            acc[bucket][0] += sgn
+            acc[bucket][1] += 1
+        for bucket, (val, n) in acc.items():
+            if val != 0:
+                expect[(d.doc_id, bucket)] = (val, n)
+    got = {
+        (r.doc_id, r.bucket): (r.feature_val, r.n_tokens)
+        for r in x_feature_hashing(spark, sf_dir).collect()
+    }
+    assert got == expect
