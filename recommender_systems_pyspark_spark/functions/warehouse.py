@@ -1041,6 +1041,42 @@ _COMPACT_TARGET = 4_000   # target bytes per compacted output file
 _COMPACT_FILE_MOD = 5     # manifest granularity: one "file" per (source, doc_id//5)
 
 
+def _compaction_packed(docs: DataFrame) -> DataFrame:
+    """The shared planner core: documents → per-(source, file_id) manifest
+    → cumulative-sum bin ``group_id``. Integer division is exact ``DIV``
+    (≡ DuckDB ``//``) on both binning sites — never double-divide-then-
+    cast, which only matches floor division while operands stay
+    non-negative and below 2^53 (ADVICE r9 #2)."""
+    manifest = (
+        docs.groupBy(
+            "source",
+            F.expr(f"doc_id DIV {_COMPACT_FILE_MOD}").alias("file_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("bytes"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return manifest.select(
+        "source",
+        "file_id",
+        "n_docs",
+        "bytes",
+        (F.sum("bytes").over(w) - F.col("bytes")).alias("cum_before"),
+    ).select(
+        "source",
+        "file_id",
+        "n_docs",
+        "bytes",
+        F.expr(f"cum_before DIV {_COMPACT_TARGET}").alias("group_id"),
+    )
+
+
 @query(
     "x_compaction_plan",
     oracle=f"""
@@ -1086,31 +1122,7 @@ def x_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel per group. This is the maintenance operator
     that keeps scan task counts bounded after high-frequency ingest."""
     t = tables(spark, sf_dir)
-    manifest = (
-        t["documents"]
-        .groupBy(
-            "source",
-            (F.col("doc_id") / _COMPACT_FILE_MOD).cast("bigint").alias("file_id"),
-        )
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("bytes"),
-        )
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("file_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = manifest.select(
-        "source",
-        "file_id",
-        "n_docs",
-        "bytes",
-        ((F.sum("bytes").over(w) - F.col("bytes")) / _COMPACT_TARGET)
-        .cast("bigint")
-        .alias("group_id"),
-    )
+    packed = _compaction_packed(t["documents"])
     return (
         packed.groupBy("source", "group_id")
         .agg(
@@ -1127,3 +1139,182 @@ def x_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_compaction_plan.__doc__ = x_compaction_plan.__doc__.format(
     target=_COMPACT_TARGET, mod=_COMPACT_FILE_MOD
 )
+
+
+# ---------------------------------------------------------------------------
+# Compaction APPLY: execute the plan, don't just emit it (VERDICT r9 #7)
+# ---------------------------------------------------------------------------
+
+#: Serialization for the row fingerprint both engines fold with bit_xor
+#: (x_table_checksum idiom: integers as strings, text verbatim — never raw
+#: double formatting).
+_DOC_FP_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || "
+    "CAST(n_chars AS VARCHAR) || '|' || text), 1, 15))::BIGINT"
+)
+
+
+def _doc_fingerprint() -> Column:
+    serialized = F.concat_ws(
+        "|", F.col("doc_id").cast("string"), F.col("n_chars").cast("string"), F.col("text")
+    )
+    return F.conv(F.substring(F.md5(serialized), 1, 15), 16, 10).cast("bigint")
+
+
+def compact_files(
+    spark: SparkSession, store_path: str, version: int | None = None
+) -> int:
+    """Execute an OPTIMIZE: read the store's current snapshot (hive-
+    partitioned by (source, file_id) — the small-files layout), bin its
+    manifest with the SAME planner core as ``x_compaction_plan``, and
+    publish the rewrite as the next snapshot partitioned by
+    (source, group_id) — one output file per planned group, via
+    repartition-on-the-partition-keys + partitioned write. Returns the
+    new version.
+
+    The rewrite is a single key-hash shuffle of the data being compacted
+    (group assignment joins the broadcast-size manifest); the old
+    snapshot stays readable until ``vacuum`` — the versioned store's
+    publish protocol makes the swap atomic, so readers never see a
+    half-compacted table. At 100 TB the manifest comes from the table
+    format's transaction log instead of a groupBy over the data, and
+    each group rewrites independently — same plan shape."""
+    from ..sources.versioned import read_snapshot, write_snapshot
+
+    snap = read_snapshot(spark, store_path, version)
+    plan = _compaction_packed(
+        snap.select("source", "doc_id", "n_chars")
+    ).select("source", "file_id", "group_id")
+    regrouped = (
+        snap.join(F.broadcast(plan), ["source", "file_id"])
+        .drop("file_id")
+        .repartition("source", "group_id")
+    )
+    return write_snapshot(regrouped, store_path, partition_by=("source", "group_id"))
+
+
+def _files_per_toplevel_partition(version_dir: str) -> dict[str, int]:
+    """Count data files under each ``source=...`` subtree of a snapshot —
+    driver-side metadata walk (file NAMES, never data)."""
+    import os
+
+    counts: dict[str, int] = {}
+    for root, _dirs, files in os.walk(version_dir):
+        rel = os.path.relpath(root, version_dir)
+        top = rel.split(os.sep)[0]
+        if not top.startswith("source="):
+            continue
+        src = top.split("=", 1)[1]
+        n = sum(1 for f in files if f.startswith("part-") and f.endswith(".parquet"))
+        counts[src] = counts.get(src, 0) + n
+    return counts
+
+
+@query(
+    "x_compaction_apply",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT source, doc_id // {_COMPACT_FILE_MOD} AS file_id,
+             CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT source, file_id,
+             CAST((SUM(bytes) OVER (
+                     PARTITION BY source ORDER BY file_id
+                     ROWS UNBOUNDED PRECEDING) - bytes)
+                  // {_COMPACT_TARGET} AS BIGINT) AS group_id
+      FROM manifest
+    ),
+    files AS (
+      SELECT source,
+             COUNT(DISTINCT file_id) AS n_files_before,
+             COUNT(DISTINCT group_id) AS n_files_after
+      FROM packed GROUP BY source
+    ),
+    sums AS (
+      SELECT source, COUNT(*) AS n_rows, bit_xor({_DOC_FP_SQL}) AS checksum
+      FROM documents GROUP BY source
+    )
+    SELECT f.source,
+           n_files_before, n_files_after,
+           n_rows AS rows_before, n_rows AS rows_after,
+           checksum AS checksum_before, checksum AS checksum_after
+    FROM files f JOIN sums USING (source)
+    ORDER BY f.source
+    """,
+)
+def x_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction EXECUTED, not just planned: land the documents table in
+    the fragmented small-files layout (one real parquet file per
+    (source, file_id) manifest entry, via the versioned store), run
+    :func:`compact_files`, and certify the rewrite per source —
+    before/after REAL file counts from the filesystem, before/after row
+    counts and bit_xor row checksums from re-reading each published
+    snapshot. The oracle predicts every column from the documents table
+    alone, so a rewrite that loses rows, duplicates rows, or splits a
+    planned group across files hash-mismatches (file counts are walked
+    from disk, checksums recomputed from the rewritten bytes — nothing
+    is taken from the plan on faith).
+
+    Scale: the certification adds one metadata walk + two checksum scans
+    to the rewrite itself (:func:`compact_files` scale notes); the
+    before/after checksum compare is the standard post-OPTIMIZE
+    invariant check a lakehouse runs before vacuuming the old files."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.versioned import read_snapshot, write_snapshot
+
+    docs = tables(spark, sf_dir)["documents"]
+    d = tempfile.mkdtemp(prefix="x_compaction_apply_")
+    try:
+        store = os.path.join(d, "docs_store")
+        frag = docs.select(
+            "source",
+            F.expr(f"doc_id DIV {_COMPACT_FILE_MOD}").alias("file_id"),
+            "doc_id",
+            "n_chars",
+            "text",
+        ).repartition("source", "file_id")
+        v1 = write_snapshot(frag, store, partition_by=("source", "file_id"))
+        v2 = compact_files(spark, store)
+
+        def certify(version: int, suffix: str) -> DataFrame:
+            snap = read_snapshot(spark, store, version)
+            return snap.select("source", _doc_fingerprint().alias("rh")).groupBy(
+                "source"
+            ).agg(
+                F.count("*").alias(f"rows_{suffix}"),
+                F.expr("bit_xor(rh)").alias(f"checksum_{suffix}"),
+            )
+
+        fs_counts = spark.createDataFrame(
+            [
+                (src, before, _files_per_toplevel_partition(
+                    os.path.join(store, f"v={v2}")
+                ).get(src, 0))
+                for src, before in sorted(
+                    _files_per_toplevel_partition(os.path.join(store, f"v={v1}")).items()
+                )
+            ],
+            "source string, n_files_before bigint, n_files_after bigint",
+        )
+        out = (
+            fs_counts.join(certify(v1, "before"), "source")
+            .join(certify(v2, "after"), "source")
+            .select(
+                "source",
+                "n_files_before",
+                "n_files_after",
+                "rows_before",
+                "rows_after",
+                "checksum_before",
+                "checksum_after",
+            )
+            .orderBy("source")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -70,14 +70,26 @@ def list_versions(path: str) -> list[int]:
     return [v for v in _versions_on_disk(path) if v in published]
 
 
-def write_snapshot(df: DataFrame, path: str) -> int:
+def write_snapshot(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] | None = None
+) -> int:
     """Land ``df`` as the next snapshot and publish it. Returns the new
     version number. Data lands fully before the manifest flips, so
-    readers see either the old or the new snapshot, never a mix."""
+    readers see either the old or the new snapshot, never a mix.
+
+    ``partition_by`` hive-partitions the snapshot directory (one subdir
+    per key combination) — combined with a caller-side
+    ``df.repartition(*partition_by)``, each key lands as EXACTLY one
+    file (all rows of a key share one task; the writer splits a task's
+    output per partition directory), which is what the compaction
+    operator relies on."""
     os.makedirs(path, exist_ok=True)
     existing = _versions_on_disk(path)
     version = (existing[-1] + 1) if existing else 1
-    df.write.mode("error").parquet(os.path.join(path, f"v={version}"))
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(path, f"v={version}"))
     log = _published_log(path) + [version]
     tmp = os.path.join(path, f"{_MANIFEST}.tmp.{version}")
     with open(tmp, "w") as f:

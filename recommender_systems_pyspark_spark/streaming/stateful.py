@@ -32,12 +32,14 @@ from ..registry import query
 
 #: Emit an alert row flag each time cumulative value crosses k*ALERT_STEP.
 ALERT_STEP = 100.0
+#: The same threshold in exact integer micro-units (state arithmetic).
+_ALERT_STEP_MICROS = int(ALERT_STEP * 1_000_000)
 
 OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, total_value double, "
     "last_ts timestamp_ntz, alerts_crossed int"
 )
-STATE_SCHEMA = "n bigint, total double, last_us bigint, alerts int"
+STATE_SCHEMA = "n bigint, total_micros bigint, last_us bigint, alerts int"
 
 
 def _track_user(
@@ -46,24 +48,34 @@ def _track_user(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """State transition: fold this batch's rows for one user into the
-    carried (n, total, last_us, alerts) tuple and emit the updated
-    snapshot. Runs vectorized over the batch — no per-row Python."""
+    carried (n, total_micros, last_us, alerts) tuple and emit the updated
+    snapshot. Runs vectorized over the batch — no per-row Python.
+
+    The running total is carried as INTEGER MICRO-UNITS (value·1e6,
+    rounded to nearest): integer addition is exact and order-independent,
+    so the emitted ``total_value = micros / 1e6`` is bit-identical to a
+    one-shot ``CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)`` over
+    the same rows regardless of batch boundaries or fold order — which is
+    what lets a plain grouped-sum SQL oracle hash-certify this stateful
+    operator (a double accumulator would drift with partial-sum order).
+    Alert crossings are likewise exact integer division, immune to a
+    float total sitting epsilon away from a multiple of the step."""
     (user_id,) = key
-    n, total, last_us, alerts = state.get if state.exists else (0, 0.0, 0, 0)
+    n, micros, last_us, alerts = state.get if state.exists else (0, 0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        micros += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
         # normalize to micros regardless of pandas datetime64 unit (ns/us)
         batch_max_us = int(pdf["ts"].astype("datetime64[us]").astype("int64").max())
         last_us = max(last_us, batch_max_us)
-    new_alerts = int(total // ALERT_STEP)
-    state.update((n, total, last_us, new_alerts))
+    new_alerts = int(micros // _ALERT_STEP_MICROS)
+    state.update((n, micros, last_us, new_alerts))
     yield pd.DataFrame(
         [
             (
                 user_id,
                 n,
-                total,
+                micros / 1_000_000,
                 pd.Timestamp(last_us, unit="us"),
                 new_alerts - alerts,
             )
@@ -84,20 +96,45 @@ def cumulative_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
-@query("s4_stateful_user_totals")  # custom stateful streaming → rows-only
+@query(
+    "s4_stateful_user_totals",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           MAX(ts) AS last_ts,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                // {_ALERT_STEP_MICROS} AS INT) AS alerts_crossed
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
 def s4_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful operator over the events fixture as a real
     Structured Streaming query (file source → applyInPandasWithState →
     memory sink) and return the final per-user snapshot. One parquet file
-    → one micro-batch, so the snapshot equals the batch totals; the
-    cross-batch state carry is exercised in tests/test_stateful.py."""
+    → one micro-batch, so the snapshot equals the batch totals (and
+    ``alerts_crossed`` = total crossings from zero); the cross-batch
+    state carry is exercised in tests/test_stateful.py.
+
+    Oracle (VERDICT r9 #4): the state fold is exact integer-micros
+    addition, so the snapshot is reproducible by a one-shot grouped sum —
+    ``SUM(CAST(value AS DECIMAL(18,6)))`` micros-for-micros, alert count
+    by integer division — independent of micro-batch boundaries. This
+    upgraded the query from rows-only to hash-certified."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # pragma: no cover - static-conf deployments
         pass
+    # The fixtures store ts as parquet TIMESTAMP(MICROS) → read it as
+    # TIMESTAMP_NTZ directly (the old ``ts bigint`` + ``div 1000`` path
+    # assumed nano longs and silently produced 1970-era timestamps —
+    # caught the moment this query gained its oracle; rows-only grades
+    # never saw it).
     raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
         "event_type string, value double, props string"
     )
     # FileStreamSource requires a directory: stream the fixture dir and
@@ -106,7 +143,6 @@ def s4_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
     )
     sink = "s4_stateful_user_totals_sink"
     q = (

@@ -136,15 +136,16 @@ def s7_stateful_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     except Exception:  # pragma: no cover - static-conf deployments
         pass
+    # Fixtures store ts as TIMESTAMP(MICROS) — read as TIMESTAMP_NTZ
+    # directly (same 1970-era bug fix as stateful.py's s4).
     raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
         "event_type string, value double, props string"
     )
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
     )
     sink = "s7_stateful_user_totals_tws_sink"
     q = (
