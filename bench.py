@@ -111,6 +111,10 @@ RECORD_ONLY = [
     # fixture's fixed-width sequential names defeat length blocking (per-
     # nation all-pairs match density no real dimension exhibits), so its
     # sf0.1 wall-clock measures the fixture pathology, not the plan.
+    # Round-10 shapes (own baselines from this round's first recording):
+    # executed compaction + certification, codec-coverage decode probe.
+    "x_compaction_apply",
+    "x_media_codec_coverage",
 ]
 
 
@@ -212,6 +216,11 @@ def run_streaming(spark, sf_dir: str) -> dict[str, float]:
             ),
         }
         for i, (name, (plan, mode)) in enumerate(plans.items()):
+            # Same block-manager reclaim as the RECORD_ONLY batch entries
+            # (VERDICT r9 #6): the r9 run drifted +13-34% uniformly on
+            # untouched streaming code because each entry inherited the
+            # previous stream's state-store/shuffle leftovers.
+            reclaim(spark)
             t0 = time.perf_counter()
             q = (
                 plan()

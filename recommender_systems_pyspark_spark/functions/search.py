@@ -151,8 +151,11 @@ x_bm25_topk.__doc__ = x_bm25_topk.__doc__.format(k=_TOP_K, terms=_QUERY_TERMS)
 # shuffle surface, and both sides fit in one broadcast at any corpus size.
 
 _FUSE_K = 20   # candidate depth per ranker
-_RRF_C = 60    # RRF smoothing constant
-_SQL_RRF_CONTRIB = "CAST(CAST(1 AS DOUBLE) / (60 + {r}) AS DECIMAL(18,9))"
+_RRF_C = 60    # RRF smoothing constant (single source of truth: the SQL
+# template interpolates it below — ADVICE r9 flagged the hardcoded twin)
+_SQL_RRF_CONTRIB = (
+    f"CAST(CAST(1 AS DOUBLE) / ({_RRF_C} + {{r}}) AS DECIMAL(18,9))"
+)
 
 
 def _ranked_topk(df, score, ascending_id: str, k: int, alias: str):

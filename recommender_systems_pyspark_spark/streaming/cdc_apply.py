@@ -51,10 +51,34 @@ def changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def apply_cdc_batch(batch_df: DataFrame, state_dir: str) -> None:
+def _read_epoch(state_dir: str) -> int:
+    """Last applied foreachBatch epoch, from the ``_epoch`` marker the
+    state swap publishes alongside the parquet (underscore-prefixed →
+    invisible to Spark's reader). -1 before the first batch."""
+    marker = os.path.join(state_dir, "_epoch")
+    if not os.path.exists(marker):
+        return -1
+    with open(marker) as f:
+        return int(f.read().strip())
+
+
+def apply_cdc_batch(batch_df: DataFrame, state_dir: str, epoch_id: int = 0) -> None:
     """Apply one micro-batch of CDC ops: per key, reduce the batch to its
     max-version row (map-side ``max_by``), then last-writer-wins merge
-    against the stored state. DELETE winners are KEPT as tombstones."""
+    against the stored state. DELETE winners are KEPT as tombstones.
+
+    Idempotent under foreachBatch's at-least-once retry semantics
+    (ADVICE r9): the state records the last applied ``epoch_id``, and a
+    replayed batch (same or older epoch) is skipped — without this, the
+    version/LWW columns would survive a replay but the additive
+    ``n_ops`` counter would double-count. The swap keeps the previous
+    state as ``_old`` until the new directory is in place, so a crash
+    mid-swap leaves a recoverable directory at every step (the remaining
+    non-atomicity — rename-new then drop-old are two syscalls — is what
+    a real table format's transactional MERGE/metadata swap removes;
+    this local-FS store documents that boundary rather than hiding it)."""
+    if epoch_id <= _read_epoch(state_dir):
+        return  # replayed batch — already folded into the state
     spark = batch_df.sparkSession
     inc = batch_df.groupBy("user_id").agg(
         F.max("version").alias("i_version"),
@@ -88,9 +112,16 @@ def apply_cdc_batch(batch_df: DataFrame, state_dir: str) -> None:
         )
     tmp = state_dir + "_new"
     merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_epoch"), "w") as f:
+        f.write(str(epoch_id))
+    old = state_dir + "_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(state_dir):
-        shutil.rmtree(state_dir)
+        os.rename(state_dir, old)  # previous state stays recoverable
     os.rename(tmp, state_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 @query(
@@ -152,7 +183,7 @@ def s12_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (
             stream.writeStream.foreachBatch(
-                lambda batch_df, _id: apply_cdc_batch(batch_df, state)
+                lambda batch_df, epoch_id: apply_cdc_batch(batch_df, state, epoch_id)
             )
             .option("checkpointLocation", f"{d}/ck")
             .start()

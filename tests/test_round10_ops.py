@@ -1,0 +1,265 @@
+"""Round-10 operator tests: the shared blocked-pair primitive (VERDICT r9
+#2/#3), star-components in the ER/split paths (ADVICE r9), CDC replay
+idempotency (ADVICE r9), the fd-profile approx face (VERDICT r9 #5),
+executed compaction (VERDICT r9 #7), and the codec-coverage probe
+(VERDICT r9 #8)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from recommender_systems_pyspark_spark.functions.blocking import blocked_pairs
+from recommender_systems_pyspark_spark.sources import tables
+
+
+# ---------------------------------------------------------------------------
+# blocked_pairs: lossless vs the naive within-block form
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("max_dlen", [0, 1, 2])
+def test_blocked_pairs_equal_naive_within_block(spark, sf_dir, max_dlen):
+    """The δ-union of (block, len)-keyed equi-joins must produce EXACTLY
+    the pair set of the old coarse-block join with the |Δlen| post-filter
+    — lossless blocking, no duplicates across δ branches (VERDICT r9 #3:
+    pair-set equality with the old within-block form)."""
+    c = tables(spark, sf_dir)["customer"].select(
+        "c_nationkey", "c_custkey", "c_name", F.length("c_name").alias("nlen")
+    )
+    got = {
+        (r.a_c_custkey, r.b_c_custkey)
+        for r in blocked_pairs(
+            c, "c_custkey", "nlen", ("c_nationkey",), max_dlen
+        ).collect()
+    }
+    a, b = c.alias("a"), c.alias("b")
+    naive = {
+        (r[0], r[1])
+        for r in a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (F.abs(F.col("a.nlen") - F.col("b.nlen")) <= max_dlen),
+        )
+        .select(F.col("a.c_custkey"), F.col("b.c_custkey"))
+        .collect()
+    }
+    assert got == naive
+    # id-ordering contract + no duplicate emissions
+    assert all(x < y for x, y in got)
+    n_rows = blocked_pairs(c, "c_custkey", "nlen", ("c_nationkey",), max_dlen).count()
+    assert n_rows == len(got)
+
+
+def test_blocked_pairs_carries_both_sides_columns(spark, sf_dir):
+    """Every df column must survive prefixed on both sides, with the
+    length bound actually holding row-wise."""
+    c = tables(spark, sf_dir)["customer"].select(
+        "c_nationkey", "c_custkey", "c_name", F.length("c_name").alias("nlen")
+    )
+    out = blocked_pairs(c, "c_custkey", "nlen", ("c_nationkey",), 1)
+    assert set(out.columns) == {
+        f"{p}_{col}" for p in ("a", "b") for col in c.columns
+    }
+    bad = out.where(
+        (F.abs(F.col("a_nlen") - F.col("b_nlen")) > 1)
+        | (F.col("a_c_nationkey") != F.col("b_c_nationkey"))
+    ).count()
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# ER clustering: star components agree with min-label on the real pair graph
+# ---------------------------------------------------------------------------
+
+
+def test_entity_resolution_star_equals_min_label(spark, sf_dir):
+    """x_entity_resolution_e2e now clusters with connected_components_star
+    (O(log n) rounds); its components must be identical to the min-label
+    path on the actual blocked-match pair graph — same ids, same
+    min-id labels (the fixture's chaining names are exactly the
+    long-diameter case the switch is for)."""
+    from recommender_systems_pyspark_spark.functions.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cust = tables(spark, sf_dir)["customer"]
+    cand = blocked_pairs(
+        cust.select(
+            "c_nationkey", "c_custkey", "c_name", F.length("c_name").alias("nlen")
+        ),
+        "c_custkey",
+        "nlen",
+        ("c_nationkey",),
+        1,
+    )
+    pairs = cand.where(
+        F.levenshtein(F.col("a_c_name"), F.col("b_c_name")) <= 2
+    ).select(F.col("a_c_custkey").alias("src"), F.col("b_c_custkey").alias("dst"))
+    nodes = cust.select(F.col("c_custkey").alias("id"))
+    star = {(r.id, r.component) for r in connected_components_star(pairs, nodes).collect()}
+    minl = {(r.id, r.component) for r in connected_components(pairs, nodes).collect()}
+    assert star == minl
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: at-least-once replay is a no-op (ADVICE r9)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
+    """foreachBatch retries redeliver a batch with the SAME epoch_id; the
+    state must not double-count n_ops (the LWW columns were already
+    replay-safe; the additive counter was not)."""
+    from recommender_systems_pyspark_spark.streaming.cdc_apply import (
+        apply_cdc_batch,
+        changefeed,
+    )
+
+    state = str(tmp_path / "state")
+    feed = changefeed(spark, sf_dir).where(F.col("user_id") < 5)
+    apply_cdc_batch(feed, state, epoch_id=0)
+    first = {r.user_id: (r.version, r.op, r.value, r.n_ops)
+             for r in spark.read.parquet(state).collect()}
+    # replay epoch 0 → skipped; then a genuinely new (empty-delta) epoch
+    apply_cdc_batch(feed, state, epoch_id=0)
+    replay = {r.user_id: (r.version, r.op, r.value, r.n_ops)
+              for r in spark.read.parquet(state).collect()}
+    assert replay == first
+    # a NEW epoch with the same rows applies (and doubles n_ops) — the
+    # guard keys on epoch, not content
+    apply_cdc_batch(feed, state, epoch_id=1)
+    second = {r.user_id: r.n_ops for r in spark.read.parquet(state).collect()}
+    assert second == {uid: 2 * v[3] for uid, v in first.items()}
+    # swap hygiene: no _old/_new leftovers after a clean apply
+    assert not os.path.exists(state + "_old")
+    assert not os.path.exists(state + "_new")
+
+
+# ---------------------------------------------------------------------------
+# fd_profile: the approx face is runnable and close (VERDICT r9 #5)
+# ---------------------------------------------------------------------------
+
+
+def test_fd_profile_approx_face_bounds(spark, sf_dir):
+    """exact=False must run the same profile through
+    approx_count_distinct and land within HLL++ tolerance of the exact
+    counts: strength_ppm within 10% relative, and the perfect FD
+    (nation key → name) still detected as such within bounds."""
+    from recommender_systems_pyspark_spark.operators.stats import fd_profile_core
+
+    t = tables(spark, sf_dir)
+    exact = {(r.tbl, r.lhs): r for r in fd_profile_core(t, exact=True).collect()}
+    approx = {(r.tbl, r.lhs): r for r in fd_profile_core(t, exact=False).collect()}
+    assert set(exact) == set(approx)
+    for key, e in exact.items():
+        a = approx[key]
+        for col in ("ndv_lhs", "ndv_rhs", "ndv_pair"):
+            rel = abs(getattr(a, col) - getattr(e, col)) / max(getattr(e, col), 1)
+            assert rel <= 0.10, (key, col, getattr(a, col), getattr(e, col))
+        assert abs(a.strength_ppm - e.strength_ppm) <= 0.15 * 1_000_000, key
+
+
+# ---------------------------------------------------------------------------
+# compaction apply: real files, preserved rows (VERDICT r9 #7)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_files_one_file_per_group_and_checksum(spark, sf_dir, tmp_path):
+    """compact_files must publish a snapshot with EXACTLY one data file
+    per planned (source, group_id) and preserve the row multiset
+    (bit_xor checksum + count per source)."""
+    from recommender_systems_pyspark_spark.functions.warehouse import (
+        _COMPACT_FILE_MOD,
+        _compaction_packed,
+        _doc_fingerprint,
+        _files_per_toplevel_partition,
+        compact_files,
+    )
+    from recommender_systems_pyspark_spark.sources.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = tables(spark, sf_dir)["documents"]
+    store = str(tmp_path / "store")
+    frag = docs.select(
+        "source",
+        F.expr(f"doc_id DIV {_COMPACT_FILE_MOD}").alias("file_id"),
+        "doc_id",
+        "n_chars",
+        "text",
+    ).repartition("source", "file_id")
+    v1 = write_snapshot(frag, store, partition_by=("source", "file_id"))
+    v2 = compact_files(spark, store)
+    assert v2 == v1 + 1
+
+    planned = (
+        _compaction_packed(docs)
+        .groupBy("source")
+        .agg(F.countDistinct("group_id").alias("n_groups"))
+        .collect()
+    )
+    fs_after = _files_per_toplevel_partition(os.path.join(store, f"v={v2}"))
+    assert fs_after == {r.source: r.n_groups for r in planned}
+
+    def sig(version):
+        return {
+            r.source: (r["cnt"], r["fp"])
+            for r in read_snapshot(spark, store, version)
+            .select("source", _doc_fingerprint().alias("rh"))
+            .groupBy("source")
+            .agg(F.count("*").alias("cnt"), F.expr("bit_xor(rh)").alias("fp"))
+            .collect()
+        }
+
+    assert sig(v1) == sig(v2)
+
+
+# ---------------------------------------------------------------------------
+# codec coverage probe (VERDICT r9 #8)
+# ---------------------------------------------------------------------------
+
+
+def test_codec_probe_outcomes_per_container():
+    """Unit replay of the probe on hand-built payloads: supported
+    containers decode, codec-library formats hit the NotImplementedError
+    boundary, and the sniffer labels each from magic bytes alone."""
+    import pandas as pd
+
+    from recommender_systems_pyspark_spark.multimodal.media import (
+        _sniff_container,
+        codec_probe,
+    )
+
+    wav = (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (16000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + b"data" + (2).to_bytes(4, "little") + b"ab"
+    )
+    cases = {
+        b"P5\n2 1\n255\nab": ("pgm", "decoded"),
+        wav: ("wav_u8", "decoded"),
+        b"YUV4MPEG2 W2 H1 Cmono\nFRAME\nab": ("y4m_mono", "decoded"),
+        b"YUV4MPEG2 W2 H1 C420\nFRAME\nab": ("y4m_420", "unsupported_codec"),
+        b"\xff\xd8\xff\xe0payload": ("jpeg", "unsupported_codec"),
+        b"\x89PNG\r\n\x1a\npayload": ("png", "unsupported_codec"),
+        b"\x00\x00\x00 ftypisomrest": ("mp4", "unsupported_codec"),
+        b"YUV4MPEG2 W9 H9 Cmono\nFRAME\nab": ("y4m_mono", "malformed"),
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(cases)), "payload_enc": list(cases.keys())}
+    )
+    (out,) = list(codec_probe(iter([pdf])))
+    for (payload, (container, outcome)), row in zip(
+        cases.items(), out.itertuples(index=False)
+    ):
+        assert _sniff_container(payload) == container
+        assert (row.container, row.outcome) == (container, outcome), payload[:12]

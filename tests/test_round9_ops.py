@@ -340,8 +340,8 @@ def test_cdc_apply_batch_merge_is_order_free(spark, sf_dir):
         d = tempfile.mkdtemp(prefix="cdc_order_")
         state = os.path.join(d, "state")
         try:
-            for i in order:
-                apply_cdc_batch(slices[i], state)
+            for epoch, i in enumerate(order):
+                apply_cdc_batch(slices[i], state, epoch)
             rows = spark.read.parquet(state).collect()
             return {r.user_id: (r.version, r.op, r.value, r.n_ops) for r in rows}
         finally:
