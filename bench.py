@@ -112,9 +112,12 @@ RECORD_ONLY = [
     # nation all-pairs match density no real dimension exhibits), so its
     # sf0.1 wall-clock measures the fixture pathology, not the plan.
     # Round-10 shapes (own baselines from this round's first recording):
-    # executed compaction + certification, codec-coverage decode probe.
+    # executed compaction + certification, codec-coverage decode probe,
+    # per-event stateful streaming anomaly gate.
     "x_compaction_apply",
     "x_media_codec_coverage",
+    "s14_stream_anomaly",
+    "x_graph_modularity",
 ]
 
 

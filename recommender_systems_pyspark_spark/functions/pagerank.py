@@ -367,7 +367,11 @@ def x_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LP_ITERS = 3
 
 
-def _lp_oracle() -> str:
+def _lp_cte_chain() -> list[str]:
+    """The shared WITH-chain: co-purchase edges, degrees, and the
+    ``_LP_ITERS`` unrolled synchronous-LPA rounds (l0..l{N}) — reused by
+    the x_label_propagation and x_graph_modularity oracles so the
+    community assignment both certify is literally the same SQL."""
     parts = [
         """
         WITH li AS MATERIALIZED (
@@ -399,6 +403,11 @@ def _lp_oracle() -> str:
           ) WHERE rn = 1
         )"""
         )
+    return parts
+
+
+def _lp_oracle() -> str:
+    parts = _lp_cte_chain()
     parts.append(
         f"""
         SELECT l.label AS community, COUNT(*) AS n_members,
@@ -477,6 +486,157 @@ def lpa_labels(edges: DataFrame, iters: int) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the LPA communities (round 10)
+# ---------------------------------------------------------------------------
+
+_MOD_TOP = 20  # per-community rows reported (plus the -1 TOTAL row)
+
+
+def _modularity_oracle() -> str:
+    parts = _lp_cte_chain()
+    parts.append(
+        f""",
+        etot AS (SELECT COUNT(*) AS e FROM edges),
+        mem AS (SELECT node, label FROM l{_LP_ITERS}),
+        cdeg AS (
+          SELECT m.label AS community,
+                 COUNT(*) AS n_members,
+                 CAST(SUM(d.outdeg) AS BIGINT) AS degree_sum
+          FROM mem m JOIN deg d ON d.src = m.node
+          GROUP BY m.label
+        ),
+        intra AS (
+          SELECT a.label AS community, COUNT(*) AS intra_directed
+          FROM edges e
+          JOIN mem a ON a.node = e.src
+          JOIN mem b ON b.node = e.dst
+          WHERE a.label = b.label
+          GROUP BY a.label
+        ),
+        contrib AS (
+          SELECT c.community, c.n_members, c.degree_sum,
+                 CAST(COALESCE(i.intra_directed, 0) AS BIGINT) AS intra_directed,
+                 CAST(COALESCE(i.intra_directed, 0) * e
+                      - c.degree_sum * c.degree_sum AS BIGINT) AS contrib_num
+          FROM cdeg c LEFT JOIN intra i USING (community) CROSS JOIN etot
+        ),
+        top AS (
+          SELECT * FROM contrib ORDER BY n_members DESC, community LIMIT {_MOD_TOP}
+        ),
+        total AS (
+          SELECT CAST(-1 AS BIGINT) AS community,
+                 CAST(SUM(n_members) AS BIGINT) AS n_members,
+                 CAST(SUM(degree_sum) AS BIGINT) AS degree_sum,
+                 CAST(SUM(intra_directed) AS BIGINT) AS intra_directed,
+                 CAST(SUM(contrib_num) AS BIGINT) AS contrib_num
+          FROM contrib
+        )
+        SELECT community, n_members, degree_sum, intra_directed, contrib_num,
+               CAST(contrib_num AS DOUBLE)
+                 / (CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS modularity
+        FROM (SELECT * FROM total UNION ALL SELECT * FROM top) u
+        CROSS JOIN etot
+        ORDER BY CASE WHEN community = -1 THEN 1 ELSE 0 END DESC,
+                 n_members DESC, community
+        """
+    )
+    return "".join(parts)
+
+
+@query("x_graph_modularity", oracle=_modularity_oracle())
+def x_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the quality metric that
+    tells a curation pipeline whether its cheap clustering actually found
+    structure (Q ≈ 0: no better than random; Q ≳ 0.3: strong communities)
+    before downstream stages trust the groups. Emits the TOTAL row
+    (community = -1, modularity = Q) plus the top-{top} communities with
+    their exact contribution.
+
+    Exactness: with E = directed edge count, per-community contribution
+    ``contrib_num = intra_directed·E − degree_sum²`` is pure int64
+    (Q = Σ contrib_num / E²), so the hash gate certifies the whole
+    computation; the single double division at the end divides two
+    exactly-representable integers (< 2^53) — correctly rounded
+    identically in both engines. At 100 TB scale widen contrib to
+    DECIMAL(38,0): E² can pass 2^63 when |E| > ~3e9.
+
+    Scale shape: one edges⋈labels⋈labels intra-count (both joins on the
+    node key, same partitioning LPA itself used), one label-keyed degree
+    agg, E as a broadcast one-row aggregate; top-k via
+    TakeOrderedAndProject. Linear in |edges| beyond LPA itself."""
+    edges = cached_copurchase_edges(spark, sf_dir)
+    labels = lpa_labels(edges, _LP_ITERS).localCheckpoint(eager=True)
+    etot = edges.agg(F.count("*").alias("e"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    cdeg = (
+        labels.join(deg, labels["node"] == deg["src"])
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("outdeg").cast("bigint").alias("degree_sum"),
+        )
+    )
+    mem_src = labels.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    mem_dst = labels.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    intra = (
+        edges.join(mem_src, "src")
+        .join(mem_dst, "dst")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").alias("intra_directed"))
+    )
+    contrib = (
+        cdeg.join(intra, "community", "left")
+        .crossJoin(F.broadcast(etot))
+        .select(
+            "community",
+            "n_members",
+            "degree_sum",
+            F.coalesce("intra_directed", F.lit(0).cast("bigint")).alias(
+                "intra_directed"
+            ),
+            (
+                F.coalesce("intra_directed", F.lit(0).cast("bigint")) * F.col("e")
+                - F.col("degree_sum") * F.col("degree_sum")
+            )
+            .cast("bigint")
+            .alias("contrib_num"),
+        )
+    )
+    top = contrib.orderBy(F.col("n_members").desc(), "community").limit(_MOD_TOP)
+    total = contrib.agg(
+        F.lit(-1).cast("bigint").alias("community"),
+        F.sum("n_members").cast("bigint").alias("n_members"),
+        F.sum("degree_sum").cast("bigint").alias("degree_sum"),
+        F.sum("intra_directed").cast("bigint").alias("intra_directed"),
+        F.sum("contrib_num").cast("bigint").alias("contrib_num"),
+    )
+    return (
+        total.unionByName(top)
+        .crossJoin(F.broadcast(etot))
+        .select(
+            "community",
+            "n_members",
+            "degree_sum",
+            "intra_directed",
+            "contrib_num",
+            (
+                F.col("contrib_num").cast("double")
+                / (F.col("e").cast("double") * F.col("e").cast("double"))
+            ).alias("modularity"),
+        )
+        .orderBy(
+            F.when(F.col("community") == -1, 1).otherwise(0).desc(),
+            F.col("n_members").desc(),
+            "community",
+        )
+    )
+
+
+x_graph_modularity.__doc__ = x_graph_modularity.__doc__.format(top=_MOD_TOP)
 
 
 # ---------------------------------------------------------------------------

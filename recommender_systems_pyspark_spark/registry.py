@@ -126,6 +126,8 @@ _QUERY_MODULES = (
     # --- new in r9 --------------------------------------------------------
     "recommender_systems_pyspark_spark.streaming.cdc_apply",
     "recommender_systems_pyspark_spark.streaming.scd2_enrich",
+    # --- new in r10 -------------------------------------------------------
+    "recommender_systems_pyspark_spark.streaming.anomaly",
 )
 
 #: Round-10 grading window (the driver grades the FIRST 50 entries of
@@ -166,6 +168,8 @@ _GRADE_FIRST = (
     # --- new in r10 (inserted as they land) ------------------------------
     "x_compaction_apply",
     "x_media_codec_coverage",
+    "s14_stream_anomaly",
+    "x_graph_modularity",
     # rest: the r5-vintage cohort (oldest latest-grades), dedup/similarity
     # first (they guard the most scale-critical plans), then streaming,
     # asof, stats, warehouse, tpch_q1
@@ -207,9 +211,9 @@ _GRADE_FIRST = (
     "x_salted_join_revenue",
     "x_bloom_semi_prune",
     "x_zorder_key",
+    # --- round-11 queue from here (past the 50-slot window) --------------
     "x_pareto_frontier",
     "x_scd2_asof",
-    # --- round-11 queue from here (past the 50-slot window) --------------
     "x_pagerank",
     "x_bm25_topk",
     "x_fpgrowth_itemsets",

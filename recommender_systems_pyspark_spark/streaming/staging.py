@@ -1,0 +1,44 @@
+"""Deterministic micro-batch staging for certified streaming queries.
+
+The file source lists files oldest-mtime-first; with
+``maxFilesPerTrigger=1`` each staged file becomes exactly one micro-batch.
+Staging a feed as N range-partitioned files with strictly increasing
+mtimes therefore replays it as N ordered micro-batches — the mechanism
+behind every hash-certified streaming query here (s12 CDC, s13 SCD2
+enrichment, s14 anomaly): a REAL multi-batch stream whose final answer
+can be compared against a one-shot SQL oracle over the whole feed.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stage_ordered_files(
+    feed: DataFrame, order_col: str, n_batches: int, src_dir: str
+) -> None:
+    """Write ``feed`` into ``src_dir`` as ``n_batches`` single-file
+    parquet slices, range-partitioned on ``order_col`` (equal-width
+    spans of [0, max]) with strictly increasing mtimes — so a file
+    stream with ``maxFilesPerTrigger=1`` replays the feed in
+    ``order_col`` order, one span per micro-batch. One scalar collect
+    (the max) is the only driver-side data access."""
+    os.makedirs(src_dir, exist_ok=True)
+    max_v = feed.agg(F.max(order_col)).collect()[0][0]
+    span = (max_v + n_batches) // n_batches
+    t0 = 1_700_000_000
+    for i in range(n_batches):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        feed.where(
+            (F.col(order_col) >= i * span) & (F.col(order_col) < (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"batch{i}.parquet")
+        os.rename(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (t0 + i, t0 + i))

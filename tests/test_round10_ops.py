@@ -263,3 +263,101 @@ def test_codec_probe_outcomes_per_container():
     ):
         assert _sniff_container(payload) == container
         assert (row.container, row.outcome) == (container, outcome), payload[:12]
+
+
+# ---------------------------------------------------------------------------
+# s14 streaming anomaly: the state fold is exactly the batch window
+# ---------------------------------------------------------------------------
+
+
+class _StubState:
+    """Minimal GroupState stand-in for unit-folding _flag_user."""
+
+    def __init__(self):
+        self.exists = False
+        self.get = None
+
+    def update(self, tup):
+        self.exists = True
+        self.get = tup
+
+
+def test_s14_fold_carries_state_across_batches():
+    """Replaying one user's events as (a) a single batch and (b) two
+    batches through _flag_user must yield identical per-event flags —
+    and the second batch's flags must reflect the first batch's history
+    (a value anomalous vs batch-0 history, normal vs an empty one)."""
+    import pandas as pd
+
+    from recommender_systems_pyspark_spark.streaming.anomaly import (
+        _MIN_PRIOR,
+        _flag_user,
+    )
+
+    # 8 calm events then a spike: with >= _MIN_PRIOR priors the spike flags
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.3, 9.7, 50.0, 10.0]
+    pdf = pd.DataFrame(
+        {"event_id": range(len(vals)), "user_id": 1, "value": vals}
+    )
+
+    def run(batches):
+        st = _StubState()
+        rows = []
+        for b in batches:
+            (out,) = list(_flag_user((1,), iter([b]), st))
+            rows.append(out)
+        got = pd.concat(rows).sort_values("event_id")
+        return list(got["is_anomaly"]), st.get
+
+    one, state_one = run([pdf])
+    two, state_two = run([pdf.iloc[:6], pdf.iloc[6:]])
+    assert one == two  # batch boundaries cannot change any flag
+    assert state_one == state_two
+    assert one[8]  # the 50.0 spike flags against the calm baseline
+    # the 10.0 right after the spike does NOT flag: the spike inflated the
+    # variance baseline — proof the flag at index 9 saw index 8's history
+    assert not one[9]
+    # the first _MIN_PRIOR events can never flag
+    assert not any(one[:_MIN_PRIOR])
+
+
+def test_s14_flags_are_non_vacuous_on_fixture(spark, sf_dir):
+    """The registered stream must actually flag something on the fixture
+    (an all-false column would hash-match a broken oracle of all-false)."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    rows = all_queries()["s14_stream_anomaly"].fn(spark, sf_dir).collect()
+    n_flagged = sum(1 for r in rows if r.is_anomaly)
+    assert len(rows) == 1000
+    assert 0 < n_flagged < len(rows)
+
+
+# ---------------------------------------------------------------------------
+# x_graph_modularity invariants
+# ---------------------------------------------------------------------------
+
+
+def test_graph_modularity_invariants(spark, sf_dir):
+    """The TOTAL row must be the exact sum of ALL community rows (not just
+    the reported top-k), Q must sit in Newman's [-1/2, 1) range, the
+    symmetric edge list makes every intra count even, and membership must
+    cover every node exactly once."""
+    from recommender_systems_pyspark_spark.functions.pagerank import (
+        cached_copurchase_edges,
+        x_graph_modularity,
+    )
+
+    rows = x_graph_modularity(spark, sf_dir).collect()
+    total = rows[0]
+    assert total.community == -1
+    edges = cached_copurchase_edges(spark, sf_dir)
+    e = edges.count()
+    n_nodes = edges.select("src").distinct().count()
+    assert total.n_members == n_nodes
+    assert total.degree_sum == e  # Σ degrees = directed edge count
+    assert total.intra_directed % 2 == 0
+    assert -0.5 <= total.modularity < 1.0
+    assert total.modularity == total.contrib_num / (e * e)
+    for r in rows[1:]:
+        assert r.intra_directed % 2 == 0
+        assert r.contrib_num == r.intra_directed * e - r.degree_sum**2
