@@ -118,6 +118,7 @@ RECORD_ONLY = [
     "x_media_codec_coverage",
     "s14_stream_anomaly",
     "x_graph_modularity",
+    "x_knn_ivfpq_topk",
 ]
 
 

@@ -533,12 +533,14 @@ def pq_encode(e: DataFrame, cent: DataFrame, m: int = _PQ_M) -> DataFrame:
 _PQ_SHORTLIST = 100
 
 
-def _sql_pq_topk(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITERS) -> str:
-    """DuckDB replica of the WHOLE PQ-ANN path — joint codebook training
-    (Lloyd iterations unrolled, same scheme as :func:`_sql_kmeans`),
-    encoding, ADC shortlist, exact re-rank. Portable for the same reasons
-    as the k-means oracle; the subspace slice v[s·w+1 : s·w+w] matches
-    Spark's 1-based ``slice`` exactly."""
+def _sql_pq_parts(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITERS) -> list[str]:
+    """The shared CTE chain of the PQ-ANN oracles: joint codebook
+    training (Lloyd iterations unrolled, same scheme as
+    :func:`_sql_kmeans`), encoding (``codes``), and the query's ADC
+    lookup table (``adc``). ``x_embed_pq_topk`` appends the whole-corpus
+    shortlist; ``x_knn_ivfpq_topk`` appends a coarse-cell-restricted one.
+    Portable for the same reasons as the k-means oracle; the subspace
+    slice v[s·w+1 : s·w+w] matches Spark's 1-based ``slice`` exactly."""
     q = "1000000000.0"
     sq = (
         "list_dot_product("
@@ -614,21 +616,13 @@ def _sql_pq_topk(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITERS) -> str
                    list_transform(generate_series(1, len(c.cvec)), i -> c.cvec[i] - t.qvec[i])) AS adc
           FROM {cfin} c JOIN qsub t ON t.sub = c.sub
         )""",
-        f"""shortlist AS (
-          SELECT codes.vec_id,
-                 CAST(SUM(CAST(adc AS DECIMAL(28,12))) AS DOUBLE) AS approx_dist
-          FROM codes JOIN adc ON adc.sub = codes.sub AND adc.cell = codes.cell
-          WHERE codes.vec_id <> 0
-          GROUP BY codes.vec_id
-          ORDER BY approx_dist, vec_id
-          LIMIT {_PQ_SHORTLIST}
-        )""",
         """qv AS (SELECT v FROM e WHERE vec_id = 0)""",
     ]
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + """
+    return parts
+
+
+#: The exact L2 re-rank expression both PQ oracles share.
+_SQL_L2_RERANK = """
     SELECT e.vec_id,
            list_dot_product(
              list_transform(generate_series(1, len(e.v)), i -> e.v[i] - qv.v[i]),
@@ -637,7 +631,22 @@ def _sql_pq_topk(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITERS) -> str
     ORDER BY dist, vec_id
     LIMIT 10
     """
+
+
+def _sql_pq_topk(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITERS) -> str:
+    parts = _sql_pq_parts(m, k, n_iter)
+    parts.append(
+        f"""shortlist AS (
+          SELECT codes.vec_id,
+                 CAST(SUM(CAST(adc AS DECIMAL(28,12))) AS DOUBLE) AS approx_dist
+          FROM codes JOIN adc ON adc.sub = codes.sub AND adc.cell = codes.cell
+          WHERE codes.vec_id <> 0
+          GROUP BY codes.vec_id
+          ORDER BY approx_dist, vec_id
+          LIMIT {_PQ_SHORTLIST}
+        )"""
     )
+    return "WITH " + ",\n".join(parts) + _SQL_L2_RERANK
 
 
 @query("x_embed_pq_topk", oracle=_sql_pq_topk())
@@ -690,6 +699,128 @@ def x_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed production ANN index (round 10)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_PROBES = 3      # coarse cells probed
+_IVFPQ_SHORTLIST = 100  # ADC shortlist within the probed cells (PQ convention)
+
+
+def _sql_ivfpq_topk() -> str:
+    from .centroids import _SQL_CENTROIDS
+    from .similarity import _SQL_COSINE
+
+    coarse = [
+        f"cd AS ({_SQL_CENTROIDS})",
+        """cent AS (
+          SELECT label, list(centroid ORDER BY dim) AS centroid
+          FROM cd GROUP BY label
+        )""",
+        "qfull AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""probed AS (
+          SELECT label FROM cent, qfull
+          ORDER BY {_SQL_COSINE.format(a='centroid', b='qv')} DESC, label
+          LIMIT {_IVFPQ_PROBES}
+        )""",
+        """cand AS (
+          SELECT vec_id FROM embeddings
+          WHERE vec_id <> 0 AND label IN (SELECT label FROM probed)
+        )""",
+    ]
+    parts = coarse + _sql_pq_parts()
+    parts.append(
+        f"""shortlist AS (
+          SELECT codes.vec_id,
+                 CAST(SUM(CAST(adc AS DECIMAL(28,12))) AS DOUBLE) AS approx_dist
+          FROM codes JOIN adc ON adc.sub = codes.sub AND adc.cell = codes.cell
+          WHERE codes.vec_id IN (SELECT vec_id FROM cand)
+          GROUP BY codes.vec_id
+          ORDER BY approx_dist, vec_id
+          LIMIT {_IVFPQ_SHORTLIST}
+        )"""
+    )
+    return "WITH " + ",\n".join(parts) + _SQL_L2_RERANK
+
+
+@query("x_knn_ivfpq_topk", oracle=_sql_ivfpq_topk())
+def x_knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for the vec_id-0 query — the COMPOSED production ANN
+    index (Jégou et al.'s IVFADC shape), stacking the engine's two
+    certified rungs: (1) COARSE PROBE — rank cells by centroid cosine,
+    keep the {probes} nearest (x_knn_ivf_topk's stage; with the corpus
+    parquet partitioned by cell this is partition pruning, so the scan
+    only ever reads probed cells); (2) ADC SHORTLIST — inside the probed
+    cells, rank by PQ asymmetric distance: the m×k query-to-codeword
+    table broadcasts, a vector costs one m-code lookup-sum, and the scan
+    reads CODES (32× smaller than embeddings) → top {short};
+    (3) EXACT RE-RANK — fetch only those {short} embeddings, true L2 →
+    top-10. Codebooks train on the full corpus (production trains on a
+    sample; deterministic here so the oracle replays training too).
+
+    At 100 TB the cost is probes/N of the code scan — the only
+    corpus-sized relation — plus constant re-rank I/O; every join is a
+    broadcast. Full oracle: coarse probe, training, encoding, ADC and
+    re-rank all replay in SQL (the shared :func:`_sql_pq_parts` chain +
+    the x_knn_ivf_topk probe CTE). pytest pins recall@10 vs the exact
+    scan and agreement with the unrestricted PQ path."""
+    from .centroids import centroids_assembled
+    from .similarity import cosine
+
+    t = tables(spark, sf_dir)
+    e = t["embeddings"]
+    # (1) coarse probe — identical expressions to x_knn_ivf_topk
+    q_emb = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    probed = (
+        centroids_assembled(e)
+        .crossJoin(F.broadcast(q_emb))
+        .select("label", cosine(F.col("centroid"), F.col("qv")).alias("cell_sim"))
+        .orderBy(F.col("cell_sim").desc(), "label")
+        .limit(_IVFPQ_PROBES)
+        .select("label")
+    )
+    cand = e.where(F.col("vec_id") != 0).join(F.broadcast(probed), "label", "left_semi")
+    # (2) ADC shortlist over the probed cells' codes
+    ev = e.select("vec_id", "embedding")
+    cent = pq_train(ev)
+    codes = pq_encode(cand.select("vec_id", "embedding"), cent)
+    q = _subvectors(ev.where(F.col("vec_id") == 0), _PQ_M).select(
+        "sub", F.col("svec").alias("qvec")
+    )
+    qdiff = F.zip_with(F.col("cvec"), F.col("qvec"), lambda x, y: x - y)
+    adc = cent.join(F.broadcast(q), "sub").select(
+        "sub", "cell", dot(qdiff, qdiff).alias("adc")
+    )
+    shortlist = (
+        codes.join(F.broadcast(adc), ["sub", "cell"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("adc").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("approx_dist")
+        )
+        .orderBy("approx_dist", "vec_id")
+        .limit(_IVFPQ_SHORTLIST)
+    )
+    # (3) exact re-rank of the shortlist
+    qv = ev.where(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    d = F.zip_with(F.col("embedding"), F.col("qv"), lambda x, y: x.cast("double") - y)
+    return (
+        ev.join(shortlist.select("vec_id"), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", dot(d, d).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
+
+
+x_knn_ivfpq_topk.__doc__ = x_knn_ivfpq_topk.__doc__.format(
+    probes=_IVFPQ_PROBES, short=_IVFPQ_SHORTLIST
+)
 
 
 # ---------------------------------------------------------------------------

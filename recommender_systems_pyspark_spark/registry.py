@@ -170,6 +170,7 @@ _GRADE_FIRST = (
     "x_media_codec_coverage",
     "s14_stream_anomaly",
     "x_graph_modularity",
+    "x_knn_ivfpq_topk",
     # rest: the r5-vintage cohort (oldest latest-grades), dedup/similarity
     # first (they guard the most scale-critical plans), then streaming,
     # asof, stats, warehouse, tpch_q1
@@ -210,8 +211,8 @@ _GRADE_FIRST = (
     "x_range_frame_trailing",
     "x_salted_join_revenue",
     "x_bloom_semi_prune",
-    "x_zorder_key",
     # --- round-11 queue from here (past the 50-slot window) --------------
+    "x_zorder_key",
     "x_pareto_frontier",
     "x_scd2_asof",
     "x_pagerank",

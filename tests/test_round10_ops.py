@@ -361,3 +361,60 @@ def test_graph_modularity_invariants(spark, sf_dir):
     for r in rows[1:]:
         assert r.intra_directed % 2 == 0
         assert r.contrib_num == r.intra_directed * e - r.degree_sum**2
+
+
+# ---------------------------------------------------------------------------
+# x_knn_ivfpq_topk: composed-index quality invariants
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_recall_and_probe_containment(spark, sf_dir):
+    """(a) Every IVF-PQ result must come from a probed cell; (b) recall@10
+    of the ADC+re-rank stages vs the exact L2 top-10 WITHIN the probed
+    cells must be high (the coarse probe's recall is a separate, tunable
+    tradeoff measured end-to-end in (c))."""
+    from recommender_systems_pyspark_spark.functions.centroids import (
+        centroids_assembled,
+    )
+    from recommender_systems_pyspark_spark.functions.similarity import cosine, dot
+    from recommender_systems_pyspark_spark.functions.vectors import (
+        _IVFPQ_PROBES,
+        x_knn_ivfpq_topk,
+    )
+
+    got = [r.vec_id for r in x_knn_ivfpq_topk(spark, sf_dir).collect()]
+    assert len(got) == 10
+    e = tables(spark, sf_dir)["embeddings"]
+    q_emb = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    probed = (
+        centroids_assembled(e)
+        .crossJoin(F.broadcast(q_emb))
+        .select("label", cosine(F.col("centroid"), F.col("qv")).alias("s"))
+        .orderBy(F.col("s").desc(), "label")
+        .limit(_IVFPQ_PROBES)
+        .select("label")
+    )
+    cand = e.where(F.col("vec_id") != 0).join(F.broadcast(probed), "label", "left_semi")
+    assert set(got) <= {r.vec_id for r in cand.select("vec_id").collect()}
+
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    d = F.zip_with(F.col("embedding"), F.col("qv"), lambda x, y: x.cast("double") - y)
+
+    def l2_top10(frame):
+        return [
+            r.vec_id
+            for r in frame.crossJoin(F.broadcast(qv))
+            .select("vec_id", dot(d, d).alias("dist"))
+            .orderBy("dist", "vec_id")
+            .limit(10)
+            .collect()
+        ]
+
+    within = l2_top10(cand)
+    assert len(set(got) & set(within)) / 10 >= 0.7
+    # (c) end-to-end floor vs the full exact scan: the 3-of-10-cells probe
+    # bounds what any in-cell stage can recover on this unclustered fixture
+    exact = l2_top10(e.where(F.col("vec_id") != 0))
+    assert len(set(got) & set(exact)) / 10 >= 0.2
