@@ -132,6 +132,15 @@ DEFAULT_QUERIES = [
     "s13_stream_scd2_enrich",
     "x_feature_hashing",
     "x_entity_resolution_e2e",
+    # round-10 additions: the re-based blocked matcher's twin, executed
+    # compaction, codec probe, stateful anomaly stream, LPA modularity,
+    # composed IVF-PQ
+    "x_levenshtein_blocked",
+    "x_compaction_apply",
+    "x_media_codec_coverage",
+    "s14_stream_anomaly",
+    "x_graph_modularity",
+    "x_knn_ivfpq_topk",
 ]
 
 

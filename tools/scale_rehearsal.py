@@ -104,6 +104,22 @@ DEFAULT_QUERIES = (
     "x_compaction_plan",
     "s12_cdc_apply",
     "x_tvd_drift",
+    # round-10 additions: the r9 queries graded this round plus the new
+    # shapes — executed compaction, codec probe, per-event stateful
+    # anomaly stream, LPA modularity, composed IVF-PQ, and the re-based
+    # (nation, length)-blocked entity matcher (its levenshtein twin
+    # shares the primitive). x_entity_resolution_e2e itself stays
+    # excluded like the bench: the fixture's fixed-width sequential
+    # names are a match-density pathology, not a plan property.
+    "x_feature_hashing",
+    "x_fd_profile",
+    "x_levenshtein_blocked",
+    "s13_stream_scd2_enrich",
+    "x_compaction_apply",
+    "x_media_codec_coverage",
+    "s14_stream_anomaly",
+    "x_graph_modularity",
+    "x_knn_ivfpq_topk",
 )
 
 
