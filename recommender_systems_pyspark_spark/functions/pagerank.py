@@ -474,15 +474,19 @@ def lpa_labels(edges: DataFrame, iters: int) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("dst").orderBy(F.col("n").desc(), F.col("label"))
     for _ in range(iters):
+        # mode per dst = argmax over (count, -label): a max_by hash
+        # aggregate — same total order as the oracle's ROW_NUMBER
+        # (count DESC, label ASC) but with NO per-round sort (the old
+        # row_number window sorted the whole (dst, label) frame every
+        # iteration; r10 bench: this swap is a pure agg-for-sort trade
+        # on the same shuffle keys)
         labels = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy("dst", "label")
             .agg(F.count("*").alias("n"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), "label")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.max_by("label", F.struct(F.col("n"), (-F.col("label")).alias("t"))).alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels
