@@ -174,10 +174,11 @@ def test_compact_files_one_file_per_group_and_checksum(spark, sf_dir, tmp_path):
     per planned (source, group_id) and preserve the row multiset
     (bit_xor checksum + count per source)."""
     from recommender_systems_pyspark_spark.functions.warehouse import (
-        _COMPACT_FILE_MOD,
-        _compaction_packed,
+        _APPLY_FILE_MOD,
+        _APPLY_TARGET,
         _doc_fingerprint,
         _files_per_toplevel_partition,
+        _pack_manifest,
         compact_files,
     )
     from recommender_systems_pyspark_spark.sources.versioned import (
@@ -189,17 +190,26 @@ def test_compact_files_one_file_per_group_and_checksum(spark, sf_dir, tmp_path):
     store = str(tmp_path / "store")
     frag = docs.select(
         "source",
-        F.expr(f"doc_id DIV {_COMPACT_FILE_MOD}").alias("file_id"),
+        F.expr(
+            f"CAST((row_number() OVER (PARTITION BY source ORDER BY doc_id)"
+            f" - 1) DIV {_APPLY_FILE_MOD} AS BIGINT)"
+        ).alias("file_id"),
         "doc_id",
         "n_chars",
         "text",
     ).repartition("source", "file_id")
     v1 = write_snapshot(frag, store, partition_by=("source", "file_id"))
-    v2 = compact_files(spark, store)
+    v2 = compact_files(spark, store, target=_APPLY_TARGET)
     assert v2 == v1 + 1
 
     planned = (
-        _compaction_packed(docs)
+        _pack_manifest(
+            frag.groupBy("source", "file_id").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("bytes"),
+            ),
+            target=_APPLY_TARGET,
+        )
         .groupBy("source")
         .agg(F.countDistinct("group_id").alias("n_groups"))
         .collect()

@@ -162,6 +162,32 @@ def build_replica(
                             "text", _ALPHA + _ALPHA.upper(), rot + rot.upper()
                         ),
                     )
+                if t == "customer" and mutate_docs and i > 0:
+                    # Same organic-growth argument for NAME matching
+                    # (x_levenshtein_blocked / entity resolution): a real
+                    # 10× dimension grows its name space; verbatim name
+                    # copies make every (nation, length) block a 10-way
+                    # clique → ~copies² match pairs (measured 19× time at
+                    # 10× data in r10 before this). Rotate letters AND
+                    # digits per copy (names are Customer#0000NNN): a
+                    # character BIJECTION preserves every within-copy
+                    # edit distance exactly — each copy reproduces the
+                    # source's own match pairs — while cross-copy names
+                    # differ in every rotated position, so nothing
+                    # collides across copies. Lengths are unchanged, so
+                    # the (nation, length) block-size distribution is
+                    # the source's too.
+                    digits = "0123456789"
+                    rot = _ALPHA[i:] + _ALPHA[:i]
+                    drot = digits[i % 10:] + digits[: i % 10]
+                    c = c.withColumn(
+                        "c_name",
+                        F.translate(
+                            "c_name",
+                            _ALPHA + _ALPHA.upper() + digits,
+                            rot + rot.upper() + drot,
+                        ),
+                    )
                 if t == "events" and mutate_docs and i > 0:
                     # Disjoint TIME ranges per copy: organic 10× growth
                     # adds HISTORY, it does not densify the same hours.
