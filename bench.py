@@ -119,6 +119,7 @@ RECORD_ONLY = [
     "s14_stream_anomaly",
     "x_graph_modularity",
     "x_knn_ivfpq_topk",
+    "x_passjoin_ed1",
 ]
 
 

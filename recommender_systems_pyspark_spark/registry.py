@@ -128,6 +128,7 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.streaming.scd2_enrich",
     # --- new in r10 -------------------------------------------------------
     "recommender_systems_pyspark_spark.streaming.anomaly",
+    "recommender_systems_pyspark_spark.functions.blocking",
 )
 
 #: Round-10 grading window (the driver grades the FIRST 50 entries of
@@ -171,6 +172,7 @@ _GRADE_FIRST = (
     "s14_stream_anomaly",
     "x_graph_modularity",
     "x_knn_ivfpq_topk",
+    "x_passjoin_ed1",
     # rest: the r5-vintage cohort (oldest latest-grades), dedup/similarity
     # first (they guard the most scale-critical plans), then streaming,
     # asof, stats, warehouse, tpch_q1
@@ -210,8 +212,8 @@ _GRADE_FIRST = (
     "x_merge_upsert",
     "x_range_frame_trailing",
     "x_salted_join_revenue",
-    "x_bloom_semi_prune",
     # --- round-11 queue from here (past the 50-slot window) --------------
+    "x_bloom_semi_prune",
     "x_zorder_key",
     "x_pareto_frontier",
     "x_scd2_asof",

@@ -428,3 +428,66 @@ def test_ivfpq_recall_and_probe_containment(spark, sf_dir):
     # bounds what any in-cell stage can recover on this unclustered fixture
     exact = l2_top10(e.where(F.col("vec_id") != 0))
     assert len(set(got) & set(exact)) / 10 >= 0.2
+
+
+# ---------------------------------------------------------------------------
+# PassJoin τ=1: lossless content-pigeonhole blocking
+# ---------------------------------------------------------------------------
+
+
+def test_passjoin_ed1_equals_naive(spark, sf_dir):
+    """Pair-set equality with the naive all-pairs levenshtein form — on a
+    crafted frame exercising every edit kind (substitution, insertion,
+    deletion, equality, the 2-edit negative, the min-length exclusion)
+    AND on the documents fixture's 40-char titles."""
+    from recommender_systems_pyspark_spark.functions.blocking import (
+        PASSJOIN_MIN_LEN,
+        passjoin_pairs_ed1,
+    )
+
+    def naive(df):
+        a, b = df.alias("a"), df.alias("b")
+        return {
+            (r[0], r[1])
+            for r in a.join(
+                b,
+                (F.col("a.k") < F.col("b.k"))
+                & (F.length("a.t") >= PASSJOIN_MIN_LEN)
+                & (F.length("b.t") >= PASSJOIN_MIN_LEN)
+                & (F.abs(F.length("a.t") - F.length("b.t")) <= 1),
+            )
+            .where(F.levenshtein(F.col("a.t"), F.col("b.t")) <= 1)
+            .select(F.col("a.k"), F.col("b.k"))
+            .collect()
+        }
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "sparkly"),    # base
+            (2, "sparkly"),    # equal → dist 0
+            (3, "sporkly"),    # substitution in seg 0
+            (4, "sparklyx"),   # insertion at end (seg 1)
+            (5, "sparkl"),     # deletion at end
+            (6, "xsparkly"),   # insertion at front (shifts both segs)
+            (7, "spornly"),    # 2 edits from base → excluded
+            (8, "spa"),        # below min length → excluded entirely
+            (9, "parkly"),     # front deletion
+            (10, "zzzzzzz"),   # unrelated
+        ],
+        "k bigint, t string",
+    )
+    got = {
+        (r.a_k, r.b_k) for r in passjoin_pairs_ed1(crafted, "k", "t").collect()
+    }
+    assert got == naive(crafted)
+    assert (1, 6) in got and (1, 9) in got  # indel shifts covered
+    assert all(8 not in p for p in got)
+
+    docs = tables(spark, sf_dir)["documents"].select(
+        F.col("doc_id").alias("k"), F.substring("text", 1, 40).alias("t")
+    ).where(F.octet_length("t") == F.length("t"))
+    got_docs = {
+        (r.a_k, r.b_k) for r in passjoin_pairs_ed1(docs, "k", "t").collect()
+    }
+    assert got_docs == naive(docs)
+    assert len(got_docs) > 0  # non-vacuous on the fixture

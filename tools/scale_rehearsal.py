@@ -126,6 +126,7 @@ DEFAULT_QUERIES = (
     "s14_stream_anomaly",
     "x_graph_modularity",
     "x_knn_ivfpq_topk",
+    "x_passjoin_ed1",
 )
 
 

@@ -53,6 +53,7 @@ QUADRATIC_ORACLE_MAX_SF: dict[str, float] = {
     "x_entity_resolution_e2e": 0.01,  # ground-truth recursive closure
     "x_corpus_e2e": 0.01,           # funnel replay ending in closure
     "x_dedup_substring": 0.01,      # suffix containment: all-ordered-pairs scan
+    "x_passjoin_ed1": 0.01,         # all-pairs levenshtein ground truth
 }
 
 
