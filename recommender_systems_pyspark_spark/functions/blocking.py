@@ -123,21 +123,29 @@ def passjoin_pairs_ed1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
         F.length(str_col).alias("m"),
     ).where(F.col("m") >= PASSJOIN_MIN_LEN)
 
+    # Both sides are built as ONE map-only pass each (posexplode of
+    # inline structs), never a union of re-scans: at 100 TB the probe
+    # side would otherwise read the corpus 18 times.
     half = F.expr("m DIV 2")
     index = s.select(
-        "id", "s", "m", F.lit(0).alias("seg"),
-        F.col("s").substr(F.lit(1), half).alias("piece"),
-    ).unionByName(
-        s.select(
-            "id",
-            "s",
-            "m",
-            F.lit(1).alias("seg"),
-            F.col("s").substr(half + 1, F.col("m") - half).alias("piece"),
-        )
-    )
+        "id",
+        "s",
+        "m",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("seg"),
+                    F.col("s").substr(F.lit(1), half).alias("piece"),
+                ),
+                F.struct(
+                    F.lit(1).alias("seg"),
+                    F.col("s").substr(half + 1, F.col("m") - half).alias("piece"),
+                ),
+            )
+        ).alias("ix"),
+    ).select("id", "s", "m", F.col("ix.seg").alias("seg"), F.col("ix.piece").alias("piece"))
 
-    probes = []
+    probe_structs = []
     for dl in (-1, 0, 1):
         # candidate INDEX length L = m + dl; its segments start at 0 and
         # L div 2 with lengths L div 2 and L - L div 2
@@ -147,20 +155,33 @@ def passjoin_pairs_ed1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
         for seg, (pos, ln) in ((0, (F.lit(0), l0)), (1, (l0, l1))):
             for delta in (-1, 0, 1):
                 start = pos + delta
-                probes.append(
-                    s.select(
-                        F.col("id").alias("p_id"),
-                        F.col("s").alias("p_s"),
-                        F.col("m").alias("p_m"),
+                probe_structs.append(
+                    F.struct(
                         L.alias("L"),
                         F.lit(seg).alias("seg"),
                         F.when(
                             (start >= 0) & (start + ln <= F.col("m")) & (ln >= 1),
                             F.col("s").substr(start + 1, ln),
                         ).alias("piece"),
-                    ).where(F.col("piece").isNotNull() & (F.col("L") >= PASSJOIN_MIN_LEN))
+                    )
                 )
-    probe = reduce(DataFrame.unionByName, probes)
+    probe = (
+        s.select(
+            F.col("id").alias("p_id"),
+            F.col("s").alias("p_s"),
+            F.col("m").alias("p_m"),
+            F.explode(F.array(*probe_structs)).alias("pr"),
+        )
+        .select(
+            "p_id",
+            "p_s",
+            "p_m",
+            F.col("pr.L").alias("L"),
+            F.col("pr.seg").alias("seg"),
+            F.col("pr.piece").alias("piece"),
+        )
+        .where(F.col("piece").isNotNull() & (F.col("L") >= PASSJOIN_MIN_LEN))
+    )
 
     cand = index.join(
         probe,
@@ -235,7 +256,10 @@ def x_passjoin_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", title.alias("title")).where(
         F.octet_length("title") == F.length("title")
     )
-    pairs = passjoin_pairs_ed1(t, "doc_id", "title")
+    # the verified pair set feeds two aggregations (global stats + the
+    # distinct-doc count) — materialize it once instead of replaying the
+    # candidate join per consumer
+    pairs = passjoin_pairs_ed1(t, "doc_id", "title").localCheckpoint(eager=True)
     stats = pairs.agg(
         F.count("*").alias("n_pairs"),
         F.coalesce(F.sum((F.col("dist") == 0).cast("long")), F.lit(0).cast("long")).alias("n_exact"),
