@@ -120,6 +120,7 @@ RECORD_ONLY = [
     "x_graph_modularity",
     "x_knn_ivfpq_topk",
     "x_passjoin_ed1",
+    "s15_stream_session_timeout",
 ]
 
 

@@ -129,6 +129,7 @@ _QUERY_MODULES = (
     # --- new in r10 -------------------------------------------------------
     "recommender_systems_pyspark_spark.streaming.anomaly",
     "recommender_systems_pyspark_spark.functions.blocking",
+    "recommender_systems_pyspark_spark.streaming.session_timeout",
 )
 
 #: Round-10 grading window (the driver grades the FIRST 50 entries of
@@ -173,6 +174,7 @@ _GRADE_FIRST = (
     "x_graph_modularity",
     "x_knn_ivfpq_topk",
     "x_passjoin_ed1",
+    "s15_stream_session_timeout",
     # rest: the r5-vintage cohort (oldest latest-grades), dedup/similarity
     # first (they guard the most scale-critical plans), then streaming,
     # asof, stats, warehouse, tpch_q1
@@ -211,8 +213,8 @@ _GRADE_FIRST = (
     "x_scd2_history",
     "x_merge_upsert",
     "x_range_frame_trailing",
-    "x_salted_join_revenue",
     # --- round-11 queue from here (past the 50-slot window) --------------
+    "x_salted_join_revenue",
     "x_bloom_semi_prune",
     "x_zorder_key",
     "x_pareto_frontier",

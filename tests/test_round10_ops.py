@@ -491,3 +491,104 @@ def test_passjoin_ed1_equals_naive(spark, sf_dir):
     }
     assert got_docs == naive(docs)
     assert len(got_docs) > 0  # non-vacuous on the fixture
+
+
+# ---------------------------------------------------------------------------
+# s15 streaming sessionizer with event-time timeout
+# ---------------------------------------------------------------------------
+
+
+def test_s15_both_close_paths_and_horizon(spark, sf_dir):
+    """The stream must exercise BOTH close paths (successor arrival and
+    watermark timeout), emit each closed session exactly once with the
+    batch gap-split's exact contents, and hold back every session whose
+    expiry the final watermark has not passed."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from recommender_systems_pyspark_spark.sources import load_table
+    from recommender_systems_pyspark_spark.streaming.session_timeout import (
+        _DELAY_MIN,
+        _GAP_US,
+        _N_BATCHES,
+        session_stream,
+    )
+    from recommender_systems_pyspark_spark.streaming.staging import (
+        stage_ordered_files,
+    )
+
+    prior_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        d = tempfile.mkdtemp(prefix="s15_test_")
+        feed = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts"
+        )
+        stage_ordered_files(feed, "event_id", _N_BATCHES, os.path.join(d, "src"))
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, ts timestamp_ntz"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "src"))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            session_stream(stream)
+            .writeStream.format("memory")
+            .queryName("s15_test_sink")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.table("s15_test_sink").collect()
+        reasons = {r.close_reason for r in got}
+        assert reasons == {"new_session", "timeout"}
+
+        # batch replay of the gap split
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        lagged = feed.withColumn("prev", F.lag("ts").over(w))
+        split = lagged.withColumn(
+            "is_new",
+            (
+                F.col("prev").isNull()
+                | (F.timestamp_diff("MICROSECOND", "prev", "ts") > _GAP_US)
+            ).cast("int"),
+        ).withColumn(
+            "sid",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        sess = {
+            (r.user_id, r.st, r.en, r.n)
+            for r in split.groupBy("user_id", "sid")
+            .agg(
+                F.min("ts").alias("st"),
+                F.max("ts").alias("en"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+        emitted = {
+            (r.user_id, r.session_start, r.session_end, r.n_events) for r in got
+        }
+        assert len(emitted) == len(got)  # each session exactly once
+        assert emitted <= sess  # every emission IS a batch session
+        # held-back = exactly the sessions inside the watermark horizon
+        held = sess - emitted
+        import datetime
+
+        max_ts = feed.agg(F.max("ts")).collect()[0][0]
+        wm = max_ts.replace(microsecond=max_ts.microsecond // 1000 * 1000) - \
+            datetime.timedelta(minutes=_DELAY_MIN)
+        gap = datetime.timedelta(microseconds=_GAP_US)
+        for _uid, _st, en, _n in held:
+            assert not (
+                en.replace(microsecond=en.microsecond // 1000 * 1000) + gap < wm
+            ), (en, wm)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior_tz)

@@ -127,6 +127,7 @@ DEFAULT_QUERIES = (
     "x_graph_modularity",
     "x_knn_ivfpq_topk",
     "x_passjoin_ed1",
+    "s15_stream_session_timeout",
 )
 
 
