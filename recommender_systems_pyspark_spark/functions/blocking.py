@@ -1,6 +1,9 @@
 """Blocked pair generation for string-similarity matching (entity
-resolution, edit-distance dedup) — the shared candidate-pair primitive
-behind ``x_entity_resolution_e2e`` and ``x_levenshtein_blocked``.
+resolution, edit-distance dedup): :func:`blocked_pairs` — the shared
+(block, length)-keyed primitive behind ``x_entity_resolution_e2e`` and
+``x_levenshtein_blocked`` — and :func:`passjoin_pairs_ed1` — the
+content-pigeonhole PassJoin behind ``x_passjoin_ed1``, the lossless
+path when lengths cannot discriminate.
 
 The defect this module exists to prevent (VERDICT r9 #2/#3): a self-join
 whose only EQUI-key is a coarse block column (e.g. ``c_nationkey``, 25

@@ -99,8 +99,9 @@ def _sessionize(
     if open_sess is not None:
         st, en, n = open_sess
     else:
+        # n = 0 means the first event below starts the session (the gap
+        # check is skipped until one event has folded)
         st, en, n = int(ts[0]), int(ts[0]), 0
-        ts = ts  # first event folds below like any other
     # split points: strictly-greater-than-gap quiet stretches
     for t in ts.tolist():
         if n > 0 and t - en > _GAP_US:
