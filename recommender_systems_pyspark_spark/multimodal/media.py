@@ -1009,8 +1009,14 @@ def _sniff_container(b: bytes) -> str:
         bits = int.from_bytes(b[34:36], "little") if len(b) >= 36 else 0
         return "wav_u8" if bits == 8 else f"wav_{bits}bit"
     if b[:10] == b"YUV4MPEG2 ":
-        header = b[: b.index(b"\n")].decode("ascii", errors="replace")
-        cspace = "420"
+        # A Y4M magic with no header-terminating newline is a TRUNCATED
+        # container, not a task failure: sniff what we can from the bytes
+        # present (b.find returns -1 → whole blob) so codec_probe records
+        # the row as malformed instead of crashing the Spark task
+        # (ADVICE r10: b.index raised ValueError here).
+        nl = b.find(b"\n")
+        header = b[: nl if nl >= 0 else len(b)].decode("ascii", errors="replace")
+        cspace = "420" if nl >= 0 else "?"
         for p in header.split(" ")[1:]:
             if p[:1] == "C":
                 cspace = p[1:]

@@ -65,7 +65,12 @@ def _flag_user(
     (user_id,) = key
     n0, s0, q0 = state.get if state.exists else (0, 0, 0)
     pdf = pd.concat(list(pdfs)).sort_values("event_id")
-    c = (pdf["value"].to_numpy() * 100).round().astype(np.int64)
+    # ONE rounding rule on both sides (ADVICE r10): floor(x*100 + 0.5) is
+    # computed in identical IEEE doubles here and in the oracle's
+    # floor(value*100 + 0.5) — numpy .round() is half-to-even while
+    # DuckDB round() is half-away-from-zero, so a tie value (e.g. 0.125)
+    # would silently diverge between the two.
+    c = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)
     # baseline BEFORE each event: carried state + exclusive prefix sums
     cn = n0 + np.arange(len(c), dtype=np.int64)
     cs = s0 + np.concatenate(([0], np.cumsum(c[:-1]))) if len(c) else c
@@ -101,7 +106,8 @@ def anomaly_flags(events: DataFrame) -> DataFrame:
     "s14_stream_anomaly",
     oracle=f"""
     WITH ev AS (
-      SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      SELECT event_id, user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events
     ),
     w AS (

@@ -22,6 +22,14 @@ batches (streaming/staging.py):
   the post-data flush batch that fires timeouts the last advance
   unlocked.
 
+- Both safety arguments (delay < gap prevents false timeouts; no event
+  is ever later than the watermark) rely on the staged feed being
+  GLOBALLY ts-monotone across batches — true because event_id staging
+  orders the fixture's time-ordered ids, and ASSERTED at staging time
+  (``stage_ordered_files(assert_monotone_col="ts")``): a reordered
+  fixture raises at staging instead of silently hash-mismatching
+  (ADVICE r10).
+
 Scale: state is one (start, end, n) tuple per OPEN session per key;
 closed sessions leave state immediately. Each batch shuffles its own
 rows to their key's partition; timeout scans touch only expired keys.
@@ -206,7 +214,18 @@ def s15_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "ts"
         )
-        stage_ordered_files(feed, "event_id", _N_BATCHES, os.path.join(d, "src"))
+        # assert_monotone_col="ts": the no-false-timeout and
+        # no-dropped-event proofs in the module docstring hold ONLY
+        # because event_id staging keeps the feed globally ts-monotone
+        # across batches — asserted here so a reordered fixture fails
+        # loudly at staging instead of hash-mismatching (ADVICE r10).
+        stage_ordered_files(
+            feed,
+            "event_id",
+            _N_BATCHES,
+            os.path.join(d, "src"),
+            assert_monotone_col="ts",
+        )
         stream = (
             spark.readStream.schema(
                 "event_id bigint, user_id bigint, ts timestamp_ntz"

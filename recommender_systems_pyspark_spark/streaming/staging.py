@@ -20,17 +20,51 @@ from pyspark.sql import functions as F
 
 
 def stage_ordered_files(
-    feed: DataFrame, order_col: str, n_batches: int, src_dir: str
+    feed: DataFrame,
+    order_col: str,
+    n_batches: int,
+    src_dir: str,
+    assert_monotone_col: str | None = None,
 ) -> None:
     """Write ``feed`` into ``src_dir`` as ``n_batches`` single-file
     parquet slices, range-partitioned on ``order_col`` (equal-width
     spans of [0, max]) with strictly increasing mtimes — so a file
     stream with ``maxFilesPerTrigger=1`` replays the feed in
     ``order_col`` order, one span per micro-batch. One scalar collect
-    (the max) is the only driver-side data access."""
+    (the max) is the only driver-side data access.
+
+    ``assert_monotone_col``: optionally assert (one grouped agg,
+    ``n_batches`` collected rows) that this column is CROSS-BATCH
+    monotone — ``max(col in batch i) <= min(col in batch i+1)``. Queries
+    whose watermark-safety argument assumes the staged feed is globally
+    time-ordered (s15's no-false-timeout / no-dropped-event proof —
+    ADVICE r10) pass their event-time column here so a reordered fixture
+    fails LOUDLY at staging instead of silently hash-mismatching."""
     os.makedirs(src_dir, exist_ok=True)
     max_v = feed.agg(F.max(order_col)).collect()[0][0]
     span = (max_v + n_batches) // n_batches
+    if assert_monotone_col is not None:
+        stats = (
+            feed.groupBy(
+                (F.col(order_col) / F.lit(span)).cast("long").alias("_b")
+            )
+            .agg(
+                F.min(assert_monotone_col).alias("lo"),
+                F.max(assert_monotone_col).alias("hi"),
+            )
+            .orderBy("_b")
+            .collect()
+        )
+        for prev, cur in zip(stats, stats[1:]):
+            if prev["hi"] > cur["lo"]:
+                raise ValueError(
+                    f"staged feed is not {assert_monotone_col}-monotone "
+                    f"across batches: batch {prev['_b']} max "
+                    f"{prev['hi']} > batch {cur['_b']} min {cur['lo']} — "
+                    f"the watermark-safety argument does not hold for "
+                    f"this fixture; stage on a {assert_monotone_col}-"
+                    f"derived key instead"
+                )
     t0 = 1_700_000_000
     for i in range(n_batches):
         stage = os.path.join(src_dir, f"_stage{i}")

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,20 +52,29 @@ def _track_user(
     carried (n, total_micros, last_us, alerts) tuple and emit the updated
     snapshot. Runs vectorized over the batch — no per-row Python.
 
-    The running total is carried as INTEGER MICRO-UNITS (value·1e6,
-    rounded to nearest): integer addition is exact and order-independent,
-    so the emitted ``total_value = micros / 1e6`` is bit-identical to a
-    one-shot ``CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)`` over
-    the same rows regardless of batch boundaries or fold order — which is
-    what lets a plain grouped-sum SQL oracle hash-certify this stateful
-    operator (a double accumulator would drift with partial-sum order).
+    The running total is carried as INTEGER MICRO-UNITS
+    (floor(value·1e6 + 0.5) — the exact expression the oracle evaluates):
+    integer addition is exact and order-independent, so the emitted
+    ``total_value = micros / 1e6`` is bit-identical to the one-shot
+    grouped sum of the same per-row micros regardless of batch
+    boundaries or fold order — which is what lets a plain grouped-sum
+    SQL oracle hash-certify this stateful operator (a double accumulator
+    would drift with partial-sum order).
     Alert crossings are likewise exact integer division, immune to a
     float total sitting epsilon away from a multiple of the step."""
     (user_id,) = key
     n, micros, last_us, alerts = state.get if state.exists else (0, 0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        micros += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
+        # floor(x*1e6 + 0.5): the SAME expression the oracle evaluates, in
+        # the same IEEE doubles (ADVICE r10 — pandas .round() is
+        # half-to-even while DuckDB's double→DECIMAL cast rounds ties
+        # away from zero; a tie value would silently diverge).
+        micros += int(
+            np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5)
+            .astype("int64")
+            .sum()
+        )
         # normalize to micros regardless of pandas datetime64 unit (ns/us)
         batch_max_us = int(pdf["ts"].astype("datetime64[us]").astype("int64").max())
         last_us = max(last_us, batch_max_us)
@@ -99,13 +109,17 @@ def cumulative_user_stats(events: DataFrame) -> DataFrame:
 @query(
     "s4_stateful_user_totals",
     oracle=f"""
+    WITH m AS (
+      SELECT user_id, ts,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micros
+      FROM events
+    )
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(micros) AS DOUBLE) / 1000000 AS total_value,
            MAX(ts) AS last_ts,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
-                // {_ALERT_STEP_MICROS} AS INT) AS alerts_crossed
-    FROM events
+           CAST(SUM(micros) // {_ALERT_STEP_MICROS} AS INT) AS alerts_crossed
+    FROM m
     GROUP BY user_id
     ORDER BY user_id
     """,
@@ -119,10 +133,11 @@ def s4_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     state carry is exercised in tests/test_stateful.py.
 
     Oracle (VERDICT r9 #4): the state fold is exact integer-micros
-    addition, so the snapshot is reproducible by a one-shot grouped sum —
-    ``SUM(CAST(value AS DECIMAL(18,6)))`` micros-for-micros, alert count
-    by integer division — independent of micro-batch boundaries. This
-    upgraded the query from rows-only to hash-certified."""
+    addition, so the snapshot is reproducible by a one-shot grouped sum
+    of ``floor(value*1e6 + 0.5)`` micros-for-micros (one rounding rule on
+    both sides — ADVICE r10), alert count by integer division —
+    independent of micro-batch boundaries. This upgraded the query from
+    rows-only to hash-certified."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,130 @@
+"""Round-11 regression tests: the three ADVICE r10 hardening items
+(truncated-Y4M sniff, one-rounding-rule certification math, staged-feed
+monotonicity assertion) plus the operators added this round."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 #2: a truncated Y4M header (magic, no newline) must be a
+# 'malformed' LEDGER ROW, not a Spark task failure
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_truncated_y4m_is_malformed_row_not_task_failure():
+    from recommender_systems_pyspark_spark.multimodal.media import (
+        _sniff_container,
+        codec_probe,
+    )
+
+    cases = {
+        # magic only, no newline ever — the ADVICE repro (b.index raised)
+        b"YUV4MPEG2 ": ("y4m_?", "malformed"),
+        # header params present but unterminated: sniff what's there
+        b"YUV4MPEG2 W4 H4 Cmono": ("y4m_mono", "malformed"),
+        b"YUV4MPEG2 W4 H4 C420": ("y4m_420", "malformed"),
+    }
+    for payload, (container, _) in cases.items():
+        assert _sniff_container(payload) == container, payload
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(cases)), "payload_enc": list(cases.keys())}
+    )
+    (out,) = list(codec_probe(iter([pdf])))  # must not raise
+    for (payload, (container, outcome)), row in zip(
+        cases.items(), out.itertuples(index=False)
+    ):
+        assert (row.container, row.outcome) == (container, outcome), payload
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 #3: one rounding rule on both sides — tie values (x.5 after
+# scaling) must produce the SAME integer in the Spark-side fold and in the
+# DuckDB oracle expression
+# ---------------------------------------------------------------------------
+
+#: Values whose scaled products land exactly on .5 in binary doubles
+#: (0.125*100 = 12.5 exactly; 2.5e-6*1e6 = 2.5 exactly) — the numpy
+#: half-to-even vs DuckDB half-away divergence class.
+_TIE_VALUES = [0.125, 0.375, 1.125, 0.625, 3.875]
+
+
+def test_anomaly_cents_match_oracle_rule_on_ties():
+    spark_side = np.floor(np.array(_TIE_VALUES) * 100 + 0.5).astype(np.int64)
+    got = duckdb.sql(
+        "SELECT CAST(floor(v * 100 + 0.5) AS BIGINT) FROM "
+        "(SELECT UNNEST($1) AS v)",
+        params=[_TIE_VALUES],
+    ).fetchall()
+    assert list(spark_side) == [r[0] for r in got]
+    # and the old divergence is real: numpy .round() would disagree with
+    # DuckDB round() on these — proof the tie class isn't vacuous
+    np_round = np.array([round(v * 100) for v in [0.125]])
+    duck_round = duckdb.sql("SELECT round(0.125 * 100)").fetchone()[0]
+    assert np_round[0] != float(duck_round)
+
+
+def test_stateful_micros_match_oracle_rule_on_ties():
+    vals = [2.5e-6, 0.0000035, 1.0000005]
+    spark_side = np.floor(np.array(vals) * 1_000_000 + 0.5).astype(np.int64)
+    got = duckdb.sql(
+        "SELECT CAST(floor(v * 1000000 + 0.5) AS BIGINT) FROM "
+        "(SELECT UNNEST($1) AS v)",
+        params=[vals],
+    ).fetchall()
+    assert list(spark_side) == [r[0] for r in got]
+
+
+def test_anomaly_fold_uses_floor_rule():
+    """A tie-valued event must fold into state with the floor(x+0.5)
+    cents, not numpy banker's rounding (12 vs 13 for 0.125)."""
+    from recommender_systems_pyspark_spark.streaming.anomaly import _flag_user
+
+    class _St:
+        exists = False
+        get = None
+
+        def update(self, tup):
+            self.get = tup
+
+    st = _St()
+    pdf = pd.DataFrame({"event_id": [0], "user_id": [1], "value": [0.125]})
+    list(_flag_user((1,), iter([pdf]), st))
+    n, s, q = st.get
+    assert (n, s, q) == (1, 13, 169)  # floor(12.5+0.5)=13, not round()=12
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 #4: the staged-feed ts-monotonicity assumption is ASSERTED
+# ---------------------------------------------------------------------------
+
+
+def test_stage_ordered_files_monotonicity_assertion(spark, tmp_path):
+    from recommender_systems_pyspark_spark.streaming.staging import (
+        stage_ordered_files,
+    )
+
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, i)) for i in range(8)]
+    ok = spark.createDataFrame(rows, "event_id bigint, ts timestamp_ntz")
+    stage_ordered_files(
+        ok, "event_id", 2, str(tmp_path / "ok"), assert_monotone_col="ts"
+    )
+
+    # swap two timestamps across the batch boundary: id order no longer
+    # time order → must raise at staging, not hash-mismatch downstream
+    bad_rows = list(rows)
+    bad_rows[1], bad_rows[6] = (
+        (1, bad_rows[6][1]),
+        (6, bad_rows[1][1]),
+    )
+    bad = spark.createDataFrame(bad_rows, "event_id bigint, ts timestamp_ntz")
+    with pytest.raises(ValueError, match="not ts-monotone"):
+        stage_ordered_files(
+            bad, "event_id", 2, str(tmp_path / "bad"), assert_monotone_col="ts"
+        )
