@@ -1358,3 +1358,137 @@ def x_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot RESTORE + VACUUM lifecycle (round 11)
+# ---------------------------------------------------------------------------
+
+#: Corruption rule for the bad load: every custkey ≡ 3 (mod 10) is lost.
+_RESTORE_CORRUPT_MOD, _RESTORE_CORRUPT_REM = 10, 3
+
+
+@query(
+    "x_snapshot_restore",
+    oracle=f"""
+    WITH full_t AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(bit_xor(c_custkey) AS BIGINT) AS key_checksum,
+             CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    corrupt AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(bit_xor(c_custkey) AS BIGINT) AS key_checksum,
+             CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_custkey % {_RESTORE_CORRUPT_MOD} <> {_RESTORE_CORRUPT_REM}
+    )
+    SELECT * FROM (
+      SELECT 'published' AS step, 1 AS version, n_rows, key_checksum,
+             bal_cents, false AS on_disk
+      FROM full_t
+      UNION ALL
+      SELECT 'published', 2, n_rows, key_checksum, bal_cents, true
+      FROM corrupt
+      UNION ALL
+      SELECT 'restored', 3, n_rows, key_checksum, bal_cents, true
+      FROM full_t
+    ) ORDER BY version
+    """,
+)
+def x_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + VACUUM — the two versioned-store lifecycle faces
+    x_snapshot_diff leaves untouched, run as a REAL incident drill:
+
+    1. v1 = good customer snapshot published to the store.
+    2. v2 = corrupted reload (a bad ETL drops every custkey ≡ {rem}
+       mod {mod}) published over it — the head is now wrong.
+    3. RESTORE: v1 is read back via time travel and re-published as v3
+       (rollback-by-republish — Delta RESTORE semantics: history is
+       append-only, a rollback is a new version with old content).
+    4. VACUUM keep_last=2 retires v1's files; v2 (the incident record)
+       and v3 (the head) survive.
+
+    One output row per version with stats computed from the snapshot
+    files THEMSELVES (read back before vacuum, checkpointed eagerly so
+    nothing lazily re-reads a vacuumed directory): hash-equality with
+    the oracle's raw-table arithmetic certifies that v3 ≡ v1 content
+    exactly (the restore lost/duplicated nothing), that v2 really
+    contains the corrupted subset (version isolation), and that vacuum
+    removed precisely v1 (``on_disk``). tests assert the shrunk
+    time-travel horizon (reading v1 after vacuum raises).
+
+    Scale: snapshots write/read as plain parquet (no driver data path);
+    stats are map-side aggregates; vacuum is O(#versions) metadata. The
+    balance sum uses the engine's one-rounding-rule integer cents.
+
+    Reference contrast: the app's ``mode="overwrite"`` reload
+    (utils/data_loader.py:144-146) IS step 2 with no way back; this
+    operator is the missing undo."""
+    import shutil
+    import tempfile
+
+    from ..sources import load_table
+    from ..sources.versioned import (
+        list_versions,
+        read_snapshot,
+        write_snapshot,
+        vacuum,
+    )
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    d = tempfile.mkdtemp(prefix="snaprestore_")
+    path = d + "/customer_serving"
+    try:
+        write_snapshot(customer, path)  # v1: good load
+        write_snapshot(  # v2: corrupted reload
+            customer.where(
+                F.col("c_custkey") % _RESTORE_CORRUPT_MOD
+                != _RESTORE_CORRUPT_REM
+            ),
+            path,
+        )
+        # RESTORE = time-travel read of v1, re-published as v3
+        write_snapshot(read_snapshot(spark, path, version=1), path)
+
+        def stats(version: int, step: str) -> DataFrame:
+            snap = read_snapshot(spark, path, version=version)
+            return (
+                snap.agg(
+                    F.count("*").alias("n_rows"),
+                    F.bit_xor(F.col("c_custkey")).alias("key_checksum"),
+                    F.sum(
+                        F.floor(
+                            F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)
+                        ).cast("long")
+                    ).alias("bal_cents"),
+                )
+                .select(
+                    F.lit(step).alias("step"),
+                    F.lit(version).alias("version"),
+                    "n_rows",
+                    "key_checksum",
+                    "bal_cents",
+                )
+                .localCheckpoint(eager=True)  # materialize BEFORE vacuum
+            )
+
+        rows = [stats(1, "published"), stats(2, "published"), stats(3, "restored")]
+        vacuum(path, keep_last=2)
+        alive = set(list_versions(path))
+        out = rows[0].withColumn("on_disk", F.lit(1 in alive))
+        for v, frame in ((2, rows[1]), (3, rows[2])):
+            out = out.unionAll(frame.withColumn("on_disk", F.lit(v in alive)))
+        return out.orderBy("version").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+x_snapshot_restore.__doc__ = x_snapshot_restore.__doc__.format(
+    rem=_RESTORE_CORRUPT_REM, mod=_RESTORE_CORRUPT_MOD
+)

@@ -130,6 +130,9 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.streaming.anomaly",
     "recommender_systems_pyspark_spark.functions.blocking",
     "recommender_systems_pyspark_spark.streaming.session_timeout",
+    # --- new in r11 -------------------------------------------------------
+    "recommender_systems_pyspark_spark.operators.reconcile",
+    "recommender_systems_pyspark_spark.sources.deletes",
 )
 
 #: Round-11 grading window (the driver grades the FIRST 50 entries of
@@ -150,6 +153,10 @@ _GRADE_FIRST = (
     # --- new in r11 (inserted as they land): first driver grade ----------
     # (round-11 queries register here the moment they pass the local
     # oracle gate, ahead of every re-grade)
+    "x_ri_audit",
+    "x_deletion_vectors",
+    "x_snapshot_restore",
+    "x_format_roundtrip",
     # --- the r5-vintage cohort (oldest latest-grades; the r10 window
     # could not fit them — queued by the r10 rotation note) ---------------
     "x_salted_join_revenue",

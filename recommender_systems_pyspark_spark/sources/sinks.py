@@ -308,3 +308,105 @@ def _register_schema_evolution() -> None:
 
 
 _register_schema_evolution()
+
+
+def _register_format_roundtrip() -> None:
+    """The interchange-format matrix as a CERTIFIED query (round 11):
+    export_table/read_interchange were pytest-only; this puts every
+    supported format's write→read fidelity under the driver's hash gate."""
+    from pyspark.sql import functions as F
+
+    from ..registry import query
+    from ..sources import load_table
+
+    #: Deterministic 5% slice — keeps the 4-format write affordable at
+    #: bench scale while still exercising multi-task writes.
+    mod = 20
+
+    @query(
+        "x_format_roundtrip",
+        oracle=f"""
+        WITH sample AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+          FROM events WHERE event_id % {mod} = 0
+        ),
+        stats AS (
+          SELECT COUNT(*) AS n_rows,
+                 CAST(bit_xor(event_id * 31 + user_id) AS BIGINT)
+                   AS key_checksum,
+                 CAST(SUM(value_cents) AS BIGINT) AS cents_total,
+                 COUNT(DISTINCT event_type) AS n_types
+          FROM sample
+        )
+        SELECT f.format, s.n_rows, s.key_checksum, s.cents_total, s.n_types
+        FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
+        CROSS JOIN stats s
+        ORDER BY f.format
+        """,
+    )
+    def x_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Write the SAME event slice through every interchange format
+        (parquet, ORC, JSON-lines, CSV-with-header), read each back with
+        the writer's schema, and emit per-format content stats. The
+        oracle computes the stats ONCE from the raw table and cross-joins
+        the format list — so all four rows must be identical to the
+        source arithmetic: any format that drops rows, mangles a string,
+        or perturbs an integer on its way through text encoding
+        hash-mismatches on its own row.
+
+        Columns are chosen to be losslessly representable in ALL four
+        formats (bigints + a short string; the double goes through the
+        engine's integer-cents rule BEFORE the write — raw doubles
+        through CSV/JSON text round-trips are exactly the fidelity trap
+        this certifies against, documented here by construction).
+
+        Scale: each format writes its tasks in parallel and reads back
+        partition-parallel (JSON/CSV splittable by line; written
+        uncompressed here — gzip text would be one-task-per-file on
+        read); stats are map-side aggregates. The slice predicate is
+        pushed to the parquet scan."""
+        import shutil
+        import tempfile
+
+        sample = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("event_id") % mod == 0)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+                .alias("value_cents"),
+            )
+        )
+        d = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+        try:
+            out = None
+            for fmt in sorted(INTERCHANGE_FORMATS):
+                path = f"{d}/{fmt}"
+                export_table(sample, path, fmt)
+                back = read_interchange(spark, path, fmt, schema=sample.schema)
+                stats = back.agg(
+                    F.count("*").alias("n_rows"),
+                    F.bit_xor(
+                        F.col("event_id") * 31 + F.col("user_id")
+                    ).alias("key_checksum"),
+                    F.sum("value_cents").alias("cents_total"),
+                    F.countDistinct("event_type").alias("n_types"),
+                ).select(
+                    F.lit(fmt).alias("format"),
+                    "n_rows",
+                    "key_checksum",
+                    "cents_total",
+                    "n_types",
+                )
+                frame = stats.localCheckpoint(eager=True)  # read before rmtree
+                out = frame if out is None else out.unionAll(frame)
+            return out.orderBy("format")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_register_format_roundtrip()
