@@ -133,6 +133,7 @@ _QUERY_MODULES = (
     # --- new in r11 -------------------------------------------------------
     "recommender_systems_pyspark_spark.operators.reconcile",
     "recommender_systems_pyspark_spark.sources.deletes",
+    "recommender_systems_pyspark_spark.streaming.chained_rollup",
 )
 
 #: Round-11 grading window (the driver grades the FIRST 50 entries of
@@ -157,6 +158,8 @@ _GRADE_FIRST = (
     "x_deletion_vectors",
     "x_snapshot_restore",
     "x_format_roundtrip",
+    "s16_stream_hour_day_rollup",
+    "x_graph_jaccard",
     # --- the r5-vintage cohort (oldest latest-grades; the r10 window
     # could not fit them — queued by the r10 rotation note) ---------------
     "x_salted_join_revenue",

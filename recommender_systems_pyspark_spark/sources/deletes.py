@@ -39,8 +39,10 @@ from ..sources import load_table
 _FILE_ROWS = 100
 #: Position-delete rule: every 13th doc starting at 3 is individually dead.
 _POS_MOD, _POS_REM = 13, 3
-#: Equality-delete predicate: one source partition is recalled wholesale.
-_EQ_SOURCE_MOD = 7
+#: Equality-delete predicate: these source partitions are recalled
+#: wholesale (the "bad crawl batch" incident shape).
+_EQ_SOURCES = ("src3", "src7")
+_eq_tuple = "(" + ", ".join(f"'{s}'" for s in _EQ_SOURCES) + ")"
 
 
 @query(
@@ -51,7 +53,7 @@ _EQ_SOURCE_MOD = 7
              doc_id // {_FILE_ROWS} AS file_id,
              doc_id % {_FILE_ROWS} AS pos,
              (doc_id % {_POS_MOD} = {_POS_REM}) AS pos_dead,
-             (length(source) % {_EQ_SOURCE_MOD} = 0) AS eq_dead
+             (source IN {_eq_tuple}) AS eq_dead
       FROM documents
     )
     SELECT file_id,
@@ -97,7 +99,7 @@ def x_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_id",
         "doc_id",
         F.coalesce(F.col("_dead"), F.lit(False)).alias("pos_dead"),
-        (F.length("source") % _EQ_SOURCE_MOD == 0).alias("eq_dead"),
+        F.col("source").isin(*_EQ_SOURCES).alias("eq_dead"),
     )
     live = ~F.col("pos_dead") & ~F.col("eq_dead")
     return (

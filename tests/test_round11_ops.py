@@ -128,3 +128,132 @@ def test_stage_ordered_files_monotonicity_assertion(spark, tmp_path):
         stage_ordered_files(
             bad, "event_id", 2, str(tmp_path / "bad"), assert_monotone_col="ts"
         )
+
+
+# ---------------------------------------------------------------------------
+# round-11 operators
+# ---------------------------------------------------------------------------
+
+
+def test_ri_audit_checks_and_reconciliation(spark, sf_dir):
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    rows = {
+        r.check_name: r
+        for r in all_queries()["x_ri_audit"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "lineitem_orphan",
+        "order_childless",
+        "order_customer_orphan",
+        "customer_nation_orphan",
+        "totalprice_mismatch",
+    }
+    for r in rows.values():
+        assert r.n_violations >= 0
+        # detail is 0 exactly when the check found nothing (orphan
+        # checks report a min key; recon reports max delta)
+        if r.n_violations == 0:
+            assert r.detail == 0
+
+
+def test_deletion_vectors_ledger_partitions_every_row(spark, sf_dir):
+    """Per file: live + pos-deleted + eq-deleted must equal the file's
+    row count (precedence is exhaustive and exclusive), and the delete
+    rules must be non-vacuous on the fixture."""
+    from pyspark.sql import functions as F
+
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.sources import load_table
+    from recommender_systems_pyspark_spark.sources.deletes import _FILE_ROWS
+
+    out = all_queries()["x_deletion_vectors"].fn(spark, sf_dir)
+    sizes = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy((F.col("doc_id") / _FILE_ROWS).cast("long").alias("file_id"))
+        .count()
+    )
+    joined = out.join(sizes, "file_id").collect()
+    assert joined
+    assert all(
+        r.n_live + r.n_pos_deleted + r.n_eq_deleted == r["count"]
+        for r in joined
+    )
+    assert sum(r.n_pos_deleted for r in joined) > 0
+    assert sum(r.n_eq_deleted for r in joined) > 0
+    assert sum(r.n_live for r in joined) > 0
+
+
+def test_snapshot_restore_horizon_shrinks(spark, sf_dir):
+    """After the restore query runs its vacuum, time travel to v1 must
+    raise — certified here because the registered query can only surface
+    on_disk flags, not the raised read."""
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from recommender_systems_pyspark_spark.sources import load_table
+    from recommender_systems_pyspark_spark.sources.versioned import (
+        list_versions,
+        read_snapshot,
+        vacuum,
+        write_snapshot,
+    )
+
+    df = load_table(spark, sf_dir, "region").select("r_regionkey")
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/t"
+        write_snapshot(df, path)
+        write_snapshot(df.where(F.col("r_regionkey") > 1), path)
+        write_snapshot(read_snapshot(spark, path, version=1), path)
+        vacuum(path, keep_last=2)
+        assert list_versions(path) == [2, 3]
+        with _pytest.raises(FileNotFoundError):
+            read_snapshot(spark, path, version=1)
+        # the restored head equals v1 content
+        assert read_snapshot(spark, path).count() == df.count()
+
+
+def test_s16_holds_back_open_day(spark, sf_dir):
+    """The cascade must emit only watermark-closed days: the fixture's
+    final day stays open (delay > 0), so emitted days < calendar days,
+    and emitted counts must equal the batch GROUP BY on those days."""
+    from pyspark.sql import functions as F
+
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    out = all_queries()["s16_stream_hour_day_rollup"].fn(spark, sf_dir)
+    got = out.collect()
+    assert got
+    ev = load_table(spark, sf_dir, "events")
+    all_days = ev.select(
+        F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    emitted_days = {r.window_start for r in got}
+    assert len(emitted_days) < all_days.count()  # last day held back
+    batch = {
+        (r.d, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("d"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r.d in emitted_days
+    }
+    assert {(r.window_start, r.event_type): r.n_events for r in got} == batch
+
+
+def test_graph_jaccard_bounds_and_ordering(spark, sf_dir):
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    rows = all_queries()["x_graph_jaccard"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.src < r.dst  # canonical orientation, no self-pairs
+        assert 1 <= r.n_common <= r.n_union
+        assert 0.0 < r.jaccard <= 1.0
+        assert abs(r.jaccard - r.n_common / r.n_union) == 0.0
+    js = [r.jaccard for r in rows]
+    assert js == sorted(js, reverse=True)
