@@ -121,6 +121,15 @@ RECORD_ONLY = [
     "x_knn_ivfpq_topk",
     "x_passjoin_ed1",
     "s15_stream_session_timeout",
+    # Round-11 shapes (own baselines from this round's first recording):
+    # cross-table reconciliation, MoR delete apply, snapshot lifecycle,
+    # interchange-format matrix, chained streaming rollup, graph Jaccard.
+    "x_ri_audit",
+    "x_deletion_vectors",
+    "x_snapshot_restore",
+    "x_format_roundtrip",
+    "s16_stream_hour_day_rollup",
+    "x_graph_jaccard",
 ]
 
 

@@ -1,0 +1,205 @@
+"""Recommender evaluation harness (round 11): hit-based top-K metrics
+for a co-occurrence recommender over a TEMPORAL train/test split —
+exact-integer precision/recall components, fully SQL-oracle certified.
+
+The reference trains ALS and eyeballs RMSE (utils/recommender.py:64-197,
+M7); it never answers the question a recommender team actually ships
+on: "of the items we'd have recommended BEFORE the cutoff, how many did
+the user actually buy AFTER it?" This operator is that offline
+evaluation loop, built on the engine's deterministic co-occurrence
+model rather than ALS so every number is an exact integer the oracle
+reproduces (ALS metrics stay in pytest where float tolerance belongs —
+same division of labor as M1-M10 vs ml_als_* rows-only).
+
+Protocol (standard leave-future-out evaluation):
+
+- TRAIN: orders strictly before the cutoff build part→part
+  co-occurrence counts (distinct per order, symmetric).
+- MODEL: for each part, the top-K co-parts by (count DESC, part ASC)
+  — a total order, so the recommendation LIST is deterministic.
+- TEST: each (test order, part a) with ≥2 distinct parts is an
+  evaluation point; the relevant set is the order's other parts.
+- METRICS per k = 1..K (K=5): ``n_hits`` (recommended-and-relevant pairs at
+  rank ≤ k), ``n_recommended`` (Σ min(k, |recs(a)|) — parts with thin
+  training co-occurrence recommend fewer than k), ``n_eval`` points and
+  ``n_relevant`` pairs (k-independent). precision@k = n_hits /
+  n_recommended and recall@k = n_hits / n_relevant stay OUT of the
+  emitted face: both are ratios of emitted bigints (no information
+  added), and emitting the raw components keeps the hash float-free.
+
+Scale: the train wedge is Σ deg(order)² like every co-purchase build
+(orders hold 4-7 parts); recs are one window over (a)-keyed counts;
+evaluation is one (a, b) equi-join of test pairs against the K·|parts|
+rec list; the per-k explosion happens on ALREADY-AGGREGATED frames
+(≤ K rows each side). Nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query, ts_ntz
+from ..sources import tables
+
+#: Temporal split: train < cutoff ≤ test (~75/25 on the fixture range).
+_EVAL_CUTOFF = "2000-01-01"
+#: Recommendation list depth.
+_EVAL_K = 5
+
+
+@query(
+    "x_recs_eval",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey, o.o_orderdate
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    train_pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS cnt
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      WHERE a.o_orderdate < TIMESTAMP '{_EVAL_CUTOFF}'
+      GROUP BY 1, 2
+    ),
+    recs AS (
+      SELECT pa, pb, rnk FROM (
+        SELECT pa, pb,
+               row_number() OVER (PARTITION BY pa
+                                  ORDER BY cnt DESC, pb) AS rnk
+        FROM train_pairs
+      ) WHERE rnk <= {_EVAL_K}
+    ),
+    test_pairs AS (
+      SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      WHERE a.o_orderdate >= TIMESTAMP '{_EVAL_CUTOFF}'
+    ),
+    eval_pts AS (
+      SELECT l_orderkey, pa, COUNT(*) AS n_rel
+      FROM test_pairs GROUP BY 1, 2
+    ),
+    n_recs AS (SELECT pa, COUNT(*) AS nr FROM recs GROUP BY pa),
+    hits_by_rank AS (
+      SELECT r.rnk, COUNT(*) AS h
+      FROM test_pairs t JOIN recs r ON r.pa = t.pa AND r.pb = t.pb
+      GROUP BY r.rnk
+    ),
+    rec_width AS (
+      -- distribution of |recs(a)| over eval points (0 when untrained
+      -- parts recommend nothing — COALESCE keeps them as width 0)
+      SELECT COALESCE(nr.nr, 0) AS w, COUNT(*) AS m
+      FROM eval_pts e LEFT JOIN n_recs nr ON nr.pa = e.pa
+      GROUP BY 1
+    ),
+    consts AS (
+      SELECT COUNT(*) AS n_eval,
+             CAST(SUM(n_rel) AS BIGINT) AS n_relevant
+      FROM eval_pts
+    )
+    SELECT k.k,
+           c.n_eval,
+           c.n_relevant,
+           COALESCE((SELECT CAST(SUM(h) AS BIGINT) FROM hits_by_rank
+                     WHERE rnk <= k.k), 0) AS n_hits,
+           COALESCE((SELECT CAST(SUM(m * least(k.k, w)) AS BIGINT)
+                     FROM rec_width), 0) AS n_recommended
+    FROM (SELECT UNNEST(generate_series(1, {_EVAL_K})) AS k) k
+    CROSS JOIN consts c
+    ORDER BY k.k
+    """,
+)
+def x_recs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline top-K evaluation of the co-occurrence recommender across
+    the {cut} temporal split; one row per k=1..{K} with exact-integer
+    metric components (see module docstring)."""
+    t = tables(spark, sf_dir)
+    li = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_partkey", "o_orderdate")
+        .distinct()
+    )
+    train = li.where(F.col("o_orderdate") < ts_ntz(_EVAL_CUTOFF))
+    test = li.where(F.col("o_orderdate") >= ts_ntz(_EVAL_CUTOFF))
+
+    def wedge(side: DataFrame, with_order: bool) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        cols = [F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")]
+        if with_order:
+            cols.insert(0, F.col("a.l_orderkey").alias("l_orderkey"))
+        return a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        ).select(*cols)
+
+    recs = (
+        wedge(train, with_order=False)
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("pa").orderBy(F.desc("cnt"), F.asc("pb"))
+            ),
+        )
+        .where(F.col("rnk") <= _EVAL_K)
+        .select("pa", "pb", "rnk")
+    )
+    test_pairs = wedge(test, with_order=True)
+    eval_pts = test_pairs.groupBy("l_orderkey", "pa").agg(
+        F.count("*").alias("n_rel")
+    )
+    n_recs = recs.groupBy("pa").agg(F.count("*").alias("nr"))
+    hits_by_rank = (
+        test_pairs.join(recs, ["pa", "pb"])
+        .groupBy("rnk")
+        .agg(F.count("*").alias("h"))
+    )
+    rec_width = (
+        eval_pts.join(F.broadcast(n_recs), "pa", "left")
+        .select(F.coalesce(F.col("nr"), F.lit(0)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("m"))
+    )
+    consts = eval_pts.agg(
+        F.count("*").alias("n_eval"),
+        F.sum("n_rel").cast("long").alias("n_relevant"),
+    )
+    ks = spark.range(1, _EVAL_K + 1).select(F.col("id").cast("int").alias("k"))
+    hits_k = (
+        ks.crossJoin(F.broadcast(hits_by_rank))
+        .where(F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("h").cast("long").alias("n_hits"))
+    )
+    rec_k = (
+        ks.crossJoin(F.broadcast(rec_width))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("m") * F.least(F.col("k"), F.col("w")))
+            .cast("long")
+            .alias("n_recommended")
+        )
+    )
+    return (
+        ks.crossJoin(F.broadcast(consts))
+        .join(hits_k, "k", "left")
+        .join(rec_k, "k", "left")
+        .select(
+            "k",
+            "n_eval",
+            "n_relevant",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.coalesce(F.col("n_recommended"), F.lit(0)).alias("n_recommended"),
+        )
+        .orderBy("k")
+    )
+
+
+x_recs_eval.__doc__ = x_recs_eval.__doc__.format(cut=_EVAL_CUTOFF, K=_EVAL_K)

@@ -134,6 +134,7 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.operators.reconcile",
     "recommender_systems_pyspark_spark.sources.deletes",
     "recommender_systems_pyspark_spark.streaming.chained_rollup",
+    "recommender_systems_pyspark_spark.ml.evaluation",
 )
 
 #: Round-11 grading window (the driver grades the FIRST 50 entries of
@@ -160,6 +161,7 @@ _GRADE_FIRST = (
     "x_format_roundtrip",
     "s16_stream_hour_day_rollup",
     "x_graph_jaccard",
+    "x_recs_eval",
     # --- the r5-vintage cohort (oldest latest-grades; the r10 window
     # could not fit them — queued by the r10 rotation note) ---------------
     "x_salted_join_revenue",

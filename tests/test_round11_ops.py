@@ -257,3 +257,24 @@ def test_graph_jaccard_bounds_and_ordering(spark, sf_dir):
         assert abs(r.jaccard - r.n_common / r.n_union) == 0.0
     js = [r.jaccard for r in rows]
     assert js == sorted(js, reverse=True)
+
+
+def test_recs_eval_metric_invariants(spark, sf_dir):
+    """Hit counts must be monotone in k, bounded by the recommended and
+    relevant pair counts, and the harness must actually score something
+    (a zero-hit evaluation would hash-match a broken zero oracle)."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    rows = all_queries()["x_recs_eval"].fn(spark, sf_dir).collect()
+    assert [r.k for r in rows] == [1, 2, 3, 4, 5]
+    n_eval, n_relevant = rows[0].n_eval, rows[0].n_relevant
+    assert n_eval > 0 and n_relevant >= n_eval
+    prev_h, prev_r = 0, 0
+    for r in rows:
+        assert (r.n_eval, r.n_relevant) == (n_eval, n_relevant)
+        assert r.n_hits >= prev_h and r.n_recommended >= prev_r
+        assert r.n_hits <= r.n_recommended
+        assert r.n_hits <= r.n_relevant
+        assert r.n_recommended <= r.k * n_eval
+        prev_h, prev_r = r.n_hits, r.n_recommended
+    assert rows[-1].n_hits > 0  # the recommender finds real future buys
