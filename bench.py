@@ -130,6 +130,8 @@ RECORD_ONLY = [
     "x_format_roundtrip",
     "s16_stream_hour_day_rollup",
     "x_graph_jaccard",
+    "x_recs_eval",
+    "x_knn_filtered_topk",
 ]
 
 

@@ -822,3 +822,86 @@ def x_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_ivf_recall.__doc__ = x_ivf_recall.__doc__.format(
     k=_RECALL_K, p=_RECALL_MAX_PROBE, q=_RECALL_Q
 )
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search (round 11)
+# ---------------------------------------------------------------------------
+
+_FILTER_NQ = 3
+_FILTER_K = 5
+
+
+@query(
+    "x_knn_filtered_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+      FROM embeddings WHERE vec_id < {_FILTER_NQ}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             {_SQL_COSINE.format(a='e.embedding', b='q.qv')} AS cos_sim
+      FROM embeddings e JOIN q
+        ON e.label <> q.qlabel AND e.vec_id >= {_FILTER_NQ}
+    )
+    SELECT qid, vec_id, label, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_FILTER_K}
+    ORDER BY qid, cos_sim DESC, vec_id
+    """,
+)
+def x_knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-{k} cosine neighbours per query
+    under a metadata predicate (candidates must carry a DIFFERENT label
+    than the query: the cross-category-recommendation / exclude-own-
+    cluster shape every production vector store exposes as
+    "filtered ANN"). {nq} query vectors run as one BATCH: the query
+    frame (id, label, vector) broadcasts, candidates stream through one
+    scan, ranking is a per-query window — N queries cost one corpus
+    pass, not N.
+
+    This is the PRE-FILTER architecture (predicate applied before
+    scoring — recall is exact for the filtered set), certified here as
+    the exact face. At 100 TB the same predicate composes with the IVF
+    route (x_knn_ivf_topk): probe the nearest cells, intersect the
+    cell's postings with the metadata filter, then score — the
+    filter-selectivity-vs-nprobe recall tradeoff is what x_ivf_recall
+    already measures. POST-filtering (score first, filter the top-k,
+    return fewer than k) is the known-broken alternative — this
+    operator's window ranks only predicate-passing candidates, so a
+    filtered-out high-cosine vector can never evict a valid hit.
+
+    Scale: broadcast queries (constant), one corpus scan with the
+    fold-based cosine in codegen, per-query top-k heaps via the window
+    over a {nq}-key partitioning."""
+    e = tables(spark, sf_dir)["embeddings"]
+    q = e.where(F.col("vec_id") < _FILTER_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        e.where(F.col("vec_id") >= _FILTER_NQ)
+        .join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _FILTER_K)
+        .select("qid", "vec_id", "label", "cos_sim")
+        .orderBy("qid", F.desc("cos_sim"), "vec_id")
+    )
+
+
+x_knn_filtered_topk.__doc__ = x_knn_filtered_topk.__doc__.format(
+    k=_FILTER_K, nq=_FILTER_NQ
+)

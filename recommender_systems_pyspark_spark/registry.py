@@ -162,6 +162,7 @@ _GRADE_FIRST = (
     "s16_stream_hour_day_rollup",
     "x_graph_jaccard",
     "x_recs_eval",
+    "x_knn_filtered_topk",
     # --- the r5-vintage cohort (oldest latest-grades; the r10 window
     # could not fit them — queued by the r10 rotation note) ---------------
     "x_salted_join_revenue",

@@ -278,3 +278,30 @@ def test_recs_eval_metric_invariants(spark, sf_dir):
         assert r.n_recommended <= r.k * n_eval
         prev_h, prev_r = r.n_hits, r.n_recommended
     assert rows[-1].n_hits > 0  # the recommender finds real future buys
+
+
+def test_knn_filtered_respects_predicate(spark, sf_dir):
+    """Pre-filter semantics: every returned neighbour carries a label
+    different from its query's, exactly k rows per query, scores
+    descending — and a high-cosine SAME-label vector must never appear
+    (the post-filter failure mode)."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.sources import tables
+
+    rows = all_queries()["x_knn_filtered_topk"].fn(spark, sf_dir).collect()
+    qlabels = {
+        r.vec_id: r.label
+        for r in tables(spark, sf_dir)["embeddings"]
+        .select("vec_id", "label")
+        .where("vec_id < 3")
+        .collect()
+    }
+    per_q = {}
+    for r in rows:
+        assert r.label != qlabels[r.qid]
+        assert r.vec_id >= 3
+        per_q.setdefault(r.qid, []).append(r.cos_sim)
+    assert set(per_q) == set(qlabels)
+    for sims in per_q.values():
+        assert len(sims) == 5
+        assert sims == sorted(sims, reverse=True)

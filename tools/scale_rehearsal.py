@@ -128,6 +128,21 @@ DEFAULT_QUERIES = (
     "x_knn_ivfpq_topk",
     "x_passjoin_ed1",
     "s15_stream_session_timeout",
+    # round-11 additions: cross-table reconciliation, MoR delete apply,
+    # chained streaming rollup, graph Jaccard (the wedge-keyed shuffle),
+    # temporal-split recommender evaluation, filtered vector search.
+    # x_snapshot_restore / x_format_roundtrip are excluded like
+    # x_compaction_plan's siblings were before r10: their wall-clock is
+    # dominated by snapshot/format file I/O churn on local disk (write
+    # 3-4 copies of the input), which measures the filesystem, not the
+    # plan; their per-stage shapes (scan + map-side agg) are already
+    # covered by the checksum family.
+    "x_ri_audit",
+    "x_deletion_vectors",
+    "s16_stream_hour_day_rollup",
+    "x_graph_jaccard",
+    "x_recs_eval",
+    "x_knn_filtered_topk",
 )
 
 
