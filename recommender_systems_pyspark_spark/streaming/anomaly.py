@@ -141,7 +141,7 @@ def s14_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from .staging import stage_ordered_files
+    from .staging import stage_ordered_files, state_sized_partitions
 
     d = tempfile.mkdtemp(prefix="s14_anomaly_")
     try:
@@ -155,17 +155,18 @@ def s14_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(d, "src"))
         )
         sink = "s14_stream_anomaly_sink"
-        q = (
-            anomaly_flags(stream)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with state_sized_partitions(spark):
+            q = (
+                anomaly_flags(stream)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         return spark.table(sink).orderBy("event_id").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -133,17 +133,20 @@ def s16_stream_hour_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         sink = "s16_stream_hour_day_rollup_sink"
-        q = (
-            hour_day_rollup(stream)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        from .staging import state_sized_partitions
+
+        with state_sized_partitions(spark):
+            q = (
+                hour_day_rollup(stream)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         return (
             spark.table(sink)
             .select(

@@ -235,17 +235,20 @@ def s15_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("ts", F.col("ts").cast("timestamp"))
         )
         sink = "s15_stream_session_timeout_sink"
-        q = (
-            session_stream(stream)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        from .staging import state_sized_partitions
+
+        with state_sized_partitions(spark):
+            q = (
+                session_stream(stream)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         # close_reason stays OUT of the hash face: whether an interior
         # session closes by 'timeout' or by its successor's ARRIVAL
         # depends on where the batch boundaries fall relative to the
