@@ -246,10 +246,18 @@ def test_s16_holds_back_open_day(spark, sf_dir):
 
 
 def test_graph_jaccard_bounds_and_ordering(spark, sf_dir):
+    from recommender_systems_pyspark_spark.functions.pagerank import (
+        cached_copurchase_edges,
+    )
     from recommender_systems_pyspark_spark.registry import all_queries
 
     rows = all_queries()["x_graph_jaccard"].fn(spark, sf_dir).collect()
     assert rows
+    # embeddedness is defined ON EDGES: every scored pair must be one
+    edge_set = {
+        (e.src, e.dst) for e in cached_copurchase_edges(spark, sf_dir).collect()
+    }
+    assert all((r.src, r.dst) in edge_set for r in rows)
     for r in rows:
         assert r.src < r.dst  # canonical orientation, no self-pairs
         assert 1 <= r.n_common <= r.n_union
