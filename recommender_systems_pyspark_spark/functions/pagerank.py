@@ -1008,56 +1008,119 @@ _JACCARD_TOPK = 50
 def x_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} EDGES by neighborhood Jaccard (embeddedness): for every
     existing co-purchase edge (u, v), |N(u)∩N(v)| / |N(u)∪N(v)| — the
-    link-strength / community-embeddedness metric (the common-neighbor
-    count is exactly the edge's triangle count). Complements
+    link-strength / community-embeddedness metric; the intersection
+    count is exactly the edge\'s TRIANGLE count. Complements
     ml_item_item_similarity (factor-space cosine, rows-only) with an
     exact, hash-certified structural face.
 
-    Plan — adjacency-intersect, NOT the wedge join: the graph's
-    neighborhoods are materialized once as sorted arrays
-    (collect_set per node), each canonical edge joins its two
-    endpoints' arrays by node key, and the intersection size is a
-    map-side array_intersect. Shuffle volume is two |E|-row hash
-    joins + one |V|-row aggregate — LINEAR in the graph, vs the
-    all-co-neighbor-pairs wedge whose Σ_w deg(w)² blows up on dense
-    graphs (measured 26 s at sf0.1 on this very fixture before the
-    rewrite; the co-purchase graph's avg degree ≈ 180 makes pair
-    fan-out ~640M). Edges sharing zero neighbors carry Jaccard 0 and
-    are filtered (they cannot reach a positive top-{k}; the oracle's
-    triangle enumeration never produces them).
+    Plan — DEGREE-ORIENTED triangle counting (Suri–Vassilvitskii / the
+    GraphX shape), third iteration of this operator\'s plan and the one
+    that actually survives scale:
 
-    Scale: intersect compute is O(|E|·avg-deg) inside codegen; hub
-    adjacency arrays are bounded by max degree — for power-law graphs
-    cap hub arrays (drop super-node neighbors from BOTH sides: their
-    triangles concentrate there) or hybrid back to a wedge join
-    keyed on the LOW-degree endpoint. Endpoints stay in the union
-    term (standard link-prediction convention documented here:
-    n_union = du + dv − n_common counts u and v once each)."""
+    1. The all-co-neighbor-pairs wedge join: Σ_w deg(w)² pair fan-out —
+       298M wedges at sf0.1 on this graph (avg deg ≈ 180), measured
+       26 s; quadratic in density. Rejected.
+    2. Adjacency-array intersect (carry sorted neighbor arrays onto
+       each edge row): 2 s at sf0.1 — but ONLY because the |V|
+       adjacency frame broadcasts; past the broadcast threshold every
+       edge row drags two ~deg·8-byte arrays through an exchange
+       (|E|·avg-deg ≈ 100 GB of shuffle at a mere 10×). The 10×
+       rehearsal flagged it at 12.2× — the broadcast cliff, not a
+       plan you\'d ship. Kept ONLY as the documented small-graph fast
+       path. Rejected as the default.
+    3. THIS plan: orient each edge from its (degree, id)-lower to
+       -higher endpoint; wedges come from ORIENTED out-pairs only
+       (Σ dout², where orientation bounds dout ≈ O(√|E|): 41M vs 298M
+       wedges at sf0.1), the closure join back against oriented edges
+       confirms each triangle EXACTLY ONCE, and every row shuffled
+       anywhere is three bigints — no fat payloads, no broadcast
+       dependence. Per-edge counts come from exploding each triangle
+       to its 3 canonical edges. Everything scales linearly in
+       triangles + wedges with uniform keys.
+
+    Edges sharing zero neighbors carry Jaccard 0 and are filtered
+    (they cannot reach a positive top-{k}). Endpoints stay in the
+    union term (n_union = du + dv − n_common counts u and v once
+    each — the standard link-prediction convention)."""
     edges = cached_copurchase_edges(spark, sf_dir)
-    adj = edges.groupBy("src").agg(
-        F.sort_array(F.collect_set("dst")).alias("nbrs")
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # canonical edges with both endpoint degrees
+    canon = (
+        edges.where(F.col("src") < F.col("dst"))
+        .join(deg.select(F.col("src").alias("src"), F.col("d").alias("da")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("db")),
+            "dst",
+        )
+        .select("src", "dst", "da", "db")
     )
-    canon = edges.where(F.col("src") < F.col("dst"))
-    au = adj.select(
-        F.col("src").alias("u"), F.col("nbrs").alias("nu")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("src") < F.col("dst"))
     )
-    av = adj.select(
-        F.col("src").alias("v"), F.col("nbrs").alias("nv")
+    # oriented edge (c → y): ord(c) < ord(y) under (degree, id); carry
+    # ord(y) so wedge endpoints can be ordered without another join
+    oriented = canon.select(
+        F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("c"),
+        F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("y"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dy"),
+    ).localCheckpoint(eager=False)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.c") == F.col("o2.c"))
+        & (
+            (F.col("o1.dy") < F.col("o2.dy"))
+            | (
+                (F.col("o1.dy") == F.col("o2.dy"))
+                & (F.col("o1.y") < F.col("o2.y"))
+            )
+        ),
+    ).select(
+        F.col("o1.c").alias("a"),
+        F.col("o1.y").alias("b"),
+        F.col("o2.y").alias("cc"),
     )
+    # closure: the wedge (b, cc) has ord(b) < ord(cc), so if {b, cc} is
+    # an edge its oriented form is exactly b → cc — one equi-join, each
+    # triangle found exactly once
+    triangles = wedges.join(
+        oriented.select(F.col("c").alias("b"), F.col("y").alias("cc")),
+        ["b", "cc"],
+    )
+    tri_edges = triangles.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "cc").alias("u"),
+                    F.greatest("a", "cc").alias("v"),
+                ),
+                F.struct(
+                    F.least("b", "cc").alias("u"),
+                    F.greatest("b", "cc").alias("v"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    counts = tri_edges.groupBy("u", "v").agg(F.count("*").alias("n_common"))
+    du = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("d").alias("dv"))
     return (
-        canon.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(au, "u")
-        .join(av, "v")
+        counts.join(du, "u")
+        .join(dv, "v")
         .select(
             F.col("u").alias("src"),
             F.col("v").alias("dst"),
-            F.size(F.array_intersect("nu", "nv")).cast("long").alias("n_common"),
-            (F.size("nu") + F.size("nv")
-             - F.size(F.array_intersect("nu", "nv"))).cast("long").alias("n_union"),
-        )
-        .where(F.col("n_common") >= 1)
-        .withColumn(
-            "jaccard", F.col("n_common").cast("double") / F.col("n_union")
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("du") + F.col("dv") - F.col("n_common"))
+            .cast("long")
+            .alias("n_union"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common"))
+            ).alias("jaccard"),
         )
         .orderBy(F.desc("jaccard"), "src", "dst")
         .limit(_JACCARD_TOPK)
