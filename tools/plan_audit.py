@@ -143,6 +143,15 @@ DEFAULT_QUERIES = [
     "x_knn_ivfpq_topk",
     "x_passjoin_ed1",
     "s15_stream_session_timeout",
+    # round-11 queries
+    "x_ri_audit",
+    "x_deletion_vectors",
+    "x_snapshot_restore",
+    "x_format_roundtrip",
+    "s16_stream_hour_day_rollup",
+    "x_graph_jaccard",
+    "x_recs_eval",
+    "x_knn_filtered_topk",
 ]
 
 
