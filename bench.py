@@ -132,6 +132,7 @@ RECORD_ONLY = [
     "x_graph_jaccard",
     "x_recs_eval",
     "x_knn_filtered_topk",
+    "x_scd2_late_correction",
 ]
 
 

@@ -163,6 +163,7 @@ _GRADE_FIRST = (
     "x_graph_jaccard",
     "x_recs_eval",
     "x_knn_filtered_topk",
+    "x_scd2_late_correction",
     # --- the r5-vintage cohort (oldest latest-grades; the r10 window
     # could not fit them — queued by the r10 rotation note) ---------------
     "x_salted_join_revenue",

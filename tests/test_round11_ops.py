@@ -313,3 +313,37 @@ def test_knn_filtered_respects_predicate(spark, sf_dir):
     for sims in per_q.values():
         assert len(sims) == 5
         assert sims == sorted(sims, reverse=True)
+
+
+def test_scd2_late_correction_is_really_incremental(spark, sf_dir):
+    """The correction must be non-vacuous (the late batch actually
+    changes some affected user's intervals vs the base-only history)
+    AND surgical (untouched users' histories are byte-identical to the
+    base build)."""
+    from pyspark.sql import functions as F
+
+    from recommender_systems_pyspark_spark.functions.warehouse import (
+        _LATE_MOD,
+        _LATE_REM,
+        scd2_history,
+    )
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.sources import tables
+
+    ev = tables(spark, sf_dir)["events"]
+    is_late = F.col("event_id") % _LATE_MOD == _LATE_REM
+    affected = {r.user_id for r in ev.where(is_late).select("user_id").distinct().collect()}
+    assert affected  # the late batch hits someone
+
+    corrected = all_queries()["x_scd2_late_correction"].fn(spark, sf_dir)
+    base_hist = scd2_history(ev.where(~is_late))
+
+    def rows(df, users, keep):
+        return sorted(
+            tuple(r) for r in df.where(F.col("user_id").isin(*users) == keep).collect()
+        )
+
+    # untouched users: base history == corrected history exactly
+    assert rows(base_hist, affected, False) == rows(corrected, affected, False)
+    # affected users: the correction changed SOMETHING vs the base build
+    assert rows(base_hist, affected, True) != rows(corrected, affected, True)

@@ -152,6 +152,7 @@ DEFAULT_QUERIES = [
     "x_graph_jaccard",
     "x_recs_eval",
     "x_knn_filtered_topk",
+    "x_scd2_late_correction",
 ]
 
 
