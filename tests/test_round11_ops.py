@@ -347,3 +347,101 @@ def test_scd2_late_correction_is_really_incremental(spark, sf_dir):
     assert rows(base_hist, affected, False) == rows(corrected, affected, False)
     # affected users: the correction changed SOMETHING vs the base build
     assert rows(base_hist, affected, True) != rows(corrected, affected, True)
+
+
+def test_s16_chained_agg_restart_recovery(spark, sf_dir, tmp_path):
+    """Stop-and-resume the TWO-TIER chained aggregation: run the
+    hourly→daily cascade over half the staged files with a durable
+    (parquet) sink + checkpoint, stop, land the rest, resume with a
+    fresh query object on the SAME checkpoint. Both state tiers must
+    recover from the checkpoint: the union of both lifetimes' appended
+    rows must equal the single-lifetime run exactly — nothing lost,
+    nothing double-emitted. (s11 certifies restart for foreachBatch
+    upsert; this covers the multi-stateful-operator pipeline.)"""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.sources import load_table
+    from recommender_systems_pyspark_spark.streaming.chained_rollup import (
+        _N_BATCHES,
+        hour_day_rollup,
+    )
+    from recommender_systems_pyspark_spark.streaming.staging import (
+        stage_ordered_files,
+        state_sized_partitions,
+    )
+
+    prior_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        staged = str(tmp_path / "staged")
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        os.makedirs(src)
+        feed = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        stage_ordered_files(feed, "event_id", _N_BATCHES, staged)
+        batches = sorted(os.listdir(staged))
+
+        def run_lifetime():
+            stream = (
+                spark.readStream.schema(
+                    "event_id bigint, ts timestamp_ntz, event_type string, "
+                    "value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .select(
+                    F.col("ts").cast("timestamp").alias("ts"),
+                    "event_type",
+                    F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                    .cast("long")
+                    .alias("value_cents"),
+                )
+            )
+            q = (
+                hour_day_rollup(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        with state_sized_partitions(spark):
+            for name in batches[:2]:
+                shutil.copy2(f"{staged}/{name}", f"{src}/{name}")
+            run_lifetime()
+            for name in batches[2:]:
+                shutil.copy2(f"{staged}/{name}", f"{src}/{name}")
+            run_lifetime()  # fresh query object; only the checkpoint survives
+
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select(
+                F.col("window_start").cast("timestamp_ntz").alias("ws"),
+                "event_type",
+                "n_events",
+                "cents_total",
+            )
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in all_queries()["s16_stream_hour_day_rollup"]
+            .fn(spark, sf_dir)
+            .collect()
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior_tz)
