@@ -133,6 +133,7 @@ RECORD_ONLY = [
     "x_recs_eval",
     "x_knn_filtered_topk",
     "x_scd2_late_correction",
+    "x_malformed_quarantine",
 ]
 
 

@@ -87,35 +87,53 @@ def read_tsv_quarantine(
     pipeline must neither stop nor silently drop them; landing them beside
     the data (with lineage) is what makes the ingest auditable.
 
-    Mechanics: the reader's PERMISSIVE mode populates a
-    ``columnNameOfCorruptRecord`` column for rows that fail schema
-    application (wrong arity / uncastable values); rows where it is null
-    parsed fully. Both outputs come from ONE scan (Spark caches nothing
-    here — the split is two lazy filters; at scale land both in one pass
-    via ``df.persist()`` or a two-sink foreachBatch).
+    Mechanics: lines are read as TEXT and parsed with ``from_csv`` in
+    PERMISSIVE mode, whose ``columnNameOfCorruptRecord`` field is set
+    for rows that fail schema application (wrong arity / uncastable
+    values). Parsing a whole line per row — instead of the CSV
+    datasource — is deliberate: the datasource's COLUMN PRUNING parses
+    only the columns a query references, so a downstream aggregate
+    touching just the key column never attempts the failing field, the
+    corrupt marker stays null, and corrupt rows silently migrate into
+    the clean side (caught in r11 when x_malformed_quarantine's
+    quarantine aggregate counted 0 — the clean/quarantine SPLIT must
+    not depend on which columns the consumer asks for). ``from_csv``
+    takes one string column in, so no pruning can reach inside the
+    parse. Both outputs come from ONE scan (the split is two lazy
+    filters; at scale land both in one pass via ``df.persist()`` or a
+    two-sink foreachBatch).
     """
     from pyspark.sql.types import StringType, StructField
 
     # StructType.add MUTATES in PySpark — build a copy, don't grow the caller's schema
     aug = StructType(schema.fields + [StructField("_corrupt_record", StringType())])
-    raw = (
-        spark.read.option("header", True)
-        .option("sep", sep)
-        .option("nullValue", null_value)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .schema(aug)
-        .csv(path)
+    header = sep.join(f.name for f in schema.fields)
+    lines = spark.read.text(path)
+    parsed = (
+        lines.where(F.col("value") != header)  # header line per part-file
+        .select(
+            F.from_csv(
+                F.col("value"),
+                aug.simpleString(),
+                {
+                    "sep": sep,
+                    "nullValue": null_value,
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": "_corrupt_record",
+                },
+            ).alias("r"),
+            F.col("value").alias("raw_line"),
+            F.input_file_name().alias("source_file"),
+        )
+        .select("r.*", "raw_line", "source_file")
     )
-    clean = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    # Quarantine keeps the partially-parsed columns alongside the raw line:
-    # (a) the triage sink can see WHICH field failed, and (b) projecting data
-    # columns is what makes the plan legal — Spark refuses a query whose only
-    # referenced file column is the internal corrupt-record column.
-    quarantine = (
-        raw.where(F.col("_corrupt_record").isNotNull())
-        .withColumnRenamed("_corrupt_record", "raw_line")
-        .withColumn("source_file", F.input_file_name())
+    clean = parsed.where(F.col("_corrupt_record").isNull()).select(
+        *[f.name for f in schema.fields]
+    )
+    # Quarantine keeps the partially-parsed columns alongside the raw line
+    # so the triage sink can see WHICH field failed.
+    quarantine = parsed.where(F.col("_corrupt_record").isNotNull()).select(
+        *[f.name for f in schema.fields], "raw_line", "source_file"
     )
     return clean, quarantine
 
@@ -129,24 +147,149 @@ def read_jsonl(
     :func:`read_tsv_quarantine` — the wire format of most document dumps
     (Common Crawl derivatives, API exports) that feed the documents table.
     Schema is explicit for the same reason as S1: inference over 100 TB is
-    a full extra pass AND locks in whatever the first sampled files had."""
+    a full extra pass AND locks in whatever the first sampled files had.
+
+    Text + ``from_json`` for the same reason read_tsv_quarantine uses
+    text + ``from_csv``: the JSON datasource's column pruning parses
+    only referenced columns, so whether a type-mismatched field marks
+    the row corrupt would depend on the CONSUMER's projection — the
+    clean/quarantine split must be projection-independent."""
     from pyspark.sql.types import StringType, StructField
 
     aug = StructType(schema.fields + [StructField("_corrupt_record", StringType())])
-    raw = (
-        spark.read.option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .schema(aug)
-        .json(path)
-    )
-    clean = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    # Quarantine keeps the partially-parsed columns alongside the raw line:
-    # (a) the triage sink can see WHICH field failed, and (b) projecting data
-    # columns is what makes the plan legal — Spark refuses a query whose only
-    # referenced file column is the internal corrupt-record column.
-    quarantine = (
-        raw.where(F.col("_corrupt_record").isNotNull())
-        .withColumnRenamed("_corrupt_record", "raw_line")
-        .withColumn("source_file", F.input_file_name())
-    )
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.from_json(
+            F.col("value"),
+            aug.simpleString(),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r"),
+        F.col("value").alias("raw_line"),
+        F.input_file_name().alias("source_file"),
+    ).select("r.*", "raw_line", "source_file")
+    # from_json can yield a NULL struct (every field null, no corrupt
+    # marker) for unparseable lines — treat both faces as quarantine
+    # (an all-null record is quarantine-worthy in a document dump anyway)
+    data_cols = [f.name for f in schema.fields]
+    all_null = F.lit(True)
+    for c in data_cols:
+        all_null = all_null & F.col(c).isNull()
+    bad = F.col("_corrupt_record").isNotNull() | all_null
+    clean = parsed.where(~bad).select(*data_cols)
+    # Quarantine keeps the partially-parsed columns alongside the raw line
+    # so the triage sink can see WHICH field failed.
+    quarantine = parsed.where(bad).select(*data_cols, "raw_line", "source_file")
     return clean, quarantine
+
+
+def _register_malformed_quarantine() -> None:
+    """The clean/quarantine ingest split as a CERTIFIED query (round 11):
+    read_tsv_quarantine was pytest-only; this puts the PERMISSIVE
+    corrupt-record semantics — the split every 100 TB ingest relies on —
+    under the driver's hash gate with deterministically injected
+    corruption."""
+    from ..registry import query
+    from ..sources.loaders import load_table
+
+    #: Feed slice and corruption rule (both replayable in the oracle).
+    slice_mod = 10
+    corrupt_mod, corrupt_rem = 17, 4
+
+    @query(
+        "x_malformed_quarantine",
+        oracle=f"""
+        WITH s AS (
+          SELECT event_id, user_id, value FROM events
+          WHERE event_id % {slice_mod} = 1
+        ),
+        good AS (SELECT * FROM s
+                 WHERE event_id % {corrupt_mod} <> {corrupt_rem}),
+        bad AS (SELECT * FROM s
+                WHERE event_id % {corrupt_mod} = {corrupt_rem})
+        SELECT (SELECT COUNT(*) FROM good) AS n_clean,
+               (SELECT CAST(bit_xor(event_id) AS BIGINT) FROM good)
+                 AS clean_id_xor,
+               (SELECT CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) FROM good) AS clean_cents,
+               (SELECT COUNT(*) FROM bad) AS n_quarantined,
+               (SELECT CAST(bit_xor(event_id) AS BIGINT) FROM bad)
+                 AS quarantined_id_xor
+        """,
+    )
+    def x_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Dead-letter ingest certification: a TSV feed with uncastable
+        values injected on a deterministic key class is read through
+        ``read_tsv_quarantine`` (PERMISSIVE + columnNameOfCorruptRecord);
+        clean rows must parse to exactly the uncorrupted slice (count +
+        id checksum + integer-cents sum of the round-tripped doubles)
+        and the quarantine must hold exactly the corrupted rows WITH
+        their still-parseable key columns (the triage property: a
+        corrupt `value` must not destroy `event_id` — certified by the
+        quarantined id checksum). Nothing silently dropped, nothing
+        silently nulled.
+
+        Scale: the writer and the split are one pass each; both outputs
+        of the split come from the same scan. Double→string→double
+        round-trips exactly (Java shortest-repr), so the clean cents
+        sum equals raw-table arithmetic."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        corrupt = F.col("event_id") % corrupt_mod == corrupt_rem
+        feed = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("event_id") % slice_mod == 1)
+            .select(
+                F.col("event_id").cast("string").alias("event_id"),
+                F.col("user_id").cast("string").alias("user_id"),
+                "event_type",
+                F.when(corrupt, F.lit("oops"))
+                .otherwise(F.col("value").cast("string"))
+                .alias("value"),
+            )
+        )
+        schema = StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+            ]
+        )
+        d = tempfile.mkdtemp(prefix="quarantine_")
+        try:
+            feed.write.option("header", True).option("sep", "\t").mode(
+                "overwrite"
+            ).csv(d + "/feed")
+            clean, quar = read_tsv_quarantine(spark, d + "/feed", schema)
+            out = (
+                clean.agg(
+                    F.count("*").alias("n_clean"),
+                    F.bit_xor("event_id").alias("clean_id_xor"),
+                    F.sum(
+                        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                        .cast("long")
+                    ).alias("clean_cents"),
+                )
+                .crossJoin(
+                    quar.agg(
+                        F.count("*").alias("n_quarantined"),
+                        F.bit_xor("event_id").alias("quarantined_id_xor"),
+                    )
+                )
+                .localCheckpoint(eager=True)  # materialize before rmtree
+            )
+            return out
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_register_malformed_quarantine()

@@ -445,3 +445,36 @@ def test_s16_chained_agg_restart_recovery(spark, sf_dir, tmp_path):
         assert got == want
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior_tz)
+
+
+def test_quarantine_split_is_projection_independent(spark, tmp_path):
+    """Regression for the CSV column-pruning trap: an aggregate over the
+    quarantine that references ONLY the key column must still see the
+    rows whose OTHER field failed to parse. With the csv datasource the
+    pruned parse never attempts the failing field, the corrupt marker
+    stays null, and the quarantine silently empties — exactly what
+    x_malformed_quarantine's first run caught; the text+from_csv reader
+    makes the split projection-independent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from recommender_systems_pyspark_spark.sources.ingest import (
+        read_tsv_quarantine,
+    )
+
+    p = tmp_path / "feed.tsv"
+    p.write_text("id\tv\n1\t1.5\n2\toops\n3\t2.5\n")
+    schema = StructType([StructField("id", LongType()), StructField("v", DoubleType())])
+    clean, quar = read_tsv_quarantine(spark, str(p), schema)
+    # the trap: touch ONLY the id column on both sides
+    assert quar.select("id").count() == 1
+    assert [r.id for r in quar.select("id").collect()] == [2]
+    assert clean.select("id").count() == 2
+    # the triage property: the corrupt row's key column still parsed
+    row = quar.collect()[0]
+    assert row.id == 2 and row.v is None and "oops" in row.raw_line

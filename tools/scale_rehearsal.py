@@ -144,6 +144,7 @@ DEFAULT_QUERIES = (
     "x_recs_eval",
     "x_knn_filtered_topk",
     "x_scd2_late_correction",
+    "x_malformed_quarantine",
 )
 
 
