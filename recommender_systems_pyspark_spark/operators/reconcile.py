@@ -44,6 +44,26 @@ def _cents(c: Column) -> Column:
     return F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("long")
 
 
+def orphan_check(
+    fact: DataFrame,
+    key: str,
+    dim: DataFrame,
+    dim_key: str,
+    detail_key: str,
+) -> DataFrame:
+    """One orphan probe: fact rows whose ``key`` has no match in the
+    dimension's ``dim_key``, reduced to (n, detail). ``detail`` is the
+    smallest violating ENTITY key (the row you would triage), which is
+    NOT always the join key — order→customer orphans report the orphaned
+    o_orderkey, not the missing o_custkey. The oracle reports the same
+    entity key; reporting min(join key) here instead would be latent
+    divergence (green on an orphan-free fixture, mismatched the day one
+    appears)."""
+    return fact.join(dim, fact[key] == dim[dim_key], "left_anti").agg(
+        F.count("*").alias("n"), F.min(detail_key).alias("detail")
+    )
+
+
 def _check(name: str, agg: DataFrame) -> DataFrame:
     """Normalize one single-row aggregate to (check, n_violations, detail)."""
     return agg.select(
@@ -123,12 +143,6 @@ def x_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders = t["lineitem"], t["orders"]
     customer, nation = t["customer"], t["nation"]
 
-    def orphan(fact: DataFrame, key: str, dim: DataFrame, dim_key: str) -> DataFrame:
-        return (
-            fact.join(dim, fact[key] == dim[dim_key], "left_anti")
-            .agg(F.count("*").alias("n"), F.min(key).alias("detail"))
-        )
-
     li_sum = lineitem.groupBy("l_orderkey").agg(
         F.sum(
             _cents(
@@ -150,20 +164,32 @@ def x_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = (
-        _check("lineitem_orphan", orphan(lineitem, "l_orderkey", orders, "o_orderkey"))
+        _check(
+            "lineitem_orphan",
+            orphan_check(lineitem, "l_orderkey", orders, "o_orderkey", "l_orderkey"),
+        )
         .unionAll(
-            _check("order_childless", orphan(orders, "o_orderkey", lineitem, "l_orderkey"))
+            _check(
+                "order_childless",
+                orphan_check(orders, "o_orderkey", lineitem, "l_orderkey", "o_orderkey"),
+            )
         )
         .unionAll(
             _check(
                 "order_customer_orphan",
-                orphan(orders, "o_custkey", F.broadcast(customer), "c_custkey"),
+                orphan_check(
+                    orders, "o_custkey", F.broadcast(customer), "c_custkey",
+                    "o_orderkey",
+                ),
             )
         )
         .unionAll(
             _check(
                 "customer_nation_orphan",
-                orphan(customer, "c_nationkey", F.broadcast(nation), "n_nationkey"),
+                orphan_check(
+                    customer, "c_nationkey", F.broadcast(nation), "n_nationkey",
+                    "c_custkey",
+                ),
             )
         )
         .unionAll(_check("totalprice_mismatch", recon))

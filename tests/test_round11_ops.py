@@ -478,3 +478,23 @@ def test_quarantine_split_is_projection_independent(spark, tmp_path):
     # the triage property: the corrupt row's key column still parsed
     row = quar.collect()[0]
     assert row.id == 2 and row.v is None and "oops" in row.raw_line
+
+
+def test_ri_audit_orphan_detail_is_entity_key(spark):
+    """On a fixture that HAS orphans the detail column must report the
+    smallest violating ENTITY key, not the join key — the two differ for
+    the order→customer check, and min(join key) would match the oracle
+    only while the orphan count is zero (latent-divergence class)."""
+    from recommender_systems_pyspark_spark.operators.reconcile import (
+        orphan_check,
+    )
+
+    fact = spark.createDataFrame(
+        [(100, 1), (50, 999), (60, 998)],  # (o_orderkey, o_custkey)
+        "o_orderkey bigint, o_custkey bigint",
+    )
+    dim = spark.createDataFrame([(1,)], "c_custkey bigint")
+    got = orphan_check(
+        fact, "o_custkey", dim, "c_custkey", "o_orderkey"
+    ).collect()[0]
+    assert (got.n, got.detail) == (2, 50)  # min orderkey, NOT min custkey (998)
