@@ -136,6 +136,7 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.streaming.chained_rollup",
     "recommender_systems_pyspark_spark.ml.evaluation",
     "recommender_systems_pyspark_spark.sources.ingest",
+    "recommender_systems_pyspark_spark.streaming.complete_topk",
 )
 
 #: Round-11 grading window (the driver grades the FIRST 50 entries of
@@ -166,6 +167,7 @@ _GRADE_FIRST = (
     "x_knn_filtered_topk",
     "x_scd2_late_correction",
     "x_malformed_quarantine",
+    "s17_stream_topk_complete",
     # --- the r5-vintage cohort (oldest latest-grades; the r10 window
     # could not fit them — queued by the r10 rotation note) ---------------
     "x_salted_join_revenue",

@@ -498,3 +498,31 @@ def test_ri_audit_orphan_detail_is_entity_key(spark):
         fact, "o_custkey", dim, "c_custkey", "o_orderkey"
     ).collect()[0]
     assert (got.n, got.detail) == (2, 50)  # min orderkey, NOT min custkey (998)
+
+
+def test_s17_complete_mode_snapshot_is_boundary_independent(spark, sf_dir):
+    """The final COMPLETE-mode emission must equal the one-shot batch
+    aggregate (full snapshot, not the last batch's delta), and the
+    leaderboard must be non-trivial."""
+    from pyspark.sql import functions as F
+
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    got = all_queries()["s17_stream_topk_complete"].fn(spark, sf_dir).collect()
+    assert len(got) == 10
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            ).alias("cents_total"),
+        )
+        .orderBy(F.desc("cents_total"), "user_id")
+        .limit(10)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0].n_events > 1  # a real multi-event leaderboard

@@ -145,6 +145,7 @@ DEFAULT_QUERIES = (
     "x_knn_filtered_topk",
     "x_scd2_late_correction",
     "x_malformed_quarantine",
+    "s17_stream_topk_complete",
 )
 
 
