@@ -135,6 +135,7 @@ RECORD_ONLY = [
     "x_scd2_late_correction",
     "x_malformed_quarantine",
     "s17_stream_topk_complete",
+    "s18_stream_backfill_available_now",
 ]
 
 

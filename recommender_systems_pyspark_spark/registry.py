@@ -137,6 +137,7 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.ml.evaluation",
     "recommender_systems_pyspark_spark.sources.ingest",
     "recommender_systems_pyspark_spark.streaming.complete_topk",
+    "recommender_systems_pyspark_spark.streaming.available_now",
 )
 
 #: Round-11 grading window (the driver grades the FIRST 50 entries of
@@ -168,6 +169,7 @@ _GRADE_FIRST = (
     "x_scd2_late_correction",
     "x_malformed_quarantine",
     "s17_stream_topk_complete",
+    "s18_stream_backfill_available_now",
     # --- the r5-vintage cohort (oldest latest-grades; the r10 window
     # could not fit them — queued by the r10 rotation note) ---------------
     "x_salted_join_revenue",

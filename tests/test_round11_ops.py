@@ -526,3 +526,19 @@ def test_s17_complete_mode_snapshot_is_boundary_independent(spark, sf_dir):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert got[0].n_events > 1  # a real multi-event leaderboard
+
+
+def test_s18_available_now_terminates_and_carries_offsets(spark, sf_dir):
+    """The bounded-run contract: each AvailableNow lifetime must exit on
+    its own AND the second lifetime must ingest ONLY the unseen files
+    (certified indirectly by the query's hash gate; here we pin the
+    self-termination and the exact final row count)."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    out = all_queries()["s18_stream_backfill_available_now"].fn(spark, sf_dir)
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    rows = out.collect()
+    assert len(rows) == n_users
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total  # nothing lost/doubled

@@ -155,6 +155,7 @@ DEFAULT_QUERIES = [
     "x_scd2_late_correction",
     "x_malformed_quarantine",
     "s17_stream_topk_complete",
+    "s18_stream_backfill_available_now",
 ]
 
 
