@@ -136,6 +136,7 @@ RECORD_ONLY = [
     "x_malformed_quarantine",
     "s17_stream_topk_complete",
     "s18_stream_backfill_available_now",
+    "x_wap_publish",
 ]
 
 

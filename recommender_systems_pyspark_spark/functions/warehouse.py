@@ -1572,3 +1572,138 @@ def x_scd2_late_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_scd2_late_correction.__doc__ = x_scd2_late_correction.__doc__.format(
     rem=_LATE_REM, mod=_LATE_MOD
 )
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish (round 11)
+# ---------------------------------------------------------------------------
+
+#: Corruption rule for the bad candidate: mktsegment nulled out on this class.
+_WAP_NULL_MOD, _WAP_NULL_REM = 7, 2
+#: The corrected reload's balance adjustment (exercises a content change
+#: that the head checksum must reflect after the third publish).
+_WAP_ADJ_CENTS = 10
+
+
+@query(
+    "x_wap_publish",
+    oracle=f"""
+    WITH src AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS bal
+      FROM customer
+    ),
+    adj AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                      + {_WAP_ADJ_CENTS}) AS BIGINT) AS bal
+      FROM customer
+    )
+    SELECT * FROM (
+      SELECT 1 AS attempt, true AS audit_passed, 1 AS head_version,
+             s.n AS head_rows, s.bal AS head_bal_cents
+      FROM src s
+      UNION ALL
+      SELECT 2, false, 1, s.n, s.bal FROM src s
+      UNION ALL
+      SELECT 3, true, 2, a.n, a.bal FROM adj a
+    ) ORDER BY attempt
+    """,
+)
+def x_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish — the lakehouse release workflow (Iceberg's
+    WAP / Delta's staging-table pattern) composed from parts this engine
+    already certifies separately (expectation audit + versioned-store
+    atomic publish), run as a REAL three-attempt drill:
+
+    1. clean load           → audit passes → published as v1
+    2. corrupted reload     (mktsegment nulled on custkey ≡ {rem} mod
+       {mod}, violating the completeness expectation) → audit FAILS →
+       publish blocked, head stays v1 — the corrupted data is never
+       visible to readers (it only ever existed in the staging store)
+    3. corrected reload     (balances adjusted +{adj} cents) → audit
+       passes → published as v2
+
+    After every attempt the ledger row reads the PROD store's actual
+    head (version, rows, balance checksum) back from disk — so the hash
+    certifies both the gate (attempt 2 changed nothing) and the
+    publishes (v1/v2 content exactly right, the v2 adjustment visible).
+    Audits: zero null mktsegments AND rowcount reconciles against the
+    source — the two checks every WAP pipeline starts with.
+
+    Scale: audits are single-scan scalar aggregates over the STAGED
+    candidate; publish is the store's atomic manifest swap; the blocked
+    candidate costs one staging write + one audit, never a prod write.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources import load_table
+    from ..sources.versioned import published_version, read_snapshot, write_snapshot
+
+    cents = F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    # every candidate load carries the derived integer-cents column (the
+    # ingest layer computes it once; audits and checksums never touch
+    # the raw double again)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", cents.alias("bal_cents")
+    )
+    corrupted = customer.withColumn(
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % _WAP_NULL_MOD == _WAP_NULL_REM, F.lit(None)
+        ).otherwise(F.col("c_mktsegment")),
+    )
+    corrected = customer.withColumn(
+        "bal_cents", F.col("bal_cents") + _WAP_ADJ_CENTS
+    )
+    d = tempfile.mkdtemp(prefix="wap_")
+    prod = d + "/prod"
+    try:
+        expected_rows = customer.count()  # source-reconciliation target
+
+        def audit(df: DataFrame) -> bool:
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.count_if(F.col("c_mktsegment").isNull()).alias("nulls"),
+            ).collect()[0]
+            return row.nulls == 0 and row.n == expected_rows
+
+        def head_stats(attempt: int, passed: bool) -> DataFrame:
+            head = read_snapshot(spark, prod)
+            ver = published_version(prod)
+            return head.agg(
+                F.count("*").alias("head_rows"),
+                F.sum("bal_cents").cast("long").alias("head_bal_cents"),
+            ).select(
+                F.lit(attempt).alias("attempt"),
+                F.lit(passed).alias("audit_passed"),
+                F.lit(ver).cast("int").alias("head_version"),
+                "head_rows",
+                "head_bal_cents",
+            ).localCheckpoint(eager=True)
+
+        ledger = []
+        for attempt, candidate in ((1, customer), (2, corrupted), (3, corrected)):
+            # WRITE to staging (its own store — never the prod path)
+            stage = f"{d}/staging_{attempt}"
+            write_snapshot(candidate, stage)
+            staged = read_snapshot(spark, stage)
+            # AUDIT the staged files themselves (what publish would expose)
+            passed = audit(staged)
+            # PUBLISH only on a passing audit — atomic manifest swap
+            if passed:
+                write_snapshot(staged, prod)
+            ledger.append(head_stats(attempt, passed))
+        out = ledger[0]
+        for frame in ledger[1:]:
+            out = out.unionAll(frame)
+        return out.orderBy("attempt")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+x_wap_publish.__doc__ = x_wap_publish.__doc__.format(
+    rem=_WAP_NULL_REM, mod=_WAP_NULL_MOD, adj=_WAP_ADJ_CENTS
+)

@@ -170,6 +170,7 @@ _GRADE_FIRST = (
     "x_malformed_quarantine",
     "s17_stream_topk_complete",
     "s18_stream_backfill_available_now",
+    "x_wap_publish",
     # --- the r5-vintage cohort (oldest latest-grades; the r10 window
     # could not fit them — queued by the r10 rotation note) ---------------
     "x_salted_join_revenue",

@@ -542,3 +542,23 @@ def test_s18_available_now_terminates_and_carries_offsets(spark, sf_dir):
     assert len(rows) == n_users
     total = load_table(spark, sf_dir, "events").count()
     assert sum(r.n_events for r in rows) == total  # nothing lost/doubled
+
+
+def test_wap_blocked_candidate_never_reaches_prod(spark, sf_dir):
+    """The WAP gate property stated directly: after the three-attempt
+    drill the prod store must hold exactly two versions (v1 clean, v2
+    corrected) and NO published version may contain a null mktsegment —
+    the corrupted candidate existed only in staging."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    rows = all_queries()["x_wap_publish"].fn(spark, sf_dir).collect()
+    assert [r.attempt for r in rows] == [1, 2, 3]
+    assert [r.audit_passed for r in rows] == [True, False, True]
+    assert [r.head_version for r in rows] == [1, 1, 2]
+    # attempt 2 changed nothing: head stats identical to attempt 1
+    assert (rows[0].head_rows, rows[0].head_bal_cents) == (
+        rows[1].head_rows,
+        rows[1].head_bal_cents,
+    )
+    # the corrected publish IS visible: +10 cents per row
+    assert rows[2].head_bal_cents == rows[0].head_bal_cents + 10 * rows[0].head_rows

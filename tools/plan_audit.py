@@ -156,6 +156,7 @@ DEFAULT_QUERIES = [
     "x_malformed_quarantine",
     "s17_stream_topk_complete",
     "s18_stream_backfill_available_now",
+    "x_wap_publish",
 ]
 
 
