@@ -18,6 +18,11 @@ stays pushdown-friendly. A pathological delete vector (≈data size)
 degrades to one co-keyed shuffle join, still linear; compaction
 (x_compaction_apply) is the cure, not a bigger join.
 
+Reference contrast: the app's only delete story is the full-table
+JDBC overwrite (utils/data_loader.py:146) — every reload rewrites
+everything; deletion vectors are the engine-grade mechanism that makes
+point deletes O(|deletes|) instead of O(|table|).
+
 The fixture has no real file manifest, so files are modeled
 deterministically (``file_id = doc_id // 100``, ``pos = doc_id % 100``
 — same device as x_compaction_plan) and the delete files by modular

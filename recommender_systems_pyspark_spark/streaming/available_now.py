@@ -10,6 +10,12 @@ jobs ("catch up on everything new since the last run, then exit") that
 replaced the deprecated Trigger.Once (which ignored rate limits and
 swallowed everything in one giant batch).
 
+Reference contrast: the app's "refresh" is a destructive batch reload
+(utils/data_loader.py:146, mode="overwrite") rerun from scratch;
+AvailableNow on a checkpoint is the incremental replacement — each
+scheduled run ingests only what is new. The reference has no streaming
+at all (SURVEY.md §2.10).
+
 Certified in two lifetimes to prove the incremental-backfill contract,
 not just one-shot equivalence:
 

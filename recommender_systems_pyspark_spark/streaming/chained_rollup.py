@@ -6,6 +6,10 @@ stateful operator; real metric pipelines chain them (raw → minutely →
 hourly → daily) so each tier's state stays small and the sink receives
 only finalized coarse rows.
 
+Reference contrast: the app has no streaming (SURVEY.md §2.10) and
+aggregates ratings per interaction from scratch; the cascade is the
+standing-pipeline equivalent of its hourly/daily rollup needs.
+
 Semantics certified by the oracle replay:
 
 - Tier 1 holds (hour, event_type) state; a window finalizes (emits

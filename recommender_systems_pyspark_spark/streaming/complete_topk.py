@@ -7,6 +7,12 @@ a full, consistent snapshot, and because the mode requires the full
 result anyway, no watermark is needed and late data can never be
 dropped.
 
+Reference contrast: the app recomputes its "top movies" board from a
+full table scan per Streamlit interaction (app.py — the popular-movies
+panel); complete mode is the push equivalent: the sink always holds the
+refreshed leaderboard without a reader-side recompute. The reference
+has no streaming at all (SURVEY.md §2.10).
+
 Certifiable because the aggregate is commutative integer math: the final
 trigger's full snapshot must equal the one-shot batch aggregate over the
 whole feed regardless of micro-batch boundaries. The top-k ranking is
