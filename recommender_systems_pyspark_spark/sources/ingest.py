@@ -102,15 +102,53 @@ def read_tsv_quarantine(
     parse. Both outputs come from ONE scan (the split is two lazy
     filters; at scale land both in one pass via ``df.persist()`` or a
     two-sink foreachBatch).
+
+    PRECONDITION — one record per physical line: line-oriented text
+    reading cannot reassemble RFC-4180 quoted fields containing embedded
+    newlines (each text row parses alone; the fragments land in
+    quarantine, visibly, never silently in clean). For quoted multi-line
+    feeds use the CSV datasource with ``multiLine=true`` and force-
+    reference every schema column to defeat pruning — and accept that
+    ``multiLine`` makes each file a single non-splittable task.
+
+    Header handling is POSITIONAL, not content-based (ADVICE r11): only
+    the first line of each file is dropped, and only when it equals the
+    expected header string. A header-equal line anywhere PAST position 0
+    is data masquerading as a header — it lands in quarantine with its
+    raw line, never silently dropped. A file whose first line is real
+    data (headerless part-file) is parsed in full.
     """
     from pyspark.sql.types import StringType, StructField
 
     # StructType.add MUTATES in PySpark — build a copy, don't grow the caller's schema
     aug = StructType(schema.fields + [StructField("_corrupt_record", StringType())])
     header = sep.join(f.name for f in schema.fields)
-    lines = spark.read.text(path)
+    data_cols = [f.name for f in schema.fields]
+    lines = spark.read.text(path).select(
+        "value",
+        F.input_file_name().alias("source_file"),
+        # File-position identity for the header check, all computed
+        # narrow (no shuffle): a row is its file's FIRST line iff it is
+        # the first row of the block at byte offset 0. Blocks are read
+        # sequentially by one task, so monotonically_increasing_id
+        # within the (file, block-0) slice is minimal exactly at the
+        # first physical line.
+        F.expr("input_file_block_start()").alias("_block0"),
+        F.monotonically_increasing_id().alias("_mono"),
+    )
+    # One tiny row per file (map-side-combined agg + broadcast join):
+    # the minimal _mono among each file's offset-0 block rows.
+    first_line = (
+        lines.where(F.col("_block0") == 0)
+        .groupBy("source_file")
+        .agg(F.min("_mono").alias("_first_mono"))
+    )
+    is_first = (F.col("_block0") == 0) & (F.col("_mono") == F.col("_first_mono"))
+    is_header = F.col("value") == header
     parsed = (
-        lines.where(F.col("value") != header)  # header line per part-file
+        lines.join(F.broadcast(first_line), "source_file", "left")
+        # drop ONLY a position-0 line that equals the header
+        .where(~(is_first & is_header))
         .select(
             F.from_csv(
                 F.col("value"),
@@ -123,18 +161,27 @@ def read_tsv_quarantine(
                 },
             ).alias("r"),
             F.col("value").alias("raw_line"),
-            F.input_file_name().alias("source_file"),
+            "source_file",
         )
         .select("r.*", "raw_line", "source_file")
     )
-    clean = parsed.where(F.col("_corrupt_record").isNull()).select(
-        *[f.name for f in schema.fields]
+    # Dead-letter predicate — identical semantics to read_jsonl (ADVICE
+    # r11): (a) schema-application failure, (b) stray header-equal line
+    # past position 0 (parses clean on all-string schemas), (c) all-null
+    # record with no corrupt marker (blank/whitespace line, or a line of
+    # nothing but null sentinels — quarantine-worthy in any feed).
+    all_null = F.lit(True)
+    for c in data_cols:
+        all_null = all_null & F.col(c).isNull()
+    bad = (
+        F.col("_corrupt_record").isNotNull()
+        | (F.col("raw_line") == header)
+        | all_null
     )
+    clean = parsed.where(~bad).select(*data_cols)
     # Quarantine keeps the partially-parsed columns alongside the raw line
     # so the triage sink can see WHICH field failed.
-    quarantine = parsed.where(F.col("_corrupt_record").isNotNull()).select(
-        *[f.name for f in schema.fields], "raw_line", "source_file"
-    )
+    quarantine = parsed.where(bad).select(*data_cols, "raw_line", "source_file")
     return clean, quarantine
 
 

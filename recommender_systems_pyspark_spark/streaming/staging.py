@@ -61,12 +61,26 @@ def stage_ordered_files(
     ADVICE r10) pass their event-time column here so a reordered fixture
     fails LOUDLY at staging instead of silently hash-mismatching."""
     os.makedirs(src_dir, exist_ok=True)
-    max_v = feed.agg(F.max(order_col)).collect()[0][0]
+    min_v, max_v = feed.agg(F.min(order_col), F.max(order_col)).collect()[0]
+    if min_v is not None and min_v < 0:
+        # The staging loop's batch-0 predicate is ``>= 0`` — negative keys
+        # would be SILENTLY excluded from the staged feed (and, before this
+        # guard, from the monotonicity check's domain too — ADVICE r11).
+        raise ValueError(
+            f"stage_ordered_files requires non-negative {order_col!r}; "
+            f"min observed {min_v} would be silently dropped by the "
+            f"range predicates — shift the key before staging"
+        )
     span = (max_v + n_batches) // n_batches
     if assert_monotone_col is not None:
+        # Batch assignment must be the EXACT integer arithmetic of the
+        # staging predicates below (``i*span <= col < (i+1)*span``), not a
+        # double division: (col/span).cast('long') loses integers above
+        # 2^53 and would validate a different partitioning than what is
+        # staged (ADVICE r11). ``DIV`` is Spark's integral division.
         stats = (
             feed.groupBy(
-                (F.col(order_col) / F.lit(span)).cast("long").alias("_b")
+                F.expr(f"`{order_col}` DIV {span}").alias("_b")
             )
             .agg(
                 F.min(assert_monotone_col).alias("lo"),

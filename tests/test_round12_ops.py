@@ -1,0 +1,146 @@
+"""Round-12 operator tests: ADVICE-r11 ingest/staging hardening plus the
+new faces registered this round (x_fd_profile_approx, x_mor_compact_e2e)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #1: header removal must be positional, not content-based
+# ---------------------------------------------------------------------------
+
+
+def test_tsv_header_skip_is_positional_not_content(spark, tmp_path):
+    """A header-equal line PAST position 0 is data masquerading as a header:
+    it must land in quarantine (visible), not be silently dropped. The
+    all-string schema is the trap — such a line PARSES clean, so only the
+    explicit header-equality route catches it."""
+    from recommender_systems_pyspark_spark.sources.ingest import (
+        read_tsv_quarantine,
+    )
+
+    schema = StructType(
+        [StructField("id", StringType()), StructField("name", StringType())]
+    )
+    p = tmp_path / "feed.tsv"
+    # line 0: real header; line 2: stray header-equal DATA line
+    p.write_text("id\tname\na\talice\nid\tname\nb\tbob\n")
+    clean, quar = read_tsv_quarantine(spark, str(p), schema)
+    assert sorted(r.id for r in clean.collect()) == ["a", "b"]
+    q = quar.collect()
+    assert len(q) == 1 and q[0].raw_line == "id\tname"
+
+
+def test_tsv_headerless_file_first_line_is_data(spark, tmp_path):
+    """A part-file whose first line is real data (headerless) is parsed in
+    full — the old content-based filter was already safe here, the
+    positional one must stay safe."""
+    from recommender_systems_pyspark_spark.sources.ingest import (
+        read_tsv_quarantine,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    p = tmp_path / "feed.tsv"
+    p.write_text("1\talice\n2\tbob\n")
+    clean, quar = read_tsv_quarantine(spark, str(p), schema)
+    assert sorted((r.id, r.name) for r in clean.collect()) == [
+        (1, "alice"),
+        (2, "bob"),
+    ]
+    assert quar.count() == 0
+
+
+def test_tsv_header_skip_is_per_file(spark, tmp_path):
+    """Multi-file feed: each file's position-0 header is dropped
+    independently; every data row of every file survives."""
+    from recommender_systems_pyspark_spark.sources.ingest import (
+        read_tsv_quarantine,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    d = tmp_path / "feed"
+    d.mkdir()
+    (d / "part0.tsv").write_text("id\tname\n1\ta\n")
+    (d / "part1.tsv").write_text("id\tname\n2\tb\n3\tc\n")
+    clean, quar = read_tsv_quarantine(spark, str(d), schema)
+    assert sorted(r.id for r in clean.collect()) == [1, 2, 3]
+    assert quar.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #3: all-null dead-letter parity between the TSV/JSONL siblings
+# ---------------------------------------------------------------------------
+
+
+def test_tsv_all_null_row_is_quarantined_like_jsonl(spark, tmp_path):
+    """A line that from_csv parses to an all-null row with no corrupt
+    marker (blank line, or nothing but null sentinels) must quarantine —
+    identical dead-letter semantics to read_jsonl's null-struct guard."""
+    from recommender_systems_pyspark_spark.sources.ingest import (
+        read_tsv_quarantine,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    p = tmp_path / "feed.tsv"
+    p.write_text("id\tname\n1\talice\n\n\\N\t\\N\n2\tbob\n")
+    clean, quar = read_tsv_quarantine(spark, str(p), schema)
+    assert sorted(r.id for r in clean.collect()) == [1, 2]
+    assert quar.count() == 2  # the blank line and the all-sentinel line
+    assert all(r.id is None and r.name is None for r in quar.collect())
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #4: stage_ordered_files integer-exact batch arithmetic
+# ---------------------------------------------------------------------------
+
+
+def test_stage_ordered_files_rejects_negative_keys(spark, tmp_path):
+    """Negative order keys would be silently excluded by the batch-0
+    ``>= 0`` range predicate — staging must fail LOUDLY instead."""
+    from recommender_systems_pyspark_spark.streaming.staging import (
+        stage_ordered_files,
+    )
+
+    feed = spark.createDataFrame([(-1, 10), (5, 20)], "k long, v long")
+    with pytest.raises(ValueError, match="non-negative"):
+        stage_ordered_files(feed, "k", 2, str(tmp_path / "src"))
+
+
+def test_stage_ordered_files_monotone_check_exact_above_2p53(spark, tmp_path):
+    """The monotonicity assertion's batch assignment must use the SAME
+    integer arithmetic as the staging range predicates. Keys above 2^53
+    are not exactly representable as doubles — the old (col/span)
+    .cast('long') path could bucket them differently from the integer
+    filters. Integer DIV stays exact, so a feed that IS monotone under
+    the staged partitioning validates, and every staged row lands in
+    exactly one batch file."""
+    import glob
+    import os
+
+    from recommender_systems_pyspark_spark.streaming.staging import (
+        stage_ordered_files,
+    )
+
+    base = 1 << 53
+    rows = [(base + i, i) for i in range(8)]
+    feed = spark.createDataFrame(rows, "k long, ts long")
+    src = str(tmp_path / "src")
+    stage_ordered_files(feed, "k", 2, src, assert_monotone_col="ts")
+    files = sorted(glob.glob(os.path.join(src, "batch*.parquet")))
+    assert len(files) == 2
+    staged = spark.read.parquet(*files)
+    assert staged.count() == 8  # nothing silently dropped
+    assert {r.k for r in staged.collect()} == {base + i for i in range(8)}
