@@ -271,6 +271,18 @@ def main() -> None:
         "sf_big": all_queries()["x_dedup_minhash_lsh"].fn(spark, dst).count(),
     }
 
+    # Oriented-wedge counts at both scales (VERDICT r11 #6): the exact
+    # row count of x_graph_jaccard's dominant join — ~10× wedges at 10×
+    # data is the proof its time ratio is linear work, not a plan blowup.
+    from recommender_systems_pyspark_spark.functions.pagerank import (
+        oriented_wedge_count,
+    )
+
+    oriented_wedges = {
+        "sf_small": oriented_wedge_count(spark, src),
+        "sf_big": oriented_wedge_count(spark, dst),
+    }
+
     def run(name: str, sf_dir: str) -> float:
         t = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -339,6 +351,7 @@ def main() -> None:
         "factor": factor,
         "mutated_docs": mutate_docs,
         "lsh_candidate_pairs": lsh_candidates,
+        "oriented_wedges": oriented_wedges,
         "replica_build_sec": build_sec,
         "sf0.1_sec": small,
         "sf1.0_sec": big,
