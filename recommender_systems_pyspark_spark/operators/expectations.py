@@ -115,3 +115,101 @@ def x_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("orphans").cast("long").alias("violations"),
     )
     return checks.unionByName(fk).orderBy("constraint_name")
+
+
+# ---------------------------------------------------------------------------
+# Privacy audit: k-anonymity / l-diversity ledger (round 12)
+# ---------------------------------------------------------------------------
+
+#: Quasi-identifier bucket width for the account balance, in cents
+#: (thousand-dollar buckets), and the offset that keeps the integer
+#: division operand non-negative (c_acctbal ≥ −1 000.00 on every TPC-H
+#: scale) — Spark's DIV truncates toward zero while DuckDB's // floors,
+#: so the bucketing arithmetic must never see a negative operand.
+_KANON_BUCKET_CENTS = 100_000
+_KANON_OFFSET_CENTS = 10_000_000
+#: The k threshold below which an equivalence class is re-identifiable.
+_KANON_K = 5
+
+
+@query(
+    "x_kanon_audit",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey,
+             (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+              + {_KANON_OFFSET_CENTS}) // {_KANON_BUCKET_CENTS} AS bal_bucket,
+             COUNT(*) AS class_size,
+             COUNT(DISTINCT c_mktsegment) AS l_div
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT CAST(class_size AS BIGINT) AS class_size,
+           COUNT(*) AS n_classes,
+           CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_div) AS BIGINT) AS min_l_diversity,
+           class_size < {_KANON_K} AS below_k
+    FROM classes
+    GROUP BY class_size
+    ORDER BY class_size
+    """,
+)
+def x_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk ledger for a release candidate: group the
+    customer dimension by its quasi-identifiers — (nation,
+    thousand-dollar balance bucket) — and emit the equivalence-class
+    size histogram with, per size, the class count, covered rows, the
+    MINIMUM l-diversity of the sensitive attribute (market segment)
+    across classes of that size, and a ``below_k`` flag at k={k}. The
+    table's k-anonymity number is the first histogram row; rows in
+    ``below_k`` classes are the suppression/generalization work list.
+    Complements ``x_forget_users`` (erasure) with the BEFORE-release
+    audit: erasure handles who asked to be removed, k-anonymity bounds
+    who could be singled out.
+
+    Reference contrast: the app stores user rows and exposes them by
+    exact id (utils/user.py:141, app.py:134-155) with no
+    re-identification surface at all — this is the audit a training-
+    data release at 100 TB runs before publishing any user-derived
+    table.
+
+    Scale: one groupBy over the dimension (map-side partials; the QI
+    space is bounded) then a histogram over the CLASS frame — two
+    uniform-key aggregations, no joins, constant-size output. The
+    balance bucketing offsets cents positive before integer division:
+    Spark DIV truncates toward zero, DuckDB // floors, and the two only
+    agree on non-negative operands."""
+    classes = (
+        tables(spark, sf_dir)["customer"]
+        .groupBy(
+            "c_nationkey",
+            F.expr(
+                f"(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"
+                f" + {_KANON_OFFSET_CENTS}) DIV {_KANON_BUCKET_CENTS}"
+            ).alias("bal_bucket"),
+        )
+        .agg(
+            F.count("*").alias("class_size"),
+            F.countDistinct("c_mktsegment").alias("l_div"),
+        )
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.min("l_div").alias("min_l_diversity"),
+        )
+        .select(
+            F.col("class_size").cast("long").alias("class_size"),
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes"))
+            .cast("long")
+            .alias("n_rows"),
+            F.col("min_l_diversity").cast("long").alias("min_l_diversity"),
+            (F.col("class_size") < _KANON_K).alias("below_k"),
+        )
+        .orderBy("class_size")
+    )
+
+
+x_kanon_audit.__doc__ = x_kanon_audit.__doc__.format(k=_KANON_K)

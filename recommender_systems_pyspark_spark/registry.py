@@ -158,6 +158,7 @@ _GRADE_FIRST = (
     # --- new in r12 (inserted as they land): first driver grade ----------
     "x_mor_compact_e2e",
     "x_fd_profile_approx",
+    "x_kanon_audit",
     # --- r6-vintage: stats/trends (queued by the r11 rotation) -----------
     "x_rolling_distinct_7d",
     "x_time_weighted_avg",

@@ -187,3 +187,23 @@ def test_fd_profile_approx_within_bound(spark, sf_dir):
     nation = next(r for r in rows if r.tbl == "nation")
     assert nation.strength_ppm_exact == 1_000_000
     assert nation.strength_ppm_approx == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# x_kanon_audit: the privacy ledger is exhaustive and internally consistent
+# ---------------------------------------------------------------------------
+
+
+def test_kanon_audit_partitions_the_table(spark, sf_dir):
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    rows = all_queries()["x_kanon_audit"].fn(spark, sf_dir).collect()
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    # every row of the table is covered by exactly one equivalence class
+    assert sum(r.n_rows for r in rows) == n_customers
+    for r in rows:
+        assert r.n_rows == r.class_size * r.n_classes
+        # l-diversity of a class cannot exceed its size (or the 5-segment domain)
+        assert 1 <= r.min_l_diversity <= min(r.class_size, 5)
+        assert r.below_k == (r.class_size < 5)
