@@ -817,6 +817,145 @@ def jaccard_join_pairs(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Asymmetric CONTAINMENT join: quote / subset detection (round 12)
+# ---------------------------------------------------------------------------
+
+#: Containment threshold τ = 9/10 (rational — every gate is exact
+#: integer arithmetic, same doctrine as the Jaccard join's 4/5).
+_CONT_NUM, _CONT_DEN = 9, 10
+
+
+@query(
+    "x_containment_join",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    fr AS (SELECT shingle, COUNT(*) AS freq FROM sh GROUP BY 1),
+    rk AS (
+      SELECT s.doc_id, s.shingle, n.n_sh,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY f.freq, md5(s.shingle)) AS rn
+      FROM sh s JOIN fr f USING (shingle) JOIN n USING (doc_id)
+    ),
+    pre AS (
+      -- contained-side prefix: |A| - ceil(τ|A|) + 1 rarest shingles
+      SELECT doc_id, shingle, n_sh FROM rk
+      WHERE rn <= n_sh
+            - (({_CONT_NUM}*n_sh + {_CONT_DEN} - 1) // {_CONT_DEN}) + 1
+    ),
+    idx AS (SELECT s.doc_id, s.shingle, n.n_sh FROM sh s JOIN n USING (doc_id)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.n_sh AS na, b.n_sh AS nb
+      FROM pre a JOIN idx b ON a.shingle = b.shingle
+                            AND a.doc_id <> b.doc_id
+      WHERE {_CONT_DEN} * b.n_sh >= {_CONT_NUM} * a.n_sh
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, c.na, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / na AS containment
+    FROM inter
+    WHERE {_CONT_DEN} * n_common >= {_CONT_NUM} * na
+    ORDER BY doc_a, doc_b
+    """,
+)
+def x_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric containment join at τ={num}/{den}: directed
+    pairs (A, B) with |S(A) ∩ S(B)| / |S(A)| ≥ τ — the QUOTE/SUBSET
+    detector symmetric Jaccard misses by construction (a 50-shingle doc
+    fully embedded in a 5 000-shingle doc has Jaccard ≈ 0.01 and
+    containment 1.0; the jaccard/LSH family never surfaces it, yet it
+    is exactly the memorization-risk pair an LLM corpus must catch).
+
+    Plan — one-sided prefix filter × full inverted index: only the
+    CONTAINED side is prefix-pruned to its |A|−⌈τ|A|⌉+1 rarest shingles
+    (by the same global (freq, md5) order as the Jaccard join); the
+    container side stays the full shingle index. Lossless: if
+    C(A,B) ≥ τ, at most |A|−⌈τ|A|⌉ of A's shingles miss B, so at least
+    one PREFIX shingle hits — pytest proves pair-set equality with the
+    quadratic all-pairs ground truth. Sub-quadratic in practice because
+    prefix shingles are the globally RAREST: candidate volume is
+    Σ_shingle prefix-postings × full-postings, dominated by short
+    posting lists; the size gate τ|A| ≤ |B| prunes before any
+    intersection. Verification fetches the two shingle ARRAYS per
+    candidate (array_intersect in codegen) — no candidates×|doc|
+    re-explosion. Every compare is integer; τ is the rational
+    {num}/{den}."""
+    return containment_join_pairs(tables(spark, sf_dir)["documents"])
+
+
+x_containment_join.__doc__ = x_containment_join.__doc__.format(
+    num=_CONT_NUM, den=_CONT_DEN
+)
+
+
+def containment_join_pairs(docs: DataFrame) -> DataFrame:
+    """Prefix-filtered exact containment join over any ``(doc_id, text)``
+    frame — the reusable core behind :func:`x_containment_join`."""
+    sh_arr = _spread(docs.select("doc_id", shingles().alias("sh")))
+    sh = sh_arr.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
+    )
+    fr = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+    w_doc = Window.partitionBy("doc_id").orderBy("freq", F.md5("shingle"))
+    rk = sh.join(fr, "shingle").withColumn("rn", F.row_number().over(w_doc))
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(f"({_CONT_NUM}*n_sh + {_CONT_DEN} - 1) div {_CONT_DEN}")
+        + 1
+    )
+    pre = rk.where(F.col("rn") <= prefix_len).select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na")
+    )
+    idx = sh.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb")
+    )
+    cand = (
+        pre.join(idx, "shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .where(_CONT_DEN * F.col("nb") >= _CONT_NUM * F.col("na"))
+        .select("doc_a", "doc_b", "na")
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+        )
+    )
+    return (
+        inter.where(_CONT_DEN * F.col("n_common") >= _CONT_NUM * F.col("na"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (F.col("n_common").cast("double") / F.col("na")).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: admit a NEW batch against an EXISTING corpus
 # ---------------------------------------------------------------------------
 

@@ -159,6 +159,7 @@ _GRADE_FIRST = (
     "x_mor_compact_e2e",
     "x_fd_profile_approx",
     "x_kanon_audit",
+    "x_containment_join",
     # --- r6-vintage: stats/trends (queued by the r11 rotation) -----------
     "x_rolling_distinct_7d",
     "x_time_weighted_avg",

@@ -207,3 +207,67 @@ def test_kanon_audit_partitions_the_table(spark, sf_dir):
         # l-diversity of a class cannot exceed its size (or the 5-segment domain)
         assert 1 <= r.min_l_diversity <= min(r.class_size, 5)
         assert r.below_k == (r.class_size < 5)
+
+
+# ---------------------------------------------------------------------------
+# x_containment_join: lossless prefix filter, catches what Jaccard misses
+# ---------------------------------------------------------------------------
+
+
+def test_containment_join_lossless_vs_allpairs(spark, sf_dir):
+    """The one-sided prefix filter must find EXACTLY the all-pairs ground
+    truth — the losslessness theorem, probed on the real fixture."""
+    from recommender_systems_pyspark_spark.functions.dedup import (
+        _CONT_DEN,
+        _CONT_NUM,
+        _spread,
+        containment_join_pairs,
+        shingles,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in containment_join_pairs(docs).collect()
+    }
+    sh = _spread(docs.select("doc_id", shingles().alias("sh")))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    truth = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in (
+            a.crossJoin(b)
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+                F.size("sh_a").alias("na"),
+            )
+            .where(_CONT_DEN * F.col("n_common") >= _CONT_NUM * F.col("na"))
+            .collect()
+        )
+    }
+    assert got == truth and len(truth) > 0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a long doc: containment 1.0, Jaccard
+    far below any dedup threshold — the pair class this operator exists
+    for."""
+    from recommender_systems_pyspark_spark.functions.dedup import (
+        containment_join_pairs,
+    )
+
+    quote = " ".join(f"w{i}" for i in range(20))
+    container = " ".join(f"w{i}" for i in range(400))  # quote is its prefix
+    other = " ".join(f"z{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, container), (3, other)], "doc_id long, text string"
+    )
+    rows = containment_join_pairs(docs).collect()
+    pairs = {(r.doc_a, r.doc_b): r.containment for r in rows}
+    assert pairs.get((1, 2)) == 1.0  # the embedded quote is found
+    assert (2, 1) not in pairs  # containment is DIRECTED
+    assert not any(3 in p for p in pairs)  # unrelated doc stays out
