@@ -137,6 +137,13 @@ RECORD_ONLY = [
     "s17_stream_topk_complete",
     "s18_stream_backfill_available_now",
     "x_wap_publish",
+    # Round-12 shapes (own baselines from this round's first recording):
+    # delete-aware compaction lifecycle, privacy ledger, asymmetric
+    # containment dedup, approx-NDV ANALYZE path.
+    "x_mor_compact_e2e",
+    "x_kanon_audit",
+    "x_containment_join",
+    "x_fd_profile_approx",
 ]
 
 

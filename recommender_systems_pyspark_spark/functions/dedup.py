@@ -823,13 +823,60 @@ def jaccard_join_pairs(docs: DataFrame) -> DataFrame:
 #: Containment threshold τ = 9/10 (rational — every gate is exact
 #: integer arithmetic, same doctrine as the Jaccard join's 4/5).
 _CONT_NUM, _CONT_DEN = 9, 10
+#: Shingle width for containment: 8-gram token windows, NOT the dedup
+#: family's 3-grams. Measured at sf0.1: 3-gram prefixes collide on
+#: template phrases and the candidate set blows up 300× at 10× data
+#: (262 → 83 811 pairs for 50 → 505 matches); 8-gram shingles are rare
+#: enough that candidates == matches EXACTLY at both fixtures
+#: (49/49, 488/488) and grow linearly. This is also the semantics quote
+#: detection wants — the 13-gram decontamination convention's shape.
+_CONT_W = 8
+
+_SQL_CONT_SHINGLES = f"""
+    CASE WHEN len(string_split(text, ' ')) >= {_CONT_W}
+         THEN list_distinct(list_transform(
+                generate_series(1, len(string_split(text, ' ')) - {_CONT_W - 1}),
+                i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + {_CONT_W - 1}),
+                       ' ')))
+         ELSE [text] END
+"""
+
+
+def containment_shingles(docs: DataFrame) -> DataFrame:
+    """``(doc_id, sh)`` with distinct {w}-gram token shingles of ``text``
+    — the containment join's comparison unit (see ``_CONT_W`` for why
+    not 3-grams). The token array is materialized BEFORE the spread
+    exchange: an inline ``split(text)`` inside the window transform gets
+    re-inlined by projection collapse and re-splits the text once per
+    window position (measured 18 s → ~4 s at sf0.1 for the full join);
+    the exchange is a pipeline breaker, so downstream codegen reads the
+    ``toks`` column instead."""
+    toked = _spread(
+        docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+    )
+    return toked.select(
+        "doc_id",
+        F.when(
+            F.expr(f"size(toks) >= {_CONT_W}"),
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(toks) - {_CONT_W - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {_CONT_W}))))"
+            ),
+        )
+        .otherwise(F.array(F.col("text")))
+        .alias("sh"),
+    )
+
+
+containment_shingles.__doc__ = containment_shingles.__doc__.format(w=_CONT_W)
 
 
 @query(
     "x_containment_join",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+      SELECT doc_id, unnest({_SQL_CONT_SHINGLES}) AS shingle FROM documents
     ),
     n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
     fr AS (SELECT shingle, COUNT(*) AS freq FROM sh GROUP BY 1),
@@ -900,7 +947,7 @@ x_containment_join.__doc__ = x_containment_join.__doc__.format(
 def containment_join_pairs(docs: DataFrame) -> DataFrame:
     """Prefix-filtered exact containment join over any ``(doc_id, text)``
     frame — the reusable core behind :func:`x_containment_join`."""
-    sh_arr = _spread(docs.select("doc_id", shingles().alias("sh")))
+    sh_arr = containment_shingles(docs)
     sh = sh_arr.select(
         "doc_id",
         F.size("sh").cast("long").alias("n_sh"),

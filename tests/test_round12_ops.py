@@ -220,9 +220,8 @@ def test_containment_join_lossless_vs_allpairs(spark, sf_dir):
     from recommender_systems_pyspark_spark.functions.dedup import (
         _CONT_DEN,
         _CONT_NUM,
-        _spread,
         containment_join_pairs,
-        shingles,
+        containment_shingles,
     )
     from recommender_systems_pyspark_spark.sources import load_table
 
@@ -231,7 +230,7 @@ def test_containment_join_lossless_vs_allpairs(spark, sf_dir):
         (r.doc_a, r.doc_b, r.n_common)
         for r in containment_join_pairs(docs).collect()
     }
-    sh = _spread(docs.select("doc_id", shingles().alias("sh")))
+    sh = containment_shingles(docs)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     truth = {

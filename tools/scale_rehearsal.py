@@ -148,6 +148,15 @@ DEFAULT_QUERIES = (
     "s17_stream_topk_complete",
     "s18_stream_backfill_available_now",
     "x_wap_publish",
+    # round-12 additions: delete-aware compaction (real-file I/O like
+    # x_compaction_apply, which the rehearsal already carries), the
+    # privacy ledger, the asymmetric containment join (the new dedup
+    # shuffle shape — organic duplicate density applies), and the
+    # sketch-vs-exact ANALYZE audit.
+    "x_mor_compact_e2e",
+    "x_kanon_audit",
+    "x_containment_join",
+    "x_fd_profile_approx",
 )
 
 
