@@ -192,7 +192,9 @@ _GRADE_FIRST = (
     "d1_month_rollup",
     # --- r7-vintage cohort heads (VERDICT r11 #3's named six first,
     # then the text/dedup/similarity/media families, then the
-    # relational tail) -----------------------------------------------------
+    # relational tail). With the 4 new r12 queries ahead, the 50-slot
+    # window cuts after t7_topk_per_group; u1_union_all onward heads the
+    # ROUND-13 queue. -------------------------------------------------------
     "x_dedup_exact",
     "x_knn_cosine_topk",
     "x_text_stats",

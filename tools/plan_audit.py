@@ -157,6 +157,11 @@ DEFAULT_QUERIES = [
     "s17_stream_topk_complete",
     "s18_stream_backfill_available_now",
     "x_wap_publish",
+    # round-12 queries
+    "x_mor_compact_e2e",
+    "x_fd_profile_approx",
+    "x_kanon_audit",
+    "x_containment_join",
 ]
 
 
