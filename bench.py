@@ -144,6 +144,7 @@ RECORD_ONLY = [
     "x_kanon_audit",
     "x_containment_join",
     "x_fd_profile_approx",
+    "x_bpe_encode",
 ]
 
 

@@ -126,18 +126,18 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame
     return wt.select("word", "cnt", syms.alias("syms"))
 
 
-def _sql_bpe_train(n_merges: int = _BPE_MERGES) -> str:
-    """DuckDB replica of the BPE trainer, every merge iteration UNROLLED
-    (same scheme as the k-means/PQ oracles). The greedy left-to-right
-    non-overlapping merge fold is expressed with ``list_reduce`` over a
-    separator-joined string accumulator (chr(30) cannot occur in corpus
-    tokens), which replicates Spark's array fold exactly — including the
-    "aaa" + merge(a,a) → ["aa","a"] case, because a just-merged tail
-    token no longer equals the left symbol. Early stop (best pair count
-    < 2) is handled structurally: an empty best CTE makes every later
-    step a no-op LEFT JOIN, so the merge table simply ends there. CTEs
-    are MATERIALIZED — default inlining re-evaluates the chain
-    exponentially (2^n_merges)."""
+def _bpe_cte_parts(n_merges: int = _BPE_MERGES) -> list[str]:
+    """The shared UNROLLED training chain (wt0 → wt{{n}}, best/merge CTEs)
+    used by both the trainer's and the encoder's oracles. The greedy
+    left-to-right non-overlapping merge fold is expressed with
+    ``list_reduce`` over a separator-joined string accumulator (chr(30)
+    cannot occur in corpus tokens), which replicates Spark's array fold
+    exactly — including the "aaa" + merge(a,a) → ["aa","a"] case,
+    because a just-merged tail token no longer equals the left symbol.
+    Early stop (best pair count < 2) is handled structurally: an empty
+    best CTE makes every later step a no-op LEFT JOIN. CTEs are
+    MATERIALIZED — default inlining re-evaluates the chain exponentially
+    (2^n_merges)."""
     sep = "chr(30)"
     parts = [
         "w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)",
@@ -178,6 +178,13 @@ def _sql_bpe_train(n_merges: int = _BPE_MERGES) -> str:
             f"m{i} AS (SELECT {i} AS step, l, r, l || r AS merged, pair_count"
             f" FROM best{i})"
         )
+    return parts
+
+
+def _sql_bpe_train(n_merges: int = _BPE_MERGES) -> str:
+    """DuckDB replica of the BPE trainer (chain from
+    :func:`_bpe_cte_parts`, same scheme as the k-means/PQ oracles)."""
+    parts = _bpe_cte_parts(n_merges)
     union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, n_merges + 1))
     parts.append(f"merges AS ({union})")
     parts.append(
@@ -224,4 +231,95 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "step int, left string, right string, merged string, "
         "pair_count bigint, avg_syms_per_word double",
+    )
+
+
+def _sql_bpe_encode(n_merges: int = _BPE_MERGES) -> str:
+    """DuckDB replica of the per-document encode: the SAME unrolled
+    training chain, then every word occurrence joined to its final
+    symbol sequence and rolled up per document."""
+    parts = _bpe_cte_parts(n_merges)
+    parts.append(
+        """dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents)"""
+    )
+    parts.append(
+        f"""wh AS (
+          SELECT word, len(syms) AS nt,
+                 ('0x' || substr(md5(word || ':' ||
+                                     array_to_string(syms, chr(31))), 1, 12)
+                 )::BIGINT AS h
+          FROM wt{n_merges}
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(h) AS BIGINT) AS stream_checksum
+    FROM dw JOIN wh USING (word)
+    WHERE word <> ''
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+    )
+
+
+@query("x_bpe_encode", oracle=_sql_bpe_encode())
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained BPE merges — the production
+    artifact the trainer exists FOR: per document, the word count, the
+    encoded TOKEN count, and an order-independent checksum of the
+    (word → final symbol sequence) stream (48-bit md5 fragments summed
+    in bigint — duplicates count, ordering cannot matter, no overflow
+    below ~30k words/doc · 2^48). The oracle replays training AND
+    encoding, so a drifted merge table, a wrong fold, or a lost word
+    all hash-mismatch at the per-document grain x_bpe_train's global
+    compression ratio cannot see.
+
+    Scale: encoding is a map-only stacked fold over the word-TYPE table
+    (K merges deep, codegen), then one occurrences⋈types equi-join —
+    the type table is orders of magnitude smaller than the corpus
+    (broadcast at fixture scale, co-keyed shuffle at 100 TB) — and one
+    doc-keyed aggregate. Nothing iterative touches per-occurrence
+    rows."""
+    docs = tables(spark, sf_dir)["documents"]
+    merges = bpe_train(docs)
+    enc = bpe_encode(docs, merges)
+    wh = enc.select(
+        "word",
+        F.size("syms").cast("long").alias("nt"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("word"),
+                        F.lit(":"),
+                        F.concat_ws(chr(31), F.col("syms")),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.join(wh, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("h").cast("long").alias("stream_checksum"),
+        )
+        .orderBy("doc_id")
     )

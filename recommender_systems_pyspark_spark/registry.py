@@ -160,6 +160,7 @@ _GRADE_FIRST = (
     "x_fd_profile_approx",
     "x_kanon_audit",
     "x_containment_join",
+    "x_bpe_encode",
     # --- r6-vintage: stats/trends (queued by the r11 rotation) -----------
     "x_rolling_distinct_7d",
     "x_time_weighted_avg",

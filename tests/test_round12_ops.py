@@ -270,3 +270,31 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert pairs.get((1, 2)) == 1.0  # the embedded quote is found
     assert (2, 1) not in pairs  # containment is DIRECTED
     assert not any(3 in p for p in pairs)  # unrelated doc stays out
+
+
+# ---------------------------------------------------------------------------
+# x_bpe_encode: the tokenized-corpus artifact is structurally sound
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_token_bounds(spark, sf_dir):
+    """Structural invariants of the tokenized stream: every non-empty doc
+    emits a row; merges only ever SHRINK a word's symbol count, so
+    n_words ≤ n_tokens ≤ Σ(len(word)+1); and the corpus-level
+    compression must show the merges actually fired (strictly fewer
+    tokens than the unmerged char+EOW start state)."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    rows = all_queries()["x_bpe_encode"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.where("text rlike '[^ ]'").count()
+    start_state = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where("w != ''")
+        .agg(F.sum(F.length("w") + 1))
+        .collect()[0][0]
+    )
+    for r in rows:
+        assert 1 <= r.n_words <= r.n_tokens
+    assert sum(r.n_tokens for r in rows) < start_state  # merges fired

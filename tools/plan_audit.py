@@ -162,6 +162,7 @@ DEFAULT_QUERIES = [
     "x_fd_profile_approx",
     "x_kanon_audit",
     "x_containment_join",
+    "x_bpe_encode",
 ]
 
 

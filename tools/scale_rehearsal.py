@@ -157,6 +157,7 @@ DEFAULT_QUERIES = (
     "x_kanon_audit",
     "x_containment_join",
     "x_fd_profile_approx",
+    "x_bpe_encode",
 )
 
 
