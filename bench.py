@@ -145,6 +145,7 @@ RECORD_ONLY = [
     "x_containment_join",
     "x_fd_profile_approx",
     "x_bpe_encode",
+    "x_snapshot_asof_ts",
 ]
 
 

@@ -1495,6 +1495,144 @@ x_snapshot_restore.__doc__ = x_snapshot_restore.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# Time travel AS OF TIMESTAMP (round 12)
+# ---------------------------------------------------------------------------
+
+#: Pinned publish timestamps (micros) and the delete-wave rule for the
+#: as-of drill — all replayable arithmetic, no wall clock anywhere.
+_ASOF_TS = (1_000_000, 2_000_000, 3_000_000)
+_ASOF_PROBES = (500_000, 1_500_000, 2_000_000, 2_500_000, 3_500_000)
+_ASOF_DEL_MOD, _ASOF_DEL_REM = 3, 0
+
+
+@query(
+    "x_snapshot_asof_ts",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(bit_xor(c_custkey) AS BIGINT) AS key_checksum,
+             CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    v2 AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(bit_xor(c_custkey) AS BIGINT) AS key_checksum,
+             CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_custkey % {_ASOF_DEL_MOD} <> {_ASOF_DEL_REM}
+    ),
+    v3 AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(bit_xor(c_custkey) AS BIGINT) AS key_checksum,
+             CAST(SUM(CAST(floor((c_acctbal + 1.0) * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_custkey % {_ASOF_DEL_MOD} <> {_ASOF_DEL_REM}
+    )
+    SELECT * FROM (
+      SELECT CAST({_ASOF_PROBES[0]} AS BIGINT) AS probe_ts, 0 AS version,
+             0 AS n_rows, 0 AS key_checksum, 0 AS bal_cents
+      UNION ALL
+      SELECT {_ASOF_PROBES[1]}, 1, n_rows, key_checksum, bal_cents FROM v1
+      UNION ALL
+      SELECT {_ASOF_PROBES[2]}, 2, n_rows, key_checksum, bal_cents FROM v2
+      UNION ALL
+      SELECT {_ASOF_PROBES[3]}, 2, n_rows, key_checksum, bal_cents FROM v2
+      UNION ALL
+      SELECT {_ASOF_PROBES[4]}, 3, n_rows, key_checksum, bal_cents FROM v3
+    ) ORDER BY probe_ts
+    """,
+)
+def x_snapshot_asof_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel AS OF TIMESTAMP — the by-time face the by-version
+    reads (diff/restore/vacuum) left uncovered: three snapshots
+    published at pinned micro-timestamps (full load; a delete wave
+    dropping custkey ≡ 0 mod 3; a +1.00 balance restatement), then five
+    probe timestamps resolved through the publish log's
+    latest-publish-≤-ts rule — before-first-publish (version 0, empty
+    stats: the 'timestamp before earliest snapshot' contract surfaced
+    AS DATA), mid-window probes, an exact-boundary probe (equality
+    resolves to the version published AT that instant), and a
+    past-head probe. Per probe: resolved version + stats recomputed
+    from the snapshot FILES (count, key xor, exact cents) — the oracle
+    predicts all of it from the customer table and the publish rules,
+    so a wrong resolution (off-by-one version, open/closed boundary
+    flip) or a torn snapshot hash-mismatches.
+
+    Scale: as-of resolution is a publish-log (metadata) scan —
+    O(#versions), no data touched until the resolved snapshot is read;
+    exactly a table format's AS OF TIMESTAMP. The +1.0 restatement is
+    computed identically in IEEE by both engines (one correctly-rounded
+    addition), so the cents rule stays cross-engine exact.
+
+    Reference contrast: the app's reloads overwrite in place
+    (utils/data_loader.py:144-146) — "what did the table say when the
+    model trained last Tuesday" is unanswerable there; this face is
+    that answer."""
+    import shutil
+    import tempfile
+
+    from ..sources.versioned import version_asof, write_snapshot
+    from ..sources.versioned import read_snapshot_asof
+
+    customer = tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_acctbal"
+    )
+    d = tempfile.mkdtemp(prefix="snapasof_")
+    path = d + "/customer_serving"
+    try:
+        kept = customer.where(
+            F.col("c_custkey") % _ASOF_DEL_MOD != _ASOF_DEL_REM
+        )
+        write_snapshot(customer, path, publish_ts=_ASOF_TS[0])
+        write_snapshot(kept, path, publish_ts=_ASOF_TS[1])
+        write_snapshot(
+            kept.withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1.0)),
+            path,
+            publish_ts=_ASOF_TS[2],
+        )
+        frames = []
+        for ts in _ASOF_PROBES:
+            v = version_asof(path, ts)
+            if v is None:
+                frames.append(
+                    spark.createDataFrame(
+                        [(ts, 0, 0, 0, 0)],
+                        "probe_ts bigint, version int, n_rows bigint, "
+                        "key_checksum bigint, bal_cents bigint",
+                    )
+                )
+                continue
+            frames.append(
+                read_snapshot_asof(spark, path, ts)
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.bit_xor(F.col("c_custkey")).alias("key_checksum"),
+                    F.sum(
+                        F.floor(
+                            F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)
+                        ).cast("long")
+                    ).alias("bal_cents"),
+                )
+                .select(
+                    F.lit(ts).cast("bigint").alias("probe_ts"),
+                    F.lit(v).cast("int").alias("version"),
+                    "n_rows",
+                    "key_checksum",
+                    "bal_cents",
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionAll(f)
+        return out.orderBy("probe_ts").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Late-arriving-fact SCD2 correction (round 11)
 # ---------------------------------------------------------------------------
 

@@ -161,6 +161,7 @@ _GRADE_FIRST = (
     "x_kanon_audit",
     "x_containment_join",
     "x_bpe_encode",
+    "x_snapshot_asof_ts",
     # --- r6-vintage: stats/trends (queued by the r11 rotation) -----------
     "x_rolling_distinct_7d",
     "x_time_weighted_avg",
@@ -193,9 +194,9 @@ _GRADE_FIRST = (
     "d1_month_rollup",
     # --- r7-vintage cohort heads (VERDICT r11 #3's named six first,
     # then the text/dedup/similarity/media families, then the
-    # relational tail). With the 4 new r12 queries ahead, the 50-slot
-    # window cuts after t7_topk_per_group; u1_union_all onward heads the
-    # ROUND-13 queue. -------------------------------------------------------
+    # relational tail). With the 6 new r12 queries ahead, the 50-slot
+    # window cuts after x_media_frame_sample; t4_recent_per_user onward
+    # heads the ROUND-13 queue. ---------------------------------------------
     "x_dedup_exact",
     "x_knn_cosine_topk",
     "x_text_stats",

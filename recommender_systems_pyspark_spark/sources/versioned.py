@@ -48,12 +48,26 @@ def _versions_on_disk(path: str) -> list[int]:
     return sorted(out)
 
 
-def _published_log(path: str) -> list[int]:
+def _published_log_with_ts(path: str) -> list[tuple[int, int]]:
+    """Publish log as (version, publish_ts_micros). Lines written before
+    timestamps existed (or by callers that omit them) carry ts=0 — they
+    are 'published since forever' for as-of resolution, which preserves
+    the old semantics exactly."""
     mf = os.path.join(path, _MANIFEST)
     if not os.path.exists(mf):
         return []
+    out: list[tuple[int, int]] = []
     with open(mf) as f:
-        return [int(line) for line in f.read().split() if line]
+        for line in f.read().splitlines():
+            if not line.strip():
+                continue
+            parts = line.split("\t")
+            out.append((int(parts[0]), int(parts[1]) if len(parts) > 1 else 0))
+    return out
+
+
+def _published_log(path: str) -> list[int]:
+    return [v for v, _ in _published_log_with_ts(path)]
 
 
 def published_version(path: str) -> int | None:
@@ -71,7 +85,10 @@ def list_versions(path: str) -> list[int]:
 
 
 def write_snapshot(
-    df: DataFrame, path: str, partition_by: tuple[str, ...] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] | None = None,
+    publish_ts: int | None = None,
 ) -> int:
     """Land ``df`` as the next snapshot and publish it. Returns the new
     version number. Data lands fully before the manifest flips, so
@@ -82,18 +99,33 @@ def write_snapshot(
     ``df.repartition(*partition_by)``, each key lands as EXACTLY one
     file (all rows of a key share one task; the writer splits a task's
     output per partition directory), which is what the compaction
-    operator relies on."""
+    operator relies on.
+
+    ``publish_ts`` stamps the publish-log entry (microseconds; wall
+    clock when omitted) — the AS OF TIMESTAMP resolution key. It must
+    be monotone across publishes to one store (enforced loudly), or
+    timestamp travel would be ambiguous."""
+    import time
+
     os.makedirs(path, exist_ok=True)
     existing = _versions_on_disk(path)
     version = (existing[-1] + 1) if existing else 1
+    log = _published_log_with_ts(path)
+    if publish_ts is None:
+        publish_ts = time.time_ns() // 1_000
+    if log and publish_ts < log[-1][1]:
+        raise ValueError(
+            f"publish_ts {publish_ts} precedes the last publish "
+            f"({log[-1][1]}) — the publish log must stay time-monotone"
+        )
     writer = df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(path, f"v={version}"))
-    log = _published_log(path) + [version]
+    log = log + [(version, publish_ts)]
     tmp = os.path.join(path, f"{_MANIFEST}.tmp.{version}")
     with open(tmp, "w") as f:
-        f.write("\n".join(str(v) for v in log))
+        f.write("\n".join(f"{v}\t{ts}" for v, ts in log))
     os.replace(tmp, os.path.join(path, _MANIFEST))  # atomic publish
     return version
 
@@ -110,6 +142,31 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
     if version not in list_versions(path):
         raise FileNotFoundError(f"version {version} not published at {path} (latest={pub})")
     return spark.read.parquet(os.path.join(path, f"v={version}"))
+
+
+def version_asof(path: str, ts: int) -> int | None:
+    """AS OF TIMESTAMP resolution: the latest version published at or
+    before ``ts`` (microseconds) that is still on disk (vacuum shrinks
+    the horizon). None when ``ts`` precedes the first surviving publish
+    — the same contract as a table format's 'timestamp before earliest
+    snapshot' error, surfaced as data instead of an exception."""
+    on_disk = set(_versions_on_disk(path))
+    eligible = [
+        v for v, pts in _published_log_with_ts(path)
+        if pts <= ts and v in on_disk
+    ]
+    return eligible[-1] if eligible else None
+
+
+def read_snapshot_asof(spark: SparkSession, path: str, ts: int) -> DataFrame:
+    """Time travel by TIMESTAMP: read the snapshot :func:`version_asof`
+    resolves for ``ts``. Raises if no version was published by then."""
+    v = version_asof(path, ts)
+    if v is None:
+        raise FileNotFoundError(
+            f"no snapshot published at or before ts={ts} at {path}"
+        )
+    return read_snapshot(spark, path, v)
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[int]:

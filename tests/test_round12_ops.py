@@ -298,3 +298,39 @@ def test_bpe_encode_token_bounds(spark, sf_dir):
     for r in rows:
         assert 1 <= r.n_words <= r.n_tokens
     assert sum(r.n_tokens for r in rows) < start_state  # merges fired
+
+
+# ---------------------------------------------------------------------------
+# versioned store: AS OF TIMESTAMP resolution semantics
+# ---------------------------------------------------------------------------
+
+
+def test_version_asof_resolution_and_guards(spark, tmp_path):
+    from recommender_systems_pyspark_spark.sources.versioned import (
+        read_snapshot_asof,
+        vacuum,
+        version_asof,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    df1 = spark.createDataFrame([(1,)], "id long")
+    df2 = spark.createDataFrame([(1,), (2,)], "id long")
+    write_snapshot(df1, path, publish_ts=100)
+    write_snapshot(df2, path, publish_ts=200)
+    assert version_asof(path, 99) is None
+    assert version_asof(path, 100) == 1  # boundary: published AT ts counts
+    assert version_asof(path, 150) == 1
+    assert version_asof(path, 10_000) == 2
+    assert read_snapshot_asof(spark, path, 150).count() == 1
+    with pytest.raises(FileNotFoundError):
+        read_snapshot_asof(spark, path, 50)
+    # publish log must stay time-monotone
+    with pytest.raises(ValueError, match="monotone"):
+        write_snapshot(df1, path, publish_ts=150)
+    # vacuum shrinks the as-of horizon: v1's files go, ts=150 now
+    # resolves to nothing (v1 gone, v2 not yet published at 150)
+    write_snapshot(df2, path, publish_ts=300)
+    vacuum(path, keep_last=2)
+    assert version_asof(path, 150) is None
+    assert version_asof(path, 250) == 2

@@ -163,6 +163,7 @@ DEFAULT_QUERIES = [
     "x_kanon_audit",
     "x_containment_join",
     "x_bpe_encode",
+    "x_snapshot_asof_ts",
 ]
 
 
