@@ -55,8 +55,14 @@ def word_table(docs: DataFrame) -> DataFrame:
 
 def _pair_counts(wt: DataFrame) -> DataFrame:
     """Adjacent-pair counts weighted by word frequency — the per-iteration
-    distributed aggregate."""
-    pairs = wt.select(
+    distributed aggregate. Fully-merged words (ONE symbol left — e.g. a
+    frequent 1-char word after its (c, EOW) merge wins) are filtered
+    before the window explode: F.sequence(0, size-2) DESCENDS to [0, -1]
+    when size is 1 and element_at(syms, 2) then faults — latent until the
+    r12 scale rehearsal's rotated replica shifted the merge order
+    (the DuckDB oracle's range(1, len) is empty there, so the filter
+    also keeps the two engines' pair sets identical)."""
+    pairs = wt.where(F.size("syms") >= 2).select(
         "cnt",
         F.explode(
             F.transform(
