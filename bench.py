@@ -146,6 +146,8 @@ RECORD_ONLY = [
     "x_fd_profile_approx",
     "x_bpe_encode",
     "x_snapshot_asof_ts",
+    "x_source_overlap_kmv",
+    "x_dp_noisy_counts",
 ]
 
 

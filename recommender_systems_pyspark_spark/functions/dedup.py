@@ -1148,3 +1148,206 @@ def incremental_text_verdicts(corpus: DataFrame, batch: DataFrame) -> DataFrame:
             F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
         )
     )
+
+
+#: KMV sketch size: 256 minimum hash values per source. Relative error of
+#: the Jaccard estimate ~ 1/sqrt(k·J) — at the fixture's J ≈ 0.02–0.08 the
+#: estimate is coarse by construction; the query reports sketch and exact
+#: side by side so the error IS the certified output, not a hidden gap.
+_KMV_K = 256
+
+
+@query(
+    "x_source_overlap_kmv",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT source, md5(sh) AS h
+      FROM (SELECT source, unnest({_SQL_SHINGLES}) AS sh FROM documents)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM h GROUP BY source),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        FROM h)
+      WHERE r <= {_KMV_K}
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS n_a, b.n AS n_b
+      FROM sizes a JOIN sizes b ON a.source < b.source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS exact_inter
+      FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    comb AS (
+      SELECT p.source_a, p.source_b, s.h,
+             MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p
+      JOIN sk s ON s.source IN (p.source_a, p.source_b)
+      GROUP BY 1, 2, 3
+    ),
+    kmv AS (
+      SELECT source_a, source_b,
+             CAST(COUNT(*) FILTER (WHERE in_a = 1 AND in_b = 1) AS BIGINT)
+               AS kmv_both,
+             CAST(COUNT(*) AS BIGINT) AS k_used
+      FROM (SELECT *,
+                   row_number() OVER (PARTITION BY source_a, source_b
+                                      ORDER BY h) AS r
+            FROM comb)
+      WHERE r <= {_KMV_K}
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           k.k_used, k.kmv_both,
+           CAST(k.kmv_both AS DOUBLE) / k.k_used AS jacc_kmv,
+           CAST(p.n_a AS BIGINT) AS n_a,
+           CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+           CAST(p.n_a + p.n_b - COALESCE(i.exact_inter, 0) AS BIGINT)
+             AS exact_union,
+           CAST(COALESCE(i.exact_inter, 0) AS DOUBLE)
+             / (p.n_a + p.n_b - COALESCE(i.exact_inter, 0)) AS jacc_exact
+    FROM pairs p
+    JOIN kmv k USING (source_a, source_b)
+    LEFT JOIN inter i USING (source_a, source_b)
+    """,
+)
+def x_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap estimation via K-Minimum-Values sketches — the
+    "how much does slice A share with slice B" question a dataset-mixing
+    pipeline asks before weighting sources, answered WITHOUT an all-pairs
+    set comparison.
+
+    Element universe: distinct 3-gram token shingles per ``source``
+    (md5 hex; lexicographic min == numeric min of the big-endian digest,
+    so every engine ranks identically — same canonical-hash doctrine as
+    x_dedup_minhash_lsh). Per source the sketch is the k=256
+    lexicographically smallest hashes, built with a TWO-STAGE rank so no
+    single task ever sorts a whole source: rank within (source,
+    crc32-salt) keeps ≤ k per salt (partition-local sort after one
+    uniform shuffle), then rank within source on the ≤ 32·k survivors.
+    Pair estimate: merge the two sketches, re-take the k smallest of the
+    union, count members present in BOTH sketches — kmv_both / k_used is
+    the Jaccard estimate (Beyer et al., "On Synopses for Distinct-Value
+    Estimation Under Multiset Operations", SIGMOD'07).
+
+    The exact verifier (shingle-hash equi-join → per-pair intersection
+    counts) rides along so the sketch error is certified output. Scale
+    split: the sketch path is what runs at 100 TB — per-source state is
+    O(k), pair merging is O(#pairs · k) on a broadcast pair frame; the
+    exact path is the sf-gated audit tier (its equi-join on h is
+    uniform-key and linear in corpus shingles, but its output is the
+    thing the sketch exists to approximate).
+
+    Reference contrast: the reference app has no sketch surface at all
+    (its only set question is exact membership via Postgres lookups,
+    ``utils/database.py``); this face extends SURVEY §2.13's sketch
+    family (HLL++, CountMin, Bloom, MinHash) with mergeable set-overlap.
+    """
+    t = tables(spark, sf_dir)
+    k = F.lit(_KMV_K)
+
+    hashed = (
+        t["documents"]
+        .select("source", F.explode(shingles()).alias("sh"))
+        .select("source", F.md5(F.col("sh")).alias("h"))
+        .distinct()
+    )
+
+    sizes = hashed.groupBy("source").agg(F.count("*").alias("n"))
+
+    # Two-stage k-min: salt bounds the per-task sort; stage 2 ranks the
+    # <= 32k survivors per source. Output is the exact k-min either way.
+    w_salt = Window.partitionBy("source", "salt").orderBy("h")
+    w_src = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.withColumn("salt", F.pmod(F.crc32(F.col("h")), F.lit(32)))
+        .withColumn("r1", F.row_number().over(w_salt))
+        .where(F.col("r1") <= _KMV_K)
+        .drop("salt", "r1")
+        .withColumn("r", F.row_number().over(w_src))
+        .where(F.col("r") <= _KMV_K)
+        .drop("r")
+    )
+
+    pairs = (
+        sizes.alias("a")
+        .join(F.broadcast(sizes.alias("b")), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+    )
+
+    inter = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+
+    # Merge the two sketches per pair (broadcast pair frame; sketch side is
+    # O(#sources * k) rows), flag membership, re-rank the union, keep k.
+    w_pair = Window.partitionBy("source_a", "source_b").orderBy("h")
+    kmv = (
+        sk.join(
+            F.broadcast(pairs.select("source_a", "source_b")),
+            (F.col("source") == F.col("source_a"))
+            | (F.col("source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("source") == F.col("source_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("source") == F.col("source_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+        .withColumn("r", F.row_number().over(w_pair))
+        .where(F.col("r") <= _KMV_K)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("kmv_both"),
+            F.count("*").alias("k_used"),
+        )
+    )
+
+    ei = F.coalesce(F.col("exact_inter"), F.lit(0).cast("long"))
+    return (
+        pairs.join(kmv, ["source_a", "source_b"])
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "k_used",
+            "kmv_both",
+            (F.col("kmv_both").cast("double") / F.col("k_used")).alias("jacc_kmv"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            ei.cast("long").alias("exact_inter"),
+            (F.col("n_a") + F.col("n_b") - ei).cast("long").alias("exact_union"),
+            (
+                ei.cast("double")
+                / (F.col("n_a") + F.col("n_b") - ei)
+            ).alias("jacc_exact"),
+        )
+    )

@@ -213,3 +213,127 @@ def x_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x_kanon_audit.__doc__ = x_kanon_audit.__doc__.format(k=_KANON_K)
+
+
+# ---------------------------------------------------------------------------
+# Differential privacy: seeded discrete-Laplace histogram release
+# ---------------------------------------------------------------------------
+
+#: ε for the released histogram (sensitivity 1: one document moves one
+#: (source, lang) cell by one — parallel composition across cells).
+_DP_EPS = 1.0
+#: Truncation bound of the discrete-Laplace noise: P(|Z| > 40) < 4e-18 at
+#: ε=1 — the truncated mechanism is itself a valid (slightly tighter) DP
+#: mechanism, and a FINITE table is what makes the draw replayable without
+#: transcendental functions at query time (no-libm doctrine).
+_DP_BOUND = 40
+_DP_SCALE = 1 << 60
+
+
+def _dp_cdf_table() -> list[tuple[int, int]]:
+    """(z, hi) rows of the truncated discrete-Laplace CDF, scaled to
+    integers in [0, 2^60]: a 60-bit uniform u maps to the first z with
+    u < hi. math.exp runs ONCE here at import; both the Spark expression
+    and the oracle SQL are generated from this same list, so the two
+    engines compare u against bit-identical constants."""
+    import math
+
+    alpha = math.exp(-_DP_EPS)
+    zs = list(range(-_DP_BOUND, _DP_BOUND + 1))
+    weights = [alpha ** abs(z) for z in zs]
+    total = sum(weights)
+    out: list[tuple[int, int]] = []
+    cum = 0.0
+    for z, w in zip(zs, weights):
+        cum += w / total
+        out.append((z, min(_DP_SCALE, round(cum * _DP_SCALE))))
+    out[-1] = (zs[-1], _DP_SCALE)  # every u in [0, 2^60) matches exactly once
+    return out
+
+
+_DP_TABLE = _dp_cdf_table()
+
+_DP_SQL_CASE = "CASE " + " ".join(
+    f"WHEN u < {hi} THEN CAST({z} AS BIGINT)" for z, hi in _DP_TABLE
+) + " END"
+
+
+@query(
+    "x_dp_noisy_counts",
+    oracle=f"""
+    WITH cells AS (
+      SELECT source, COALESCE(lang, '∅') AS lang, COUNT(*) AS true_n
+      FROM documents GROUP BY 1, 2
+    ),
+    seeded AS (
+      SELECT source, lang, true_n,
+             ('0x' || substr(md5('dp:' || source || ':' || lang), 1, 15))::BIGINT
+               AS u
+      FROM cells
+    )
+    SELECT source, lang,
+           CAST(true_n AS BIGINT) AS true_n,
+           {_DP_SQL_CASE} AS noise,
+           GREATEST(CAST(true_n AS BIGINT) + {_DP_SQL_CASE}, 0) AS released_n
+    FROM seeded
+    """,
+)
+def x_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release: documents per
+    (source, lang) cell with truncated discrete-Laplace noise at ε=1
+    (two-sided geometric, Ghosh–Roughgarden–Sundararajan's universally
+    optimal mechanism for counts), plus non-negativity post-processing —
+    the privacy-release face complementing x_kanon_audit's
+    re-identification audit and x_forget_users' erasure path.
+
+    The noise draw is SEEDED (60-bit md5 of the cell key → inverse-CDF
+    lookup against a compile-time integer threshold table) so the
+    mechanism's arithmetic is replayable and driver-certifiable; a
+    production release swaps the seed for fresh randomness and drops the
+    true_n column — here the exact count rides along so the realized
+    noise IS the certified output, same doctrine as the sketch queries.
+    The inverse CDF is an 81-branch integer CASE inside codegen: no
+    transcendental functions at query time, no join, map-side only.
+
+    Scale: one uniform-key aggregation (cells), then row-local noise —
+    constant output in the number of cells regardless of corpus size.
+    Sensitivity 1 per cell; parallel composition keeps the whole
+    histogram at ε=1.
+
+    Reference contrast: no privacy surface exists in the reference app
+    (raw tables are displayed verbatim, ``app.py``); this extends SURVEY
+    §2.13's quality/privacy family.
+    """
+    t = tables(spark, sf_dir)
+    cells = (
+        t["documents"]
+        .groupBy("source", F.coalesce(F.col("lang"), F.lit("∅")).alias("lang"))
+        .agg(F.count("*").alias("true_n"))
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp:"), F.col("source"), F.lit(":"), F.col("lang"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    noise = F.lit(None).cast("long")
+    # descending when-chain so evaluation order matches the ascending SQL
+    # CASE: build from the last row backwards, each earlier row overrides.
+    for z, hi in reversed(_DP_TABLE):
+        noise = F.when(F.col("u") < F.lit(hi), F.lit(z).cast("long")).otherwise(noise)
+    return (
+        cells.withColumn("u", u)
+        .withColumn("noise", noise)
+        .select(
+            "source",
+            "lang",
+            F.col("true_n").cast("long").alias("true_n"),
+            "noise",
+            F.greatest(
+                F.col("true_n").cast("long") + F.col("noise"), F.lit(0).cast("long")
+            ).alias("released_n"),
+        )
+    )

@@ -334,3 +334,126 @@ def test_version_asof_resolution_and_guards(spark, tmp_path):
     vacuum(path, keep_last=2)
     assert version_asof(path, 150) is None
     assert version_asof(path, 250) == 2
+
+
+# ---------------------------------------------------------------------------
+# x_source_overlap_kmv: KMV sketch is the exact k-min, estimate is bounded
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_matches_python_replay(spark, sf_dir):
+    """The distributed two-stage k-min plus pair-merge must equal a direct
+    single-threaded KMV replay from the raw text: same md5 universe, same
+    k smallest, same both-membership count. Replayed for every pair at
+    sf0.001 — any drift in the salt stage, the re-rank, or the membership
+    flags shows up as an integer mismatch."""
+    import hashlib
+
+    from recommender_systems_pyspark_spark.functions.dedup import (
+        _KMV_K,
+        x_source_overlap_kmv,
+    )
+
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in x_source_overlap_kmv(spark, sf_dir).collect()
+    }
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    universe: dict[str, set[str]] = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        shs = (
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else {r.text}
+        )
+        universe.setdefault(r.source, set()).update(
+            hashlib.md5(s.encode()).hexdigest() for s in shs
+        )
+
+    for (sa, sb), got in rows.items():
+        a, b = universe[sa], universe[sb]
+        sk_a = set(sorted(a)[:_KMV_K])
+        sk_b = set(sorted(b)[:_KMV_K])
+        merged = sorted(sk_a | sk_b)[:_KMV_K]
+        k_used = len(merged)
+        kmv_both = sum(1 for h in merged if h in sk_a and h in sk_b)
+        assert (got.k_used, got.kmv_both) == (k_used, kmv_both), (sa, sb)
+        assert got.exact_inter == len(a & b)
+        assert got.exact_union == len(a | b)
+
+
+def test_kmv_estimate_within_5sigma(spark):
+    """At sf0.01 (full 190-pair grid, |sets| ≈ 1.3k, J ≈ 0.02–0.08) every
+    pair's sketch estimate must sit within 5 hypergeometric standard
+    deviations of the exact Jaccard — the bound the sketch's k was sized
+    for. Deterministic data, so this is a fixed property, not a flake."""
+    from recommender_systems_pyspark_spark.functions.dedup import (
+        _KMV_K,
+        x_source_overlap_kmv,
+    )
+
+    rows = x_source_overlap_kmv(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 190  # C(20, 2) source pairs
+    for r in rows:
+        assert 0 < r.k_used <= _KMV_K
+        assert 0 <= r.kmv_both <= r.k_used
+        sigma = (max(r.jacc_exact * (1 - r.jacc_exact), 1e-6) / r.k_used) ** 0.5
+        assert abs(r.jacc_kmv - r.jacc_exact) <= 5 * sigma, (
+            r.source_a,
+            r.source_b,
+            r.jacc_kmv,
+            r.jacc_exact,
+        )
+
+
+# ---------------------------------------------------------------------------
+# x_dp_noisy_counts: seeded discrete-Laplace release replays exactly
+# ---------------------------------------------------------------------------
+
+
+def test_dp_noise_matches_python_replay(spark, sf_dir):
+    """Every cell's noise must equal a direct python replay of the
+    mechanism (md5 → 60-bit u → first CDF threshold above u), and the
+    released count must be the non-negative post-processing of
+    true_n + noise. Catches drift in the hex slice, the threshold table,
+    or the when-chain ordering."""
+    import hashlib
+
+    from recommender_systems_pyspark_spark.operators.expectations import (
+        _DP_BOUND,
+        _DP_SCALE,
+        _DP_TABLE,
+        x_dp_noisy_counts,
+    )
+
+    assert _DP_TABLE[-1][1] == _DP_SCALE
+    assert all(b[1] >= a[1] for a, b in zip(_DP_TABLE, _DP_TABLE[1:]))
+
+    for r in x_dp_noisy_counts(spark, sf_dir).collect():
+        u = int(
+            hashlib.md5(f"dp:{r.source}:{r.lang}".encode()).hexdigest()[:15], 16
+        )
+        expected = next(z for z, hi in _DP_TABLE if u < hi)
+        assert r.noise == expected, (r.source, r.lang)
+        assert abs(r.noise) <= _DP_BOUND
+        assert r.released_n == max(r.true_n + r.noise, 0)
+
+
+def test_dp_noise_is_centered_and_spread(spark):
+    """At sf0.01 (97 cells) the realized noise must look like discrete
+    Laplace at ε=1: mean within 1, and at least a quarter of cells
+    perturbed (P(Z=0) ≈ 0.46). Deterministic seed → fixed property."""
+    from recommender_systems_pyspark_spark.operators.expectations import (
+        x_dp_noisy_counts,
+    )
+
+    rows = x_dp_noisy_counts(spark, "/root/testdata/sf0.01").collect()
+    noises = [r.noise for r in rows]
+    assert abs(sum(noises) / len(noises)) <= 1.0
+    assert sum(1 for n in noises if n != 0) >= len(noises) // 4

@@ -164,6 +164,8 @@ DEFAULT_QUERIES = [
     "x_containment_join",
     "x_bpe_encode",
     "x_snapshot_asof_ts",
+    "x_source_overlap_kmv",
+    "x_dp_noisy_counts",
 ]
 
 

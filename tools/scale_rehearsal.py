@@ -158,6 +158,8 @@ DEFAULT_QUERIES = (
     "x_containment_join",
     "x_fd_profile_approx",
     "x_bpe_encode",
+    "x_source_overlap_kmv",
+    "x_dp_noisy_counts",
 )
 
 
