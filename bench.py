@@ -148,6 +148,7 @@ RECORD_ONLY = [
     "x_snapshot_asof_ts",
     "x_source_overlap_kmv",
     "x_dp_noisy_counts",
+    "x_graph_scc",
 ]
 
 

@@ -457,3 +457,143 @@ def test_dp_noise_is_centered_and_spread(spark):
     noises = [r.noise for r in rows]
     assert abs(sum(noises) / len(noises)) <= 1.0
     assert sum(1 for n in noises if n != 0) >= len(noises) // 4
+
+
+# ---------------------------------------------------------------------------
+# strongly_connected_components: the synthetic-graph correctness battery
+# (the fixture face x_graph_scc certifies one mixed histogram; these pin
+# the algorithm on shapes the fixture never produces)
+# ---------------------------------------------------------------------------
+
+
+def _scc_sets(spark, edges):
+    from recommender_systems_pyspark_spark.functions.graph import (
+        strongly_connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = strongly_connected_components(df).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.scc_id, set()).add(r.v)
+    return set(frozenset(s) for s in out.values()), {
+        r.v: r.scc_id for r in rows
+    }
+
+
+def _tarjan_sets(edges):
+    nodes = set()
+    adj = {}
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+        adj.setdefault(s, []).append(d)
+    index, low, onst, st, ctr, sccs = {}, {}, set(), [], [0], []
+    for v0 in nodes:
+        if v0 in index:
+            continue
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = ctr[0]
+                ctr[0] += 1
+                st.append(v)
+                onst.add(v)
+            rec = False
+            succ = adj.get(v, [])
+            for i in range(pi, len(succ)):
+                w = succ[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    rec = True
+                    break
+                elif w in onst:
+                    low[v] = min(low[v], index[w])
+            if rec:
+                continue
+            if low[v] == index[v]:
+                comp = set()
+                while True:
+                    w = st.pop()
+                    onst.discard(w)
+                    comp.add(w)
+                    if w == v:
+                        break
+                sccs.append(frozenset(comp))
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return set(sccs)
+
+
+def test_scc_dag_is_all_singletons(spark):
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    got, ids = _scc_sets(spark, edges)
+    assert got == {frozenset([v]) for v in (1, 2, 3, 4, 5)}
+    assert all(ids[v] == v for v in ids)  # scc_id = min member = self
+
+
+def test_scc_figure_eight_merges_through_shared_node(spark):
+    # cycles 1→2→3→1 and 3→4→5→3 share node 3: one SCC of 5
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)]
+    got, ids = _scc_sets(spark, edges)
+    assert got == {frozenset([1, 2, 3, 4, 5])}
+    assert set(ids.values()) == {1}
+
+
+def test_scc_chain_of_cycles_needs_multiple_rounds(spark):
+    # cycle {1,2} → cycle {3,4} → cycle {5,6}: downstream cycles are
+    # colored by the upstream min (1), so the pivot-1 round only peels
+    # {1,2} — exercises the outer re-color loop, not just round one.
+    edges = [(1, 2), (2, 1), (3, 4), (4, 3), (5, 6), (6, 5), (1, 3), (3, 5)]
+    got, ids = _scc_sets(spark, edges)
+    assert got == {frozenset([1, 2]), frozenset([3, 4]), frozenset([5, 6])}
+    assert ids[3] == 3 and ids[5] == 5  # scc_id is the component min
+
+
+def test_scc_matches_tarjan_on_seeded_random_digraph(spark):
+    """60-node random digraph at the mixed-structure density: every SCC
+    (sets AND min-id labels) must equal an independent Tarjan run."""
+    import random
+
+    rng = random.Random(42)
+    edges = list(
+        {
+            (rng.randrange(60), rng.randrange(60))
+            for _ in range(90)
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    got, ids = _scc_sets(spark, edges)
+    assert got == _tarjan_sets(edges)
+    for comp in got:
+        assert all(ids[v] == min(comp) for v in comp)
+
+
+def test_scc_raises_on_round_cap(spark):
+    # chain of 3 two-cycles with max_rounds=1 must fail LOUDLY, not
+    # return a partial assignment
+    import pytest as _pytest
+
+    from recommender_systems_pyspark_spark.functions.graph import (
+        strongly_connected_components,
+    )
+
+    edges = [(1, 2), (2, 1), (3, 4), (4, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(df, max_rounds=1)
+
+
+def test_scc_empty_edge_frame(spark):
+    from recommender_systems_pyspark_spark.functions.graph import (
+        strongly_connected_components,
+    )
+
+    df = spark.createDataFrame([], "src long, dst long")
+    out = strongly_connected_components(df)
+    assert out.columns == ["v", "scc_id"]
+    assert out.count() == 0

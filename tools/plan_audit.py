@@ -166,6 +166,7 @@ DEFAULT_QUERIES = [
     "x_snapshot_asof_ts",
     "x_source_overlap_kmv",
     "x_dp_noisy_counts",
+    "x_graph_scc",
 ]
 
 

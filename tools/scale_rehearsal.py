@@ -160,6 +160,7 @@ DEFAULT_QUERIES = (
     "x_bpe_encode",
     "x_source_overlap_kmv",
     "x_dp_noisy_counts",
+    "x_graph_scc",
 )
 
 
