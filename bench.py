@@ -149,6 +149,7 @@ RECORD_ONLY = [
     "x_source_overlap_kmv",
     "x_dp_noisy_counts",
     "x_graph_scc",
+    "x_mixture_temperature",
 ]
 
 

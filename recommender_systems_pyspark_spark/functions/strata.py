@@ -24,7 +24,7 @@ decimal).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -714,3 +714,135 @@ def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _WSAMPLE_K)
         .orderBy("lang", "rank")
     )
+
+
+#: Temperature for mixture flattening: τ = 1/2 (weights ∝ n^τ). sqrt is
+#: the ONE fractional power both engines compute identically (IEEE-754
+#: correctly-rounded), so τ=0.5 keeps the no-libm doctrine; other
+#: temperatures would need an integer-rational pow approximation.
+_MIX_TOTAL_QUOTA = 10_000
+
+
+@query(
+    "x_mixture_temperature",
+    oracle=f"""
+    WITH n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    w AS (
+      SELECT source, n_docs,
+             CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000000) AS BIGINT)
+               AS weight_scaled
+      FROM n
+    ),
+    tot AS (SELECT SUM(weight_scaled) AS big_w, SUM(n_docs) AS big_n FROM w),
+    base AS (
+      SELECT w.source, w.n_docs, w.weight_scaled,
+             ({_MIX_TOTAL_QUOTA} * w.weight_scaled) // t.big_w AS quota_floor,
+             ({_MIX_TOTAL_QUOTA} * w.weight_scaled) % t.big_w AS rem,
+             t.big_w, t.big_n
+      FROM w, tot t
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+             {_MIX_TOTAL_QUOTA} - SUM(quota_floor) OVER () AS leftover
+      FROM base
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           weight_scaled,
+           CAST(quota_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota,
+           CAST(1000000 * n_docs // big_n AS BIGINT) AS natural_ppm,
+           CAST(1000000 * (quota_floor
+                + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                // {_MIX_TOTAL_QUOTA} AS BIGINT) AS tempered_ppm
+    FROM ranked
+    """,
+)
+def x_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture quotas: per-source sampling targets
+    ∝ n^τ at τ=1/2 (the multilingual-LM recipe that up-weights small
+    sources without letting any source dominate), apportioned to an
+    integer quota of {q} draws by the largest-remainder method
+    (Hamilton) — quotas sum EXACTLY to the target, ties broken by
+    source name. Weights are round(sqrt(n)·1e9) as bigints: sqrt is
+    IEEE-correctly-rounded in every engine, and from there every
+    comparison, division, and remainder is integer arithmetic — no
+    order-dependent float summation anywhere (the no-libm doctrine
+    applied to a fractional power).
+
+    Scale: one uniform-key count per source, then a constant-size
+    (#sources) frame for the apportionment window — the quota math is
+    metadata-scale regardless of corpus size. Complements
+    x_mixture_resample (acceptance-samples to GIVEN rates) by computing
+    the rates themselves; feed these quotas into its thresholds.
+
+    Reference contrast: no sampling/mixing surface in the reference;
+    §2.13 pipeline-funnel family.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    n = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = n.withColumn(
+        "weight_scaled",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000_000).cast(
+            "bigint"
+        ),
+    )
+    tot = w.agg(
+        F.sum("weight_scaled").alias("big_w"),
+        F.sum("n_docs").alias("big_n"),
+    )
+    q = F.lit(_MIX_TOTAL_QUOTA)
+    base = w.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "weight_scaled",
+        (q * F.col("weight_scaled")).cast("long").alias("scaled_q"),
+        "big_w",
+        "big_n",
+    )
+    base = base.select(
+        "source",
+        "n_docs",
+        "weight_scaled",
+        F.expr("scaled_q div big_w").alias("quota_floor"),
+        (F.col("scaled_q") % F.col("big_w")).alias("rem"),
+        "big_w",
+        "big_n",
+    )
+    # apportionment runs on the constant-size per-source frame: the rank
+    # window is bounded by #sources (ALLOWED_GLOBAL_WINDOW class); the
+    # floor-sum goes through a broadcast scalar frame, not a global window
+    floors = base.agg(F.sum("quota_floor").alias("sum_floor"))
+    win = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    ranked = (
+        base.join(F.broadcast(floors))
+        .withColumn("rk", F.row_number().over(win))
+        .withColumn("leftover", q - F.col("sum_floor"))
+    )
+    quota = F.col("quota_floor") + F.when(
+        F.col("rk") <= F.col("leftover"), 1
+    ).otherwise(0)
+    return ranked.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "weight_scaled",
+        quota.cast("long").alias("quota"),
+        F.expr("(1000000 * n_docs) div big_n").alias("natural_ppm"),
+        (F.lit(1_000_000) * quota)
+        .cast("long")
+        .alias("t_num")
+        .alias("t_num"),
+    ).select(
+        "source",
+        "n_docs",
+        "weight_scaled",
+        "quota",
+        "natural_ppm",
+        F.expr(f"t_num div {_MIX_TOTAL_QUOTA}").alias("tempered_ppm"),
+    )
+
+
+x_mixture_temperature.__doc__ = x_mixture_temperature.__doc__.format(
+    q=_MIX_TOTAL_QUOTA
+)

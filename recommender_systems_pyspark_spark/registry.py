@@ -165,6 +165,7 @@ _GRADE_FIRST = (
     "x_source_overlap_kmv",
     "x_dp_noisy_counts",
     "x_graph_scc",
+    "x_mixture_temperature",
     # --- r6-vintage: stats/trends (queued by the r11 rotation) -----------
     "x_rolling_distinct_7d",
     "x_time_weighted_avg",

@@ -247,6 +247,8 @@ def test_no_unpartitioned_window_in_any_registered_query(spark):
         "x_mom_growth",  # lag over the aggregated month frame (≤ hundreds)
         "x_cumulative_distinct",  # running sum over the per-day agg frame
         "x_ks_two_sample",  # CDF window over ≤~500 fixed-width price bins
+        "x_mixture_temperature",  # largest-remainder rank over the ≤#sources
+        # per-source agg frame (constant metadata scale)
     }
     SKIP_EAGER = {
         "ml_als_top_recs",

@@ -167,6 +167,7 @@ DEFAULT_QUERIES = [
     "x_source_overlap_kmv",
     "x_dp_noisy_counts",
     "x_graph_scc",
+    "x_mixture_temperature",
 ]
 
 
