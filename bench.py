@@ -150,6 +150,7 @@ RECORD_ONLY = [
     "x_dp_noisy_counts",
     "x_graph_scc",
     "x_mixture_temperature",
+    "x_ivm_join_delta",
 ]
 
 

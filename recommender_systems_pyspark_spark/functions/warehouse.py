@@ -1845,3 +1845,102 @@ def x_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_wap_publish.__doc__ = x_wap_publish.__doc__.format(
     rem=_WAP_NULL_REM, mod=_WAP_NULL_MOD, adj=_WAP_ADJ_CENTS
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: join-aggregate delta algebra
+# ---------------------------------------------------------------------------
+
+
+def delta_join_frames(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """The three delta legs of (A∪ΔA) ⋈ (B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB
+    ∪ ΔA⋈ΔB (insert-only IVM; deletes are the same algebra with signed
+    counts). Returns ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — union with the standing
+    A⋈B view to maintain it WITHOUT touching the base-side join again.
+
+    Scale: this is THE reason materialized join views are maintainable
+    at 100 TB — each refresh joins only delta-sized inputs against one
+    base side (ΔA⋈B and A⋈ΔB are delta-driven probes; broadcast the
+    delta when it is small), never base⋈base."""
+    return (
+        delta_a.join(base_b, on)
+        .unionByName(base_a.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )
+
+
+@query(
+    "x_ivm_join_delta",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def x_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a join-aggregate: the view
+    γ_{nationkey}(orders ⋈ customer) is materialized from the BASE
+    partitions only (orders with o_orderkey % 10 ≠ 0, customers with
+    c_custkey % 7 ≠ 0 — a deterministic stand-in for "rows that existed
+    at the last refresh"), then brought current by aggregating ONLY the
+    three delta legs (Δorders⋈customer_base, orders_base⋈Δcustomer,
+    Δorders⋈Δcustomer) and merging partial aggregates — COUNT and SUM
+    are abelian, so merge = re-aggregate the partials. The oracle
+    recomputes the view FROM SCRATCH over the full tables: any leg
+    missed, double-counted, or joined against the wrong side
+    hash-mismatches.
+
+    Revenue in exact integer cents (floor(x·100 + 0.5), the repo-wide
+    rounding rule) so the merged sums are order-independent.
+
+    Scale: refresh cost is delta-driven (each leg probes one base side
+    with a delta; base⋈base never re-runs) — the property that makes a
+    materialized join view cheaper than recompute at 100 TB. Pytest
+    replays the identity on seeded random splits via
+    :func:`delta_join_frames`.
+
+    Reference contrast: the reference recomputes every dashboard query
+    from scratch per page load (``app.py``); this is the maintained-
+    view alternative, §2.13 warehouse family.
+    """
+    t = tables(spark, sf_dir)
+    orders = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    base_a = orders.where(F.col("o_orderkey") % 10 != 0)
+    delta_a = orders.where(F.col("o_orderkey") % 10 == 0)
+    base_b = cust.where(F.col("o_custkey") % 7 != 0)
+    delta_b = cust.where(F.col("o_custkey") % 7 == 0)
+
+    def partial(frame: DataFrame) -> DataFrame:
+        return frame.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+
+    m0 = partial(base_a.join(base_b, "o_custkey"))  # the standing view
+    dm = partial(delta_join_frames(base_a, delta_a, base_b, delta_b, ["o_custkey"]))
+    return (
+        m0.unionByName(dm)
+        .groupBy("nationkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )

@@ -650,3 +650,48 @@ def test_mixture_temperature_apportionment(spark):
             r.tempered_ppm == r.natural_ppm == 1_000_000 // len(rows)
             for r in rows.values()
         )
+
+
+# ---------------------------------------------------------------------------
+# delta_join_frames: the IVM identity on seeded random splits
+# ---------------------------------------------------------------------------
+
+
+def test_delta_join_identity_random_splits(spark):
+    """(A∪ΔA)⋈(B∪ΔB) row multiset == A⋈B ∪ the three delta legs, for
+    three different seeded random split ratios — missed or duplicated
+    legs change the multiset."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from recommender_systems_pyspark_spark.functions.warehouse import (
+        delta_join_frames,
+    )
+
+    rng = random.Random(7)
+    a_rows = [(rng.randrange(20), i) for i in range(300)]
+    b_rows = [(k, rng.randrange(1000)) for k in range(20) for _ in range(3)]
+    a = spark.createDataFrame(a_rows, "k long, av long")
+    b = spark.createDataFrame(b_rows, "k long, bv long")
+
+    full = (
+        a.join(b, "k").groupBy("k").agg(F.count("*").alias("n"),
+                                        F.sum(F.col("av") + F.col("bv")).alias("s"))
+    ).collect()
+    full = {r.k: (r.n, r.s) for r in full}
+
+    for frac_a, frac_b in ((0.1, 0.0), (0.0, 0.3), (0.2, 0.5)):
+        da = a.where(F.pmod(F.col("av"), 100) < int(frac_a * 100))
+        ba = a.subtract(da)
+        db = b.where(F.pmod(F.col("bv"), 100) < int(frac_b * 100))
+        bb = b.subtract(db)
+        legs = delta_join_frames(ba, da, bb, db, ["k"])
+        merged = (
+            ba.join(bb, "k")
+            .unionByName(legs)
+            .groupBy("k")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("av") + F.col("bv")).alias("s"))
+        ).collect()
+        assert {r.k: (r.n, r.s) for r in merged} == full, (frac_a, frac_b)

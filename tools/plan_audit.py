@@ -168,6 +168,7 @@ DEFAULT_QUERIES = [
     "x_dp_noisy_counts",
     "x_graph_scc",
     "x_mixture_temperature",
+    "x_ivm_join_delta",
 ]
 
 
