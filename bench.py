@@ -151,6 +151,7 @@ RECORD_ONLY = [
     "x_graph_scc",
     "x_mixture_temperature",
     "x_ivm_join_delta",
+    "x_phrase_search",
 ]
 
 

@@ -327,3 +327,161 @@ def x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rrf").cast("double").alias("rrf_score"),
         )
     )
+
+
+#: Phrase search: how many top-frequency bigrams serve as query phrases.
+_N_PHRASES = 3
+
+
+@query(
+    "x_phrase_search",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, s.t1 AS t1, s.t2 AS t2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                      i -> struct_pack(t1 := ws[i], t2 := ws[i + 1]))) AS s
+        FROM w)
+    ),
+    top_q AS (
+      SELECT t1, t2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2
+      ORDER BY cnt DESC, t1 ASC, t2 ASC LIMIT {_N_PHRASES}
+    ),
+    m AS (
+      SELECT b.t1, b.t2, b.doc_id, COUNT(*) AS occ
+      FROM bg b JOIN top_q q USING (t1, t2)
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY t1, t2
+                                ORDER BY occ DESC, doc_id ASC) AS rk
+      FROM m
+    )
+    SELECT m.t1 || ' ' || m.t2 AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(m.occ) AS BIGINT) AS n_occurrences,
+           COALESCE(bit_xor(
+             ('0x' || substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           ), 0) AS docs_xor,
+           CAST(MIN(CASE WHEN r.rk = 1 THEN m.doc_id END) AS BIGINT)
+             AS top_doc_id,
+           CAST(MIN(CASE WHEN r.rk = 1 THEN m.occ END) AS BIGINT)
+             AS top_doc_occ
+    FROM m JOIN ranked r ON m.t1 = r.t1 AND m.t2 = r.t2
+                         AND m.doc_id = r.doc_id
+    GROUP BY 1
+    """,
+)
+def x_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: exact adjacent-bigram matching over a
+    positional inverted index — the retrieval face BM25's bag-of-words
+    scoring cannot express ("merge join" must not match "join ... merge").
+
+    Query workload: the corpus's {n} most frequent bigrams (ties broken
+    lexicographically), derived in-query so the certification is
+    self-contained and deterministic. INDEX path: per-doc bigram arrays
+    inside codegen (guarded transform — a <2-token doc yields an empty
+    array, never a descending sequence) → global count → top-{n} under a
+    total order. MATCH path: the positional posting list (posexplode)
+    filtered to the query phrases' terms BEFORE the self-join — the
+    adjacency join (doc_id, pos+1 = pos) runs on query-relevant postings
+    only, the standard positional-index read. Output per phrase:
+    matching-doc count, total occurrences, an order-independent xor of
+    matching doc ids, and the top document (occurrences desc, doc_id
+    asc).
+
+    Scale: postings are uniform term-keyed; the phrase filter is a
+    broadcast semi-join of query terms; adjacency is an equi-join on
+    (doc_id, pos) — no all-pairs anywhere. At 100 TB the top-bigram
+    workload derivation would be replaced by the user's query log; the
+    match path is unchanged.
+
+    Reference contrast: no text-retrieval surface in the reference;
+    extends §2.13 retrieval (inverted index, BM25, RRF) with positional
+    semantics.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 2),"
+                    " i -> struct(split(text, ' ')[i] AS t1,"
+                    "             split(text, ' ')[i+1] AS t2))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+
+    top_q = (
+        bigrams.groupBy("t1", "t2")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(_N_PHRASES)
+        .select("t1", "t2")
+    )
+
+    # Positional-index read path: posting list filtered to query terms,
+    # then the adjacency equi-join (doc, pos+1).
+    postings = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    )
+    q_t1 = top_q.select(F.col("t1").alias("term")).distinct()
+    q_t2 = top_q.select(F.col("t2").alias("term")).distinct()
+    p1 = postings.join(F.broadcast(q_t1), "term", "left_semi").select(
+        "doc_id", F.col("term").alias("t1"), F.col("pos").alias("pos1")
+    )
+    p2 = postings.join(F.broadcast(q_t2), "term", "left_semi").select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("term").alias("t2"),
+        F.col("pos").alias("pos2"),
+    )
+    matches = (
+        p1.join(
+            p2,
+            (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("pos2") == F.col("pos1") + 1),
+        )
+        .join(F.broadcast(top_q), ["t1", "t2"], "left_semi")
+        .groupBy("t1", "t2", "doc_id")
+        .agg(F.count("*").alias("occ"))
+    )
+
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("t1", "t2").orderBy(
+            F.col("occ").desc(), F.col("doc_id").asc()
+        )
+    )
+    doc_hash = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return (
+        matches.withColumn("rk", rk)
+        .groupBy(F.concat_ws(" ", F.col("t1"), F.col("t2")).alias("phrase"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("occ").cast("long").alias("n_occurrences"),
+            F.coalesce(
+                F.expr(
+                    "bit_xor(cast(conv(substring(md5(cast(doc_id as string)),"
+                    " 1, 15), 16, 10) as bigint))"
+                ),
+                F.lit(0).cast("long"),
+            ).alias("docs_xor"),
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).cast("long").alias("top_doc_id"),
+            F.min(F.when(F.col("rk") == 1, F.col("occ"))).cast("long").alias("top_doc_occ"),
+        )
+    )
+
+
+x_phrase_search.__doc__ = x_phrase_search.__doc__.format(n=_N_PHRASES)

@@ -695,3 +695,57 @@ def test_delta_join_identity_random_splits(spark):
                  F.sum(F.col("av") + F.col("bv")).alias("s"))
         ).collect()
         assert {r.k: (r.n, r.s) for r in merged} == full, (frac_a, frac_b)
+
+
+# ---------------------------------------------------------------------------
+# x_phrase_search: positional adjacency replayed in python
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_matches_python_replay(spark, sf_dir):
+    """Full python replay at sf0.001: top-3 bigram selection (count desc,
+    lexicographic ties) and per-phrase doc counts / occurrence totals /
+    top-doc must match exactly — overlapping repeats ("a a a" has two
+    "a a" occurrences) and the adjacency-only semantics ride on the
+    positional join being off-by-one-correct."""
+    import hashlib
+    from collections import Counter, defaultdict
+    from functools import reduce
+
+    from recommender_systems_pyspark_spark.functions.search import (
+        x_phrase_search,
+    )
+
+    got = {r.phrase: r for r in x_phrase_search(spark, sf_dir).collect()}
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    counts = Counter()
+    per_doc = defaultdict(Counter)
+    for r in docs:
+        toks = r.text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            counts[(a, b)] += 1
+            per_doc[(a, b)][r.doc_id] += 1
+    top3 = sorted(counts, key=lambda k: (-counts[k], k))[:3]
+
+    assert set(got) == {f"{a} {b}" for a, b in top3}
+    for key in top3:
+        r = got[f"{key[0]} {key[1]}"]
+        docs_occ = per_doc[key]
+        assert r.n_docs == len(docs_occ)
+        assert r.n_occurrences == counts[key] == sum(docs_occ.values())
+        assert r.top_doc_id == min(
+            docs_occ, key=lambda d: (-docs_occ[d], d)
+        )
+        assert r.top_doc_occ == docs_occ[r.top_doc_id]
+        xor = reduce(
+            lambda acc, d: acc
+            ^ int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16),
+            docs_occ,
+            0,
+        )
+        assert r.docs_xor == xor

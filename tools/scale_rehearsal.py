@@ -163,6 +163,7 @@ DEFAULT_QUERIES = (
     "x_graph_scc",
     "x_mixture_temperature",
     "x_ivm_join_delta",
+    "x_phrase_search",
 )
 
 
