@@ -1253,11 +1253,23 @@ def x_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     k = F.lit(_KMV_K)
 
+    # _spread: the shingle fold + md5 is the CPU-dense stage and the
+    # fixture corpus is one parquet file = one scan task — fan out first.
+    # The checkpoint pins the (source, h) universe: three consumers
+    # (sizes, sketch, exact-intersection a/b) read the materialized
+    # blocks instead of gambling on exchange reuse across AQE stages
+    # (measured: no-spread 6.3 s warm, spread-no-checkpoint 24.8 s —
+    # reuse broke and the fold ran per consumer — spread+checkpoint is
+    # the fast shape).
     hashed = (
-        t["documents"]
+        _spread(t["documents"])
         .select("source", F.explode(shingles()).alias("sh"))
         .select("source", F.md5(F.col("sh")).alias("h"))
         .distinct()
+        # eager: a LAZY checkpoint under AQE re-materializes with stale
+        # accumulators on a second invocation in the same session
+        # ("attempted to access non-existent accumulator") — measured here
+        .localCheckpoint()
     )
 
     sizes = hashed.groupBy("source").agg(F.count("*").alias("n"))
