@@ -152,6 +152,7 @@ RECORD_ONLY = [
     "x_mixture_temperature",
     "x_ivm_join_delta",
     "x_phrase_search",
+    "x_ktruss_peel",
 ]
 
 

@@ -168,6 +168,7 @@ _GRADE_FIRST = (
     "x_mixture_temperature",
     "x_ivm_join_delta",
     "x_phrase_search",
+    "x_ktruss_peel",
     # --- r6-vintage: stats/trends (queued by the r11 rotation) -----------
     "x_rolling_distinct_7d",
     "x_time_weighted_avg",

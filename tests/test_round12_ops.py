@@ -749,3 +749,87 @@ def test_phrase_search_matches_python_replay(spark, sf_dir):
             0,
         )
         assert r.docs_xor == xor
+
+
+# ---------------------------------------------------------------------------
+# x_ktruss_peel: synthetic truss structure + fixture fixpoint
+# ---------------------------------------------------------------------------
+
+
+def test_ktruss_support_on_synthetic_graph(spark):
+    """K5 ∪ (triangle with a tail): at k=5 (support ≥ 3), one peel round
+    keeps exactly the K5's 10 edges (support 3 each) and drops the
+    triangle (support 1) and the tail (support 0); a second round
+    changes nothing (K5 is the 5-truss fixpoint)."""
+    from pyspark.sql import functions as F
+
+    from recommender_systems_pyspark_spark.functions.pagerank import (
+        _KTRUSS_K,
+        _edge_support,
+    )
+
+    k5 = [(u, v) for u in range(1, 6) for v in range(u + 1, 6)]
+    triangle_tail = [(10, 11), (10, 12), (11, 12), (12, 13)]
+    cur = spark.createDataFrame(k5 + triangle_tail, "u long, v long")
+
+    sup = {(r.u, r.v): r.support for r in _edge_support(cur).collect()}
+    assert all(sup[(u, v)] == 3 for u, v in k5)
+    assert sup[(10, 11)] == sup[(10, 12)] == sup[(11, 12)] == 1
+    assert (12, 13) not in sup  # tail edge closes no triangle
+
+    survivors = (
+        _edge_support(cur)
+        .where(F.col("support") >= _KTRUSS_K - 2)
+        .select("u", "v")
+    )
+    assert sorted((r.u, r.v) for r in survivors.collect()) == sorted(k5)
+    again = (
+        _edge_support(survivors)
+        .where(F.col("support") >= _KTRUSS_K - 2)
+        .select("u", "v")
+    )
+    assert sorted((r.u, r.v) for r in again.collect()) == sorted(k5)
+
+
+def test_ktruss_fixture_rounds_strictly_shrink_and_replay(spark):
+    """At sf0.01 on the mod-2 subgraph every peel round STRICTLY shrinks
+    the edge set (the certification is never vacuous), and an
+    independent unpacked replay of the three peels lands on exactly the
+    round-3 edge count."""
+    from pyspark.sql import functions as F
+
+    from recommender_systems_pyspark_spark.functions.pagerank import (
+        _KTRUSS_K,
+        _KTRUSS_MOD,
+        _edge_support,
+        cached_copurchase_edges,
+        x_ktruss_peel,
+    )
+
+    rows = {
+        r.round: r
+        for r in x_ktruss_peel(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert (
+        rows[0].n_edges > rows[1].n_edges > rows[2].n_edges > rows[3].n_edges
+    )
+
+    cur = (
+        cached_copurchase_edges(spark, "/root/testdata/sf0.01")
+        .where(
+            (F.col("src") < F.col("dst"))
+            & (F.col("src") % _KTRUSS_MOD == 0)
+            & (F.col("dst") % _KTRUSS_MOD == 0)
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    assert cur.count() == rows[0].n_edges
+    for _ in range(3):  # independent replay, pack_ok=False path
+        cur = (
+            _edge_support(cur)
+            .where(F.col("support") >= _KTRUSS_K - 2)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    assert cur.count() == rows[3].n_edges

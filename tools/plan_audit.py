@@ -170,6 +170,7 @@ DEFAULT_QUERIES = [
     "x_mixture_temperature",
     "x_ivm_join_delta",
     "x_phrase_search",
+    "x_ktruss_peel",
 ]
 
 
