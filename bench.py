@@ -153,6 +153,7 @@ RECORD_ONLY = [
     "x_ivm_join_delta",
     "x_phrase_search",
     "x_ktruss_peel",
+    "x_scc_condensation",
 ]
 
 

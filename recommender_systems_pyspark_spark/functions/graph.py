@@ -893,6 +893,31 @@ def strongly_connected_components(
 _SCC_MOD = 8
 
 
+def _scc_sample_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic directed "purchased-after" sample graph shared by
+    x_graph_scc and x_scc_condensation: within each order, an edge from
+    the part on line i to the part on line i+1 under the FULL
+    (l_linenumber, l_partkey) tie order, restricted to part keys ≡ 0
+    mod _SCC_MOD."""
+    from pyspark.sql import Window
+
+    li = tables(spark, sf_dir)["lineitem"]
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        li.select(
+            F.col("l_partkey").alias("src"),
+            F.lead("l_partkey").over(w).alias("dst"),
+        )
+        .where(
+            F.col("dst").isNotNull()
+            & (F.col("dst") != F.col("src"))
+            & (F.col("src") % _SCC_MOD == 0)
+            & (F.col("dst") % _SCC_MOD == 0)
+        )
+        .distinct()
+    )
+
+
 @query(
     "x_graph_scc",
     oracle=f"""
@@ -947,24 +972,7 @@ def x_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     extends §2.13's graph family (pagerank, BFS, LPA, k-core, triangles,
     wedges) with its first directed-semantics operator.
     """
-    li = tables(spark, sf_dir)["lineitem"]
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    e = (
-        li.select(
-            F.col("l_partkey").alias("src"),
-            F.lead("l_partkey").over(w).alias("dst"),
-        )
-        .where(
-            F.col("dst").isNotNull()
-            & (F.col("dst") != F.col("src"))
-            & (F.col("src") % _SCC_MOD == 0)
-            & (F.col("dst") % _SCC_MOD == 0)
-        )
-        .distinct()
-    )
-    scc = strongly_connected_components(e)
+    scc = strongly_connected_components(_scc_sample_edges(spark, sf_dir))
     return (
         scc.groupBy("scc_id")
         .agg(F.count("*").alias("scc_size"))
@@ -979,3 +987,149 @@ def x_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_min_ids").cast("long").alias("sum_min_ids"),
         )
     )
+
+
+@query(
+    "x_scc_condensation",
+    oracle=f"""
+    WITH RECURSIVE li AS (
+      SELECT l_orderkey, l_partkey,
+             lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS nxt
+      FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT l_partkey AS src, nxt AS dst FROM li
+      WHERE nxt IS NOT NULL AND nxt <> l_partkey
+        AND l_partkey % {_SCC_MOD} = 0 AND nxt % {_SCC_MOD} = 0
+    ),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    reach(a, b) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    ),
+    scc AS (
+      SELECT r1.a AS v, MIN(r1.b) AS scc_id
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+      GROUP BY r1.a
+    ),
+    members AS (SELECT scc_id, COUNT(*) AS n_members FROM scc GROUP BY 1),
+    ce AS (
+      SELECT DISTINCT sa.scc_id AS a, sb.scc_id AS b
+      FROM e
+      JOIN scc sa ON sa.v = e.src
+      JOIN scc sb ON sb.v = e.dst
+      WHERE sa.scc_id <> sb.scc_id
+    ),
+    paths(a, b, len) AS (
+      SELECT a, b, 1 FROM ce
+      UNION
+      SELECT p.a, ce.b, p.len + 1 FROM paths p JOIN ce ON ce.a = p.b
+    ),
+    lvl AS (
+      SELECT m.scc_id, m.n_members,
+             COALESCE((SELECT MAX(len) FROM paths p
+                       WHERE p.b = m.scc_id), 0) AS level
+      FROM members m
+    )
+    SELECT CAST(level AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_sccs,
+           CAST(SUM(n_members) AS BIGINT) AS n_members,
+           CAST(COALESCE(bit_xor(scc_id), 0) AS BIGINT) AS sccs_xor
+    FROM lvl GROUP BY 1
+    """,
+)
+def x_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the SCC decomposition, layered by LONGEST
+    incoming path: contract every SCC of the mod-{m} purchased-after
+    graph to one node, keep the distinct between-SCC edges, then peel
+    topological levels synchronously (level r = nodes whose longest
+    root-path is r — the classic as-late-as-possible layering). Output
+    per level: SCC count, member-node total, order-independent xor of
+    SCC ids.
+
+    This face CROSS-CHECKS the SCC algorithm itself: the condensation
+    of a correct SCC decomposition is provably acyclic, so the peel
+    must drain completely — a wrong assignment that merges or splits
+    components leaves a cycle, the root set goes empty while nodes
+    remain, and the query raises LOUDLY instead of emitting rows (and
+    the level histogram hash-mismatches the closure oracle either way).
+    The dependency-layering question itself ("how deep is the DAG of
+    mutually-entangled groups") is what build systems, feature-lineage
+    and citation pipelines ask of a directed graph after cycles are
+    collapsed.
+
+    Scale: condensation edges come from two node-keyed joins + distinct;
+    each peel round is one distinct + anti-join + semi-join over frames
+    bounded by #SCCs — metadata-scale next to the SCC computation it
+    consumes; rounds = DAG depth with the empty-root cycle guard. The
+    oracle replays layering as a longest-path recursive CTE.
+
+    Reference contrast: no graph surface in the reference; extends
+    §2.13's directed-graph family (SCC, r12) with the condensation /
+    layering face.
+    """
+    return condensation_levels(_scc_sample_edges(spark, sf_dir))
+
+
+x_scc_condensation.__doc__ = x_scc_condensation.__doc__.format(m=_SCC_MOD)
+
+
+def condensation_levels(edges: DataFrame) -> DataFrame:
+    """SCC-condensation topological layering of a directed edge list —
+    the engine core behind x_scc_condensation (see its docstring for
+    semantics, the acyclicity cross-check, and the scale shape)."""
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    # eager: the assignment feeds the member counts AND both endpoint
+    # joins (the multi-consumer rule — see the KMV checkpoint note)
+    scc = strongly_connected_components(e).localCheckpoint()
+    members = (
+        scc.groupBy("scc_id")
+        .agg(F.count("*").alias("n_members"))
+        .localCheckpoint(eager=False)
+    )
+    ce = (
+        e.join(
+            scc.select(F.col("v").alias("src"), F.col("scc_id").alias("a")),
+            "src",
+        )
+        .join(
+            scc.select(F.col("v").alias("dst"), F.col("scc_id").alias("b")),
+            "dst",
+        )
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    remaining, rem_edges = members, ce
+    out: DataFrame | None = None
+    lvl = 0
+    while remaining.count() > 0:
+        has_in = rem_edges.select(F.col("b").alias("scc_id")).distinct()
+        roots = remaining.join(has_in, "scc_id", "left_anti").localCheckpoint(
+            eager=False
+        )
+        if roots.count() == 0:
+            raise RuntimeError(
+                "cycle in SCC condensation — the SCC assignment is broken"
+            )
+        row = roots.agg(
+            F.count("*").cast("long").alias("n_sccs"),
+            F.sum("n_members").cast("long").alias("n_members"),
+            F.coalesce(F.expr("bit_xor(scc_id)"), F.lit(0).cast("long")).alias(
+                "sccs_xor"
+            ),
+        ).select(F.lit(lvl).cast("int").alias("level"), "n_sccs", "n_members", "sccs_xor")
+        out = row if out is None else out.unionByName(row)
+        remaining = remaining.join(
+            roots.select("scc_id"), "scc_id", "left_anti"
+        ).localCheckpoint(eager=False)
+        rem_edges = rem_edges.join(
+            remaining.select(F.col("scc_id").alias("a")), "a", "left_semi"
+        ).localCheckpoint(eager=False)
+        lvl += 1
+    assert out is not None
+    return out

@@ -169,6 +169,7 @@ _GRADE_FIRST = (
     "x_ivm_join_delta",
     "x_phrase_search",
     "x_ktruss_peel",
+    "x_scc_condensation",
     # --- r6-vintage: stats/trends (queued by the r11 rotation) -----------
     "x_rolling_distinct_7d",
     "x_time_weighted_avg",

@@ -833,3 +833,63 @@ def test_ktruss_fixture_rounds_strictly_shrink_and_replay(spark):
             .localCheckpoint()
         )
     assert cur.count() == rows[3].n_edges
+
+
+# ---------------------------------------------------------------------------
+# x_scc_condensation: layering on synthetics + fixture partition identity
+# ---------------------------------------------------------------------------
+
+
+def test_condensation_levels_chain_of_cycles(spark):
+    """Chain of three 2-cycles {1,2}→{3,4}→{5,6}: condensation is a
+    3-node path — one SCC per level, levels 0/1/2, member totals 2 each,
+    sccs_xor = the SCC min ids (1, 3, 5)."""
+    from recommender_systems_pyspark_spark.functions.graph import (
+        condensation_levels,
+    )
+
+    edges = [(1, 2), (2, 1), (3, 4), (4, 3), (5, 6), (6, 5), (1, 3), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r.level: r for r in condensation_levels(df).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert all(rows[lv].n_sccs == 1 and rows[lv].n_members == 2 for lv in rows)
+    assert (rows[0].sccs_xor, rows[1].sccs_xor, rows[2].sccs_xor) == (1, 3, 5)
+
+
+def test_condensation_levels_diamond_longest_path(spark):
+    """Diamond 1→2→4, 1→3, 3→5→4 (all singleton SCCs): the layering is
+    LONGEST-path — node 4 sits at level 3 (via 3→5→4), not level 2."""
+    from recommender_systems_pyspark_spark.functions.graph import (
+        condensation_levels,
+    )
+
+    edges = [(1, 2), (2, 4), (1, 3), (3, 5), (5, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.level: (r.n_sccs, r.sccs_xor)
+        for r in condensation_levels(df).collect()
+    }
+    assert got == {0: (1, 1), 1: (2, 2 ^ 3), 2: (1, 5), 3: (1, 4)}
+
+
+def test_condensation_fixture_partitions_the_scc_set(spark):
+    """At sf0.01 the level histogram partitions exactly the SCC set
+    x_graph_scc certifies: Σ n_sccs = total components, Σ n_members =
+    total nodes, levels contiguous from 0."""
+    from recommender_systems_pyspark_spark.functions.graph import (
+        x_graph_scc,
+        x_scc_condensation,
+    )
+
+    scc_rows = x_graph_scc(spark, "/root/testdata/sf0.01").collect()
+    total_sccs = sum(r.n_components for r in scc_rows)
+    total_nodes = sum(r.scc_size * r.n_components for r in scc_rows)
+
+    lv = sorted(
+        x_scc_condensation(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.level,
+    )
+    assert [r.level for r in lv] == list(range(len(lv)))
+    assert sum(r.n_sccs for r in lv) == total_sccs
+    assert sum(r.n_members for r in lv) == total_nodes
+    assert all(r.n_sccs >= 1 for r in lv)

@@ -171,6 +171,7 @@ DEFAULT_QUERIES = [
     "x_ivm_join_delta",
     "x_phrase_search",
     "x_ktruss_peel",
+    "x_scc_condensation",
 ]
 
 
