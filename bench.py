@@ -294,6 +294,16 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Streaming-family entries are split out of the batch sweep and run on
+    # a RECYCLED session (VERDICT r12 #2 / what's-wrong fix): after ~100
+    # batch queries the session carries enough block-manager/state-store
+    # residue that the committed s12–s18 rows ran 2.3× over their
+    # fresh-session truth every round — making the canonical artifact
+    # unable to flag a REAL streaming regression. With the restart, the
+    # committed row IS the reproducible number.
+    stream_batch = [n for n in RECORD_ONLY if re.match(r"^s\d+_", n)]
+    batch_only = [n for n in RECORD_ONLY if n not in stream_batch]
+
     # Warmup: JVM/codegen/parquet-footer caches on the smallest headliner.
     run("tpch_q6")
     # Warm the train-once SemDeDup quantizer (sources/versioned snapshot):
@@ -342,13 +352,28 @@ def main() -> None:
     # block-manager reclaim runs BETWEEN entries so each figure measures
     # the query, not its predecessor's leftover memory pressure
     # (VERDICT r7 #7: the phantom 3.87x on x_dedup_incremental).
-    for name in RECORD_ONLY:
+    for name in batch_only:
         if name in specs:
             reclaim(spark)
             timings[name] = round(run(name), 4)
 
-    # Same reclaim before the streaming section (state stores compete for
-    # the same executor memory).
+    # --- session recycle: the streaming block runs on a fresh session ---
+    # (see stream_batch note above). The batch sweep's primed artifacts
+    # (centroid models, graph snapshots) are disk/state the streaming
+    # family never touches, so nothing needs re-priming; a single cheap
+    # warmup covers the new context's scan/codegen setup outside the rows.
+    spark.stop()
+    spark = get_spark("spark-graft-bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    run("tpch_q6")
+
+    for name in stream_batch:
+        if name in specs:
+            reclaim(spark)
+            timings[name] = round(run(name), 4)
+
+    # Same reclaim before the micro-batch section (state stores compete
+    # for the same executor memory).
     reclaim(spark, settle_sec=2.0)
 
     # Streaming micro-batch wall-clock (recorded alongside, NOT summed into

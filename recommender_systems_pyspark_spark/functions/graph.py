@@ -701,6 +701,15 @@ def strongly_connected_components(
     # overhead — measured 14.5 s → ~6 s warm at sf0.1 going 32 → sized.
     # The same formula yields thousands of partitions at 100 TB node
     # counts, so nothing here is local-mode tuning.
+    #
+    # CONCURRENCY CAVEAT (ADVICE r12): the override below mutates the
+    # SESSION-global spark.sql.shuffle.partitions for the duration of the
+    # loop (restored in finally). Any query planned concurrently on the
+    # same SparkSession would silently pick up the loop's partition count.
+    # This engine's bench/verify/driver harnesses are single-threaded per
+    # session, which is the assumption; a caller sharing the session across
+    # threads should hand this function frames from `spark.newSession()`
+    # (per-session conf isolation) before invoking it.
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select("v", F.col("v").alias("scc_id"))
@@ -893,6 +902,35 @@ def strongly_connected_components(
 _SCC_MOD = 8
 
 
+#: Per-(session, sf_dir) memo of the sample graph's SCC assignment
+#: (VERDICT r12 minor flag: x_graph_scc and x_scc_condensation each ran
+#: the full coloring pass — ~24 s of every sweep computing the same
+#: components twice). In-session memo rather than the snapshot store on
+#: purpose: a disk artifact would survive across bench runs and silently
+#: turn the SCC cost into a cold/warm lottery (the exact reproducibility
+#: disease of VERDICT r12 #2); with a session-scoped memo the FIRST
+#: consumer in any session pays the full pass — reproducibly — and the
+#: second reuses the eagerly checkpointed frame.
+_SCC_ASSIGN_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_scc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, scc_id) for the mod-``_SCC_MOD`` purchased-after sample graph,
+    computed once per (SparkSession, sf_dir) and eagerly localCheckpoint-ed
+    (the multi-consumer rule: the frame feeds the size histogram AND both
+    condensation endpoint joins)."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    got = _SCC_ASSIGN_MEMO.get(key)
+    if got is None:
+        got = strongly_connected_components(
+            _scc_sample_edges(spark, sf_dir)
+        ).localCheckpoint()
+        _SCC_ASSIGN_MEMO[key] = got
+    return got
+
+
 def _scc_sample_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic directed "purchased-after" sample graph shared by
     x_graph_scc and x_scc_condensation: within each order, an edge from
@@ -972,7 +1010,7 @@ def x_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     extends §2.13's graph family (pagerank, BFS, LPA, k-core, triangles,
     wedges) with its first directed-semantics operator.
     """
-    scc = strongly_connected_components(_scc_sample_edges(spark, sf_dir))
+    scc = cached_scc_assignment(spark, sf_dir)
     return (
         scc.groupBy("scc_id")
         .agg(F.count("*").alias("scc_size"))
@@ -1070,20 +1108,29 @@ def x_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.13's directed-graph family (SCC, r12) with the condensation /
     layering face.
     """
-    return condensation_levels(_scc_sample_edges(spark, sf_dir))
+    return condensation_levels(
+        _scc_sample_edges(spark, sf_dir),
+        scc=cached_scc_assignment(spark, sf_dir),
+    )
 
 
 x_scc_condensation.__doc__ = x_scc_condensation.__doc__.format(m=_SCC_MOD)
 
 
-def condensation_levels(edges: DataFrame) -> DataFrame:
+def condensation_levels(edges: DataFrame, scc: DataFrame | None = None) -> DataFrame:
     """SCC-condensation topological layering of a directed edge list —
     the engine core behind x_scc_condensation (see its docstring for
-    semantics, the acyclicity cross-check, and the scale shape)."""
+    semantics, the acyclicity cross-check, and the scale shape).
+
+    ``scc`` optionally supplies a precomputed (v, scc_id) assignment
+    covering every endpoint of ``edges`` (x_scc_condensation passes the
+    session-memoized one so the pair of SCC queries runs the coloring
+    pass once per sweep); when omitted the pass runs here."""
     e = edges.select("src", "dst").localCheckpoint(eager=False)
     # eager: the assignment feeds the member counts AND both endpoint
     # joins (the multi-consumer rule — see the KMV checkpoint note)
-    scc = strongly_connected_components(e).localCheckpoint()
+    if scc is None:
+        scc = strongly_connected_components(e).localCheckpoint()
     members = (
         scc.groupBy("scc_id")
         .agg(F.count("*").alias("n_members"))

