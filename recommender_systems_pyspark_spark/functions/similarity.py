@@ -905,3 +905,83 @@ def x_knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_knn_filtered_topk.__doc__ = x_knn_filtered_topk.__doc__.format(
     k=_FILTER_K, nq=_FILTER_NQ
 )
+
+
+# ---------------------------------------------------------------------------
+# Cluster representatives: per-cell medoid selection (round 13)
+# ---------------------------------------------------------------------------
+
+from .centroids import _SQL_CENTROIDS as _MEDOID_SQL_CENTROIDS  # noqa: E402
+
+
+@query(
+    "x_cluster_medoids",
+    oracle=f"""
+    WITH cent AS ({_MEDOID_SQL_CENTROIDS}),
+    c2 AS (SELECT label, list(centroid ORDER BY dim) AS cv
+           FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             {_SQL_COSINE.format(a='e.embedding', b='c2.cv')} AS cos_c
+      FROM embeddings e JOIN c2 USING (label)
+    ),
+    sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cell_size
+           FROM embeddings GROUP BY label)
+    SELECT s.label, sz.cell_size, s.vec_id AS medoid_vec_id,
+           s.cos_c AS medoid_cos
+    FROM (SELECT *, row_number()
+                    OVER (PARTITION BY label ORDER BY cos_c DESC, vec_id) AS rn
+          FROM scored) s
+    JOIN sz USING (label)
+    WHERE rn = 1
+    ORDER BY s.label
+    """,
+)
+def x_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell MEDOID selection: for every embedding cell (label), the
+    member vector with the highest cosine similarity to the cell's
+    centroid (ties → lowest vec_id) plus the cell size — the exemplar a
+    corpus card, coreset seed, or nearest-real-example explanation
+    actually ships. A centroid is a synthetic average that corresponds
+    to no document; the medoid is the closest REAL member, which is why
+    representative-selection pipelines (and k-medoids-style curation)
+    want this face next to x_embed_centroids.
+
+    Plan: the per-label centroid is the engine-portable quantized
+    average (shared :mod:`centroids` leaf — identical to the
+    x_embed_centroids surface the oracle replays), re-assembled and
+    BROADCAST onto the members (the centroid frame is #cells rows); one
+    map-side cosine per member, then a per-cell window argmax — shuffle
+    bounded by one |cells|-keyed exchange of (id, score) rows, no pair
+    joins, no quadratic anything. At 100 TB with k ≈ √N cells both the
+    broadcast and the window partitions stay balanced by construction.
+
+    Reference contrast: no embedding surface in the reference
+    (SURVEY.md §2.13 similarity family: centroids r6, IVF r8/r10,
+    SemDeDup r8) — this adds the representative-extraction face.
+    """
+    from pyspark.sql import Window
+
+    from .centroids import centroids_assembled
+
+    e = tables(spark, sf_dir)["embeddings"]
+    cent = centroids_assembled(e)
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        cosine(F.col("embedding"), F.col("centroid")).alias("cos_c"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos_c"), "vec_id")
+    sz = e.groupBy("label").agg(F.count("*").cast("long").alias("cell_size"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(sz, "label")
+        .select(
+            "label",
+            "cell_size",
+            F.col("vec_id").alias("medoid_vec_id"),
+            F.col("cos_c").alias("medoid_cos"),
+        )
+        .orderBy("label")
+    )

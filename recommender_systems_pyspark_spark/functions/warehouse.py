@@ -1944,3 +1944,82 @@ def x_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "x_ivm_agg_delta",
+    oracle="""
+    WITH fin AS (
+      SELECT * FROM events
+      WHERE (event_id % 11 <> 0 AND event_id % 13 <> 0) OR event_id % 11 = 0
+    )
+    SELECT event_type,
+           CAST(user_id % 97 AS BIGINT) AS user_mod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM fin GROUP BY 1, 2
+    """,
+)
+def x_ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a GROUPED AGGREGATE under inserts
+    AND deletes — the face x_ivm_join_delta (three-delta-leg join view)
+    leaves uncovered: deletions arrive as NEGATIVE-multiplicity delta
+    rows, the merge is sum-of-signed-partials, and a group whose merged
+    multiplicity reaches zero must VANISH from the view (the classic
+    aggregate-IVM subtlety — an implementation that keeps emptied groups
+    as zero rows, or lets a count go negative, hash-mismatches the
+    from-scratch oracle).
+
+    Deterministic stand-ins for the changelog: the standing view covers
+    events with event_id % 11 ≠ 0; since the last refresh the rows with
+    event_id % 13 = 0 among them were DELETED and the % 11 = 0 rows were
+    INSERTED. The view is maintained from the two delta legs only — the
+    base partials are never recomputed (the property that makes a
+    maintained aggregate cheaper than recompute at 100 TB: refresh cost
+    ∝ |Δ|, one uniform-key shuffle over the deltas). Values in exact
+    integer cents (floor(x·100 + 0.5), the repo-wide rounding rule) so
+    merged sums are order-independent.
+
+    Reference contrast: the reference recomputes every dashboard
+    aggregate per page load (``app.py:218-236``); this is the
+    changelog-maintained alternative, §2.13 warehouse family.
+    """
+    ev = tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 97).cast("long").alias("user_mod"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    base = ev.where(F.col("event_id") % 11 != 0)
+    deletes = base.where(F.col("event_id") % 13 == 0).withColumn(
+        "sign", F.lit(-1).cast("long")
+    )
+    inserts = ev.where(F.col("event_id") % 11 == 0).withColumn(
+        "sign", F.lit(1).cast("long")
+    )
+
+    keys = ["event_type", "user_mod"]
+    m0 = base.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
+    dm = (
+        deletes.unionByName(inserts)
+        .groupBy(*keys)
+        .agg(
+            F.sum("sign").alias("n_events"),
+            F.sum(F.col("sign") * F.col("cents")).alias("value_cents"),
+        )
+    )
+    return (
+        m0.unionByName(dm)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+        .where(F.col("n_events") > 0)
+    )

@@ -216,6 +216,174 @@ x_kanon_audit.__doc__ = x_kanon_audit.__doc__.format(k=_KANON_K)
 
 
 # ---------------------------------------------------------------------------
+# k-anonymity generalization ladder (round 13)
+# ---------------------------------------------------------------------------
+
+#: Quasi-identifier coarsening ladder, finest first: balance-bucket width
+#: in exact cents at each rung, then nation-only, then region-only.
+_KGEN_WIDTHS = (1_000, 10_000, 100_000)
+
+
+@query(
+    "x_kanon_generalize",
+    oracle=f"""    WITH
+    r0 AS (
+      SELECT 0 AS rung, 'nation+bal$10' AS qi,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(COALESCE(SUM(CASE WHEN cs < {_KANON_K} THEN cs END), 0) AS BIGINT)
+               AS n_rows_below_k
+      FROM (
+        SELECT COUNT(*) AS cs FROM customer
+        GROUP BY c_nationkey,
+                 (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                  + {_KANON_OFFSET_CENTS}) // 1000
+      )
+    ),
+    r1 AS (
+      SELECT 1 AS rung, 'nation+bal$100' AS qi,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(COALESCE(SUM(CASE WHEN cs < {_KANON_K} THEN cs END), 0) AS BIGINT)
+               AS n_rows_below_k
+      FROM (
+        SELECT COUNT(*) AS cs FROM customer
+        GROUP BY c_nationkey,
+                 (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                  + {_KANON_OFFSET_CENTS}) // 10000
+      )
+    ),
+    r2 AS (
+      SELECT 2 AS rung, 'nation+bal$1000' AS qi,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(COALESCE(SUM(CASE WHEN cs < {_KANON_K} THEN cs END), 0) AS BIGINT)
+               AS n_rows_below_k
+      FROM (
+        SELECT COUNT(*) AS cs FROM customer
+        GROUP BY c_nationkey,
+                 (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                  + {_KANON_OFFSET_CENTS}) // 100000
+      )
+    ),
+    r3 AS (
+      SELECT 3 AS rung, 'nation' AS qi,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(COALESCE(SUM(CASE WHEN cs < {_KANON_K} THEN cs END), 0) AS BIGINT)
+               AS n_rows_below_k
+      FROM (SELECT COUNT(*) AS cs FROM customer GROUP BY c_nationkey)
+    ),
+    r4 AS (
+      SELECT 4 AS rung, 'region' AS qi,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(COALESCE(SUM(CASE WHEN cs < {_KANON_K} THEN cs END), 0) AS BIGINT)
+               AS n_rows_below_k
+      FROM (
+        SELECT COUNT(*) AS cs FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_regionkey
+      )
+    ),
+    u AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL
+          SELECT * FROM r2 UNION ALL SELECT * FROM r3 UNION ALL
+          SELECT * FROM r4),
+    pick AS (SELECT MIN(rung) AS m FROM u WHERE n_rows_below_k = 0)
+    SELECT u.rung, u.qi, u.n_classes, u.n_rows_below_k,
+           u.n_rows_below_k = 0 AS k_ok,
+           u.rung = pick.m AS chosen
+    FROM u, pick ORDER BY u.rung
+""",
+)
+def x_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization LADDER for the k-anonymity release decision:
+    re-audit the customer dimension under progressively coarser
+    quasi-identifiers — (nation, $10 balance bucket) → ($100) → ($1000)
+    → nation only → region only — and emit one row per rung with its
+    class count, the rows still inside below-k classes, a ``k_ok``
+    verdict at k={k}, and ``chosen`` marking the FIRST rung that
+    satisfies k-anonymity: the minimum information loss at which the
+    table is releasable. x_kanon_audit answers "is THIS table safe";
+    this face answers the follow-up a release pipeline actually acts
+    on — "how much must I coarsen it".
+
+    All rungs share one scan shape: a groupBy over the bounded dim per
+    rung (map-side partials), a constant-size summary each, and a
+    broadcast of the scalar winning rung — no joins over fact-scale
+    data, so the ladder costs rungs × one dimension aggregation at any
+    scale. Balance cents are offset positive before integer division
+    (Spark DIV truncates toward zero, DuckDB // floors; they only agree
+    on non-negative operands — the x_kanon_audit rule).
+
+    Reference contrast: no privacy surface in the reference
+    (utils/user.py exposes rows by exact id); §2.13 privacy family,
+    completing audit (r12) → minimal-generalization release (r13).
+    """
+    cust = tables(spark, sf_dir)["customer"]
+    nation = tables(spark, sf_dir)["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    cents = (
+        F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        + F.lit(_KANON_OFFSET_CENTS)
+    )
+    specs: list[tuple[int, str, DataFrame]] = []
+    for i, width in enumerate(_KGEN_WIDTHS):
+        specs.append(
+            (
+                i,
+                f"nation+bal${width // 100}",
+                cust.groupBy(
+                    "c_nationkey", (cents / F.lit(width)).cast("long").alias("b")
+                ).agg(F.count("*").alias("cs")),
+            )
+        )
+    specs.append(
+        (3, "nation", cust.groupBy("c_nationkey").agg(F.count("*").alias("cs")))
+    )
+    specs.append(
+        (
+            4,
+            "region",
+            cust.join(F.broadcast(nation), "c_nationkey")
+            .groupBy("n_regionkey")
+            .agg(F.count("*").alias("cs")),
+        )
+    )
+    rows = None
+    for rung, qi, classes in specs:
+        summary = classes.agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.coalesce(
+                F.sum(F.when(F.col("cs") < _KANON_K, F.col("cs"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_rows_below_k"),
+        ).select(
+            F.lit(rung).cast("int").alias("rung"),
+            F.lit(qi).alias("qi"),
+            "n_classes",
+            "n_rows_below_k",
+        )
+        rows = summary if rows is None else rows.unionByName(summary)
+    assert rows is not None
+    pick = rows.where(F.col("n_rows_below_k") == 0).agg(
+        F.min("rung").alias("m")
+    )
+    return (
+        rows.crossJoin(F.broadcast(pick))
+        .select(
+            "rung",
+            "qi",
+            "n_classes",
+            "n_rows_below_k",
+            (F.col("n_rows_below_k") == 0).alias("k_ok"),
+            (F.col("rung") == F.col("m")).alias("chosen"),
+        )
+        .orderBy("rung")
+    )
+
+
+x_kanon_generalize.__doc__ = x_kanon_generalize.__doc__.format(k=_KANON_K)
+
+
+# ---------------------------------------------------------------------------
 # Differential privacy: seeded discrete-Laplace histogram release
 # ---------------------------------------------------------------------------
 

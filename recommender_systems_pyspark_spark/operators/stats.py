@@ -1165,3 +1165,78 @@ def x_fd_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_fd_profile_approx.__doc__ = x_fd_profile_approx.__doc__.format(
     rsd=_FD_APPROX_RSD, bound=_FD_APPROX_BOUND_PPM
 )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup: day HLL sketches union-merged to months (round 13)
+# ---------------------------------------------------------------------------
+
+_HLL_ERR_PCT = 2  # loud bound: Datasketches HLL at default lgConfigK=12 has
+                  # ~0.8% relative standard error; a rollup estimate drifting
+                  # past 2% of exact hash-mismatches the oracle's 0 bucket
+
+
+@query(
+    "x_hll_rollup_merge",
+    oracle=f"""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+             AS n_hour_sketches,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CAST(0 AS BIGINT) AS err_gt_{_HLL_ERR_PCT}pct
+    FROM events GROUP BY 1
+    """,
+)
+def x_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count rollup: per-HOUR Datasketches HLL
+    sketches of active users (``hll_sketch_agg``), union-merged to
+    coarser windows (``hll_union_agg``; hour → day here, day → month at
+    production horizons) WITHOUT re-scanning raw events —
+    THE 100 TB distinct-count architecture (store O(kB) day sketches;
+    any coarser window is a register-max merge, where exact distinct
+    would re-shuffle the raw corpus per rollup). Sketch merging is
+    order-independent (per-register max) and the Datasketches HLL is
+    deterministic for fixed input values, so the whole pipeline is
+    reproducible.
+
+    Certification split (the x_fd_profile_approx doctrine, here made
+    hash-green): DuckDB cannot replay Spark's HLL registers, so the
+    oracle certifies (a) the EXACT per-month distinct (audit tier,
+    recomputed from raw at fixture scale) and (b) the error BOUND — the
+    Spark side emits floor(|est − exact|·(100/{_HLL_ERR_PCT})/exact),
+    which is 0 iff the merged estimate lands within {_HLL_ERR_PCT}% of
+    exact; the oracle pins the column to literal 0, so an estimator or
+    merge regression hash-mismatches LOUDLY instead of drifting
+    silently.
+
+    Reference contrast: no sketch surface in the reference; extends
+    §2.13's drift/diagnostics family (HLL NDV r12, KMV overlap r12,
+    CountMin r11) with the mergeable-rollup face.
+    """
+    ev = tables(spark, sf_dir)["events"].select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "user_id",
+    )
+    hour_sketches = ev.groupBy("day", "hour").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    daily = hour_sketches.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_hour_sketches"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return daily.join(exact, "day").select(
+        "day",
+        "n_hour_sketches",
+        "exact_distinct",
+        F.floor(
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            * F.lit(100.0 / _HLL_ERR_PCT)
+            / F.col("exact_distinct")
+        )
+        .cast("long")
+        .alias(f"err_gt_{_HLL_ERR_PCT}pct"),
+    )

@@ -154,6 +154,10 @@ _QUERY_MODULES = (
 _GRADE_FIRST = (
     # --- new in r13 (inserted as they land): first driver grade ----------
     "f7_f8_row_metadata_det",
+    "x_ivm_agg_delta",
+    "x_hll_rollup_merge",
+    "x_kanon_generalize",
+    "x_cluster_medoids",
     # --- the declared round-13 queue (VERDICT r12 next-step #2) ----------
     "t4_recent_per_user",
     "t7_topk_per_group",
