@@ -1525,3 +1525,90 @@ def x_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_ktruss_peel.__doc__ = x_ktruss_peel.__doc__.format(
     k=_KTRUSS_K, r=_KTRUSS_ROUNDS, m=_KTRUSS_MOD
 )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity moment components (round 13)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_graph_assortativity",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    pairs AS (
+      SELECT du.d AS du, dv.d AS dv
+      FROM edges e
+      JOIN deg du ON du.v = e.src
+      JOIN deg dv ON dv.v = e.dst
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_edge_rows,
+           CAST(SUM(du) AS BIGINT) AS sum_du,
+           CAST(SUM(du * du) AS BIGINT) AS sum_du2,
+           CAST(SUM(du * dv) AS BIGINT) AS sum_dudv,
+           (SELECT CAST(MIN(d) AS BIGINT) FROM deg) AS min_degree,
+           (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree
+    FROM pairs
+    """,
+)
+def x_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity MOMENT COMPONENTS of the co-purchase graph —
+    the exact bigint sums behind Newman's degree-correlation coefficient
+    r = (M·Σdudv − (Σdu)²) / (M·Σdu² − (Σdu)²) over the symmetric
+    edge-endpoint pairs, plus node count and the degree extremes. The
+    float ratio stays OUT of the emitted face (a ratio of emitted
+    bigints adds no information — the x_recs_eval rule); every emitted
+    number is an exact integer both engines must reproduce.
+
+    Why a pipeline wants it: assortativity is the one-number summary of
+    hub-wiring (r < 0: hubs link to leaves — star/spam topology; r > 0:
+    hubs link to hubs — community cores), the cheap pre-flight that
+    predicts whether degree-oriented plans (jaccard/k-truss wedges) will
+    see balanced Σdout² — the engine's own graph operators' cost model
+    depends on exactly these moments.
+
+    Plan: one degree aggregation, two node-keyed joins to decorate each
+    edge row with endpoint degrees, one global sum — linear in |E|,
+    uniform keys, no iteration. The moments are additive, so at 100 TB
+    this runs as ONE pass with map-side partials over the materialized
+    edge snapshot every other graph query already shares.
+
+    Reference contrast: no graph surface in the reference; §2.13 graph
+    family's structural-statistic face (modularity r10 measures a given
+    partition; this measures the raw wiring).
+    """
+    edges = cached_copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    pairs = edges.join(
+        deg.select(F.col("src"), F.col("d").alias("du")), "src"
+    ).join(
+        deg.select(F.col("src").alias("dst"), F.col("d").alias("dv")), "dst"
+    )
+    deg_stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    moments = pairs.agg(
+        F.count("*").cast("long").alias("n_edge_rows"),
+        F.sum("du").cast("long").alias("sum_du"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("sum_du2"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("sum_dudv"),
+    )
+    return moments.join(F.broadcast(deg_stats)).select(
+        "n_nodes",
+        "n_edge_rows",
+        "sum_du",
+        "sum_du2",
+        "sum_dudv",
+        "min_degree",
+        "max_degree",
+    )

@@ -845,3 +845,171 @@ def x_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_mixture_temperature.__doc__ = x_mixture_temperature.__doc__.format(
     q=_MIX_TOTAL_QUOTA
 )
+
+
+# ---------------------------------------------------------------------------
+# Raking / iterative proportional fitting (round 13)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for raking weights (1.0 == 1e6 — weight_ppm).
+_RAKE_SC = 1_000_000
+#: Synchronous IPF rounds (row pass + column pass each), unrolled in the
+#: oracle like the pagerank/BPE recurrences.
+_RAKE_ROUNDS = 3
+
+
+@query(
+    "x_raking_weights",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    rref AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS rt
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    cref AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    w0 AS (
+      SELECT c.source, c.lang, c.n,
+             COALESCE(rref.rt, 0) AS rt, COALESCE(cref.ct, 0) AS ct,
+             CAST(1000000 AS BIGINT) AS w
+      FROM cells c
+      LEFT JOIN rref ON rref.source = c.source
+      LEFT JOIN cref ON cref.lang = c.lang
+    ),
+    rs0 AS (SELECT source, SUM(n * w) AS rs FROM w0 GROUP BY 1),
+    wr0 AS (
+      SELECT w.source, w.lang, w.n, w.rt, w.ct,
+             COALESCE((w.w * ((w.rt * 1000000000000) // NULLIF(rs0.rs, 0))) // 1000000, 0) AS w
+      FROM w0 w JOIN rs0 ON rs0.source = w.source
+    ),
+    cs0 AS (SELECT lang, SUM(n * w) AS cs FROM wr0 GROUP BY 1),
+    w1 AS (
+      SELECT w.source, w.lang, w.n, w.rt, w.ct,
+             COALESCE((w.w * ((w.ct * 1000000000000) // NULLIF(cs0.cs, 0))) // 1000000, 0) AS w
+      FROM wr0 w JOIN cs0 ON cs0.lang = w.lang
+    ),
+    rs1 AS (SELECT source, SUM(n * w) AS rs FROM w1 GROUP BY 1),
+    wr1 AS (
+      SELECT w.source, w.lang, w.n, w.rt, w.ct,
+             COALESCE((w.w * ((w.rt * 1000000000000) // NULLIF(rs1.rs, 0))) // 1000000, 0) AS w
+      FROM w1 w JOIN rs1 ON rs1.source = w.source
+    ),
+    cs1 AS (SELECT lang, SUM(n * w) AS cs FROM wr1 GROUP BY 1),
+    w2 AS (
+      SELECT w.source, w.lang, w.n, w.rt, w.ct,
+             COALESCE((w.w * ((w.ct * 1000000000000) // NULLIF(cs1.cs, 0))) // 1000000, 0) AS w
+      FROM wr1 w JOIN cs1 ON cs1.lang = w.lang
+    ),
+    rs2 AS (SELECT source, SUM(n * w) AS rs FROM w2 GROUP BY 1),
+    wr2 AS (
+      SELECT w.source, w.lang, w.n, w.rt, w.ct,
+             COALESCE((w.w * ((w.rt * 1000000000000) // NULLIF(rs2.rs, 0))) // 1000000, 0) AS w
+      FROM w2 w JOIN rs2 ON rs2.source = w.source
+    ),
+    cs2 AS (SELECT lang, SUM(n * w) AS cs FROM wr2 GROUP BY 1),
+    w3 AS (
+      SELECT w.source, w.lang, w.n, w.rt, w.ct,
+             COALESCE((w.w * ((w.ct * 1000000000000) // NULLIF(cs2.cs, 0))) // 1000000, 0) AS w
+      FROM wr2 w JOIN cs2 ON cs2.lang = w.lang
+    )
+    SELECT source, lang, n AS n_docs,
+           CAST(w AS BIGINT) AS weight_ppm,
+           CAST((n * w) // 1000000 AS BIGINT) AS weighted_count
+    FROM w3
+    ORDER BY source, lang
+""",
+)
+def x_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking (iterative proportional fitting) of per-cell sampling
+    weights over the (source × lang) grid: {r} synchronous IPF rounds
+    alternately scale each cell weight so the WEIGHTED row marginals
+    match the reference row targets, then the column marginals the
+    column targets — the post-stratification estimator survey
+    statistics and dataset-mixture reweighting both rest on (Deming &
+    Stephan 1940). Targets here are the marginals of a deterministic
+    reference half (doc_id % 2 = 0): "reweight the full corpus so its
+    source AND language mixes match the reference sample" — the 2-D
+    version of what x_mixture_resample does per 1-D source quota, for
+    the case where per-cell targets are unknown and only the two
+    marginal mixes are specified.
+
+    All arithmetic is fixed-point bigint (weights in ppm of 1.0,
+    scaling factors (target·SC²) DIV marginal-mass, one DIV per pass) —
+    deterministic, order-independent, and replayable by the oracle's
+    unrolled CTE chain; operands stay nonnegative so Spark's
+    truncate-toward-zero DIV and DuckDB's flooring ``//`` agree (the
+    repo-wide integer-DIV rule). Cells whose source or lang is absent
+    from the reference get factor 0 → weight 0 (excluded mass), guarded
+    by NULLIF/COALESCE on both engines.
+
+    Scale: the cell grid is |sources|·|langs| — METADATA-scale next to
+    the corpus scan that builds it (one uniform groupBy); every IPF
+    pass is a groupBy + broadcast join over that grid, so rounds cost
+    nothing at 100 TB and the single corpus-scale operation is the
+    initial count. Weight application downstream is a broadcast-map.
+
+    Reference contrast: no weighting surface in the reference; §2.13
+    mixture family (resample r11, temperature r12) — this adds the
+    marginal-matching face.
+    """
+    docs = tables(spark, sf_dir)["documents"].select("doc_id", "source", "lang")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    rref = ref.groupBy("source").agg(F.count("*").cast("long").alias("rt"))
+    cref = ref.groupBy("lang").agg(F.count("*").cast("long").alias("ct"))
+    w = (
+        cells.join(F.broadcast(rref), "source", "left")
+        .join(F.broadcast(cref), "lang", "left")
+        .select(
+            "source",
+            "lang",
+            "n",
+            F.coalesce(F.col("rt"), F.lit(0)).alias("rt"),
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.lit(_RAKE_SC).cast("long").alias("w"),
+        )
+    )
+    sc2 = F.lit(_RAKE_SC * _RAKE_SC).cast("long")
+
+    def pass_(frame: DataFrame, key: str, target: str) -> DataFrame:
+        mass = frame.groupBy(key).agg(F.sum(F.col("n") * F.col("w")).alias("ms"))
+        return (
+            frame.join(F.broadcast(mass), key)
+            .select(
+                "source",
+                "lang",
+                "n",
+                "rt",
+                "ct",
+                F.coalesce(
+                    F.expr(
+                        f"(w * (({target} * {_RAKE_SC * _RAKE_SC}) DIV"
+                        f" nullif(ms, 0))) DIV {_RAKE_SC}"
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("w"),
+            )
+        )
+
+    for _ in range(_RAKE_ROUNDS):
+        w = pass_(w, "source", "rt")
+        w = pass_(w, "lang", "ct")
+    return w.select(
+        "source",
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("w").alias("weight_ppm"),
+        F.expr(f"(n * w) DIV {_RAKE_SC}").cast("long").alias("weighted_count"),
+    ).orderBy("source", "lang")
+
+
+x_raking_weights.__doc__ = x_raking_weights.__doc__.format(r=_RAKE_ROUNDS)

@@ -689,10 +689,11 @@ def ahash_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["doc_id", "w0", "w1", "w2", "w3"])
 
 
-@query(
-    "x_media_ahash_pairs",
-    oracle=f"""
-    WITH imgs AS (
+#: Shared oracle CTE chain: ASCII-image gate -> per-position bits ->
+#: 16-bit band words -> banded candidate pairs -> Hamming-scored pairs.
+#: Reused verbatim by x_media_ahash_pairs and x_media_dedup_e2e so both
+#: faces replay the identical decode -> hash -> band -> distance chain.
+_AHASH_SQL_CTES = f"""imgs AS (
       SELECT doc_id, text FROM documents
       WHERE doc_id % 3 = 0 AND length(text) > 0
         AND octet_length(encode(text)) = length(text)
@@ -718,33 +719,23 @@ def ahash_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       FROM words a JOIN words b
         ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT c.doc_a, c.doc_b, c.shared_bands,
-           CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER)
-             AS hamming
-    FROM cand c
-    JOIN bits x ON x.doc_id = c.doc_a
-    JOIN bits y ON y.doc_id = c.doc_b AND y.i = x.i
-    GROUP BY c.doc_a, c.doc_b, c.shared_bands
-    ORDER BY c.doc_a, c.doc_b
-    """,
-)
-def x_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-dup candidates over DECODED images: a 64-bit
-    average hash per image (decode → integer-stride 64-sample thumbnail →
-    threshold on the sampled mean, all exact integer math), banded into
-    4×16-bit words; any two images sharing a band value become a
-    candidate pair and are scored with their full Hamming distance. The
-    downstream dedup policy thresholds ``hamming``; this ledger certifies
-    the decode → hash → band → distance chain (by the 4-band pigeonhole,
-    every pair within Hamming ≤ 3 is guaranteed a shared band).
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b, c.shared_bands,
+             CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER)
+               AS hamming
+      FROM cand c
+      JOIN bits x ON x.doc_id = c.doc_a
+      JOIN bits y ON y.doc_id = c.doc_b AND y.i = x.i
+      GROUP BY c.doc_a, c.doc_b, c.shared_bands
+    )"""
 
-    Scale (100 TB of images): hashing is one map-only Arrow-batched pass
-    over the blobs; pairing is an equi-join on (band, word) — the
-    SimHash blocking scheme (`dedup.simhash_pairs_blocked`) applied to a
-    PERCEPTUAL hash, so candidate count grows with bucket collisions,
-    never images². The oracle replays the full chain from the ASCII
-    payload bytes (same gate as the other media oracles)."""
+
+def ahash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, shared_bands, hamming) — the banded aHash candidate
+    pairs with full Hamming scores, unordered. Shared by
+    x_media_ahash_pairs (the ledger face) and x_media_dedup_e2e (the
+    composed dedup pipeline)."""
     m = encoded_media_table(spark, sf_dir).where(
         (F.col("media_type") == "image")
         & (F.col("byte_len") > 0)
@@ -799,8 +790,136 @@ def x_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ha, "doc_a")
         .join(hb, "doc_b")
         .select("doc_a", "doc_b", "shared_bands", ham.alias("hamming"))
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "x_media_ahash_pairs",
+    oracle=f"""
+    WITH {_AHASH_SQL_CTES}
+    SELECT doc_a, doc_b, shared_bands, hamming
+    FROM scored
+    ORDER BY doc_a, doc_b
+    """,
+)
+def x_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup candidates over DECODED images: a 64-bit
+    average hash per image (decode → integer-stride 64-sample thumbnail →
+    threshold on the sampled mean, all exact integer math), banded into
+    4×16-bit words; any two images sharing a band value become a
+    candidate pair and are scored with their full Hamming distance. The
+    downstream dedup policy thresholds ``hamming``; this ledger certifies
+    the decode → hash → band → distance chain (by the 4-band pigeonhole,
+    every pair within Hamming ≤ 3 is guaranteed a shared band).
+
+    Scale (100 TB of images): hashing is one map-only Arrow-batched pass
+    over the blobs; pairing is an equi-join on (band, word) — the
+    SimHash blocking scheme (`dedup.simhash_pairs_blocked`) applied to a
+    PERCEPTUAL hash, so candidate count grows with bucket collisions,
+    never images². The oracle replays the full chain from the ASCII
+    payload bytes (same gate as the other media oracles)."""
+    return ahash_scored_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+#: Hamming threshold (of 64 bits) below which two banded candidates are
+#: the same image for dedup purposes. Random unrelated pairs center at
+#: ~32; banded candidates on this corpus score 10-21, so 12 keeps the
+#: tight half — a POLICY knob, deterministic either way.
+_MEDIA_DEDUP_HAM = 12
+
+
+@query(
+    "x_media_dedup_e2e",
+    oracle=f"""
+    WITH RECURSIVE {_AHASH_SQL_CTES},
+    dup_pairs AS (
+      SELECT doc_a AS src, doc_b AS dst FROM scored
+      WHERE hamming <= {_MEDIA_DEDUP_HAM}
+    ),
+    sym AS (SELECT src, dst FROM dup_pairs
+            UNION ALL SELECT dst, src FROM dup_pairs),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM imgs
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN sym e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+    sized AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size, MIN(id) AS keeper
+      FROM comp GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_dropped,
+           CAST(bit_xor(keeper) AS BIGINT) AS keepers_xor
+    FROM sized GROUP BY 1 ORDER BY 1
+    """,
+)
+def x_media_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed perceptual image dedup, decode → keep-list: aHash the
+    decodable images (Arrow map-only), band-join candidates, keep edges
+    with Hamming ≤ {h}/64, contract to connected components (transitive
+    closure — A≈B≈C is ONE image even when A,C share no band), elect the
+    lowest doc_id per cluster, and emit the cluster-size histogram with
+    dropped-copy counts and an order-independent xor of the keepers. The
+    media twin of x_dedup_e2e: the text pipeline dedups near-identical
+    PROSE, this dedups near-identical PIXELS — re-encoded or
+    slightly-corrupted copies that exact sha256 dedup (x_dedup_exact)
+    cannot see.
+
+    Scale: the only per-byte work is the one decode+hash pass; pairing
+    is the banded equi-join (collision-bounded, never images²), the
+    closure is star-contraction join rounds over DUP EDGES ONLY (dup
+    density, not corpus size), and the election is one groupBy. The
+    oracle replays the identical chain — hash bits, banding, threshold,
+    recursive closure, election — from the ASCII payloads.
+
+    Reference contrast: no media surface in the reference; completes
+    §2.13's multimodal family (metadata/features/resize/frames/ahash/
+    audio/video/codec) with the end-to-end dedup decision an ingest
+    pipeline actually executes."""
+    pairs = (
+        ahash_scored_pairs(spark, sf_dir)
+        .where(F.col("hamming") <= _MEDIA_DEDUP_HAM)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    imgs = (
+        encoded_media_table(spark, sf_dir)
+        .where(
+            (F.col("media_type") == "image")
+            & (F.col("byte_len") > 0)
+            & (
+                F.col("byte_len")
+                == F.char_length(F.decode(F.col("payload"), "UTF-8"))
+            )
+        )
+        .select(F.col("doc_id").alias("id"))
+    )
+    from ..functions.graph import connected_components
+
+    comp = connected_components(pairs, imgs)
+    sized = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("id").alias("keeper"),
+    )
+    return (
+        sized.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+            F.expr("bit_xor(keeper)").cast("long").alias("keepers_xor"),
+        )
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_dropped",
+            "keepers_xor",
+        )
+        .orderBy("cluster_size")
+    )
+
+
+x_media_dedup_e2e.__doc__ = x_media_dedup_e2e.__doc__.format(h=_MEDIA_DEDUP_HAM)
 
 
 # ---------------------------------------------------------------------------

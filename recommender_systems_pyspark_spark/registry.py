@@ -158,6 +158,11 @@ _GRADE_FIRST = (
     "x_hll_rollup_merge",
     "x_kanon_generalize",
     "x_cluster_medoids",
+    "x_ndcg_eval",
+    "x_raking_weights",
+    "x_cdc_net_effect",
+    "x_graph_assortativity",
+    "x_media_dedup_e2e",
     # --- the declared round-13 queue (VERDICT r12 next-step #2) ----------
     "t4_recent_per_user",
     "t7_topk_per_group",

@@ -206,3 +206,112 @@ def s12_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Changelog net-effect compaction (round 13)
+# ---------------------------------------------------------------------------
+
+#: Deterministic base-snapshot membership: keys with user_id % 3 == 0
+#: existed in the serving table BEFORE this changelog window.
+_NET_BASE_MOD = 3
+
+
+@query(
+    "x_cdc_net_effect",
+    oracle=f"""
+    WITH feed AS (
+      SELECT user_id,
+             event_id AS version,
+             value,
+             CASE WHEN event_id % {_DELETE_MOD} = 0 THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    collapsed AS (
+      SELECT user_id,
+             arg_max(op, version) AS last_op,
+             arg_max(value, version) AS last_value,
+             MAX(version) AS last_version,
+             COUNT(*) AS n_src
+      FROM feed GROUP BY 1
+    ),
+    net AS (
+      SELECT *,
+             CASE
+               WHEN last_op = 'U' AND user_id % {_NET_BASE_MOD} = 0
+                 THEN 'UPDATE'
+               WHEN last_op = 'U' THEN 'INSERT'
+               WHEN user_id % {_NET_BASE_MOD} = 0 THEN 'DELETE'
+               ELSE 'NOOP'
+             END AS net_op
+      FROM collapsed
+    )
+    SELECT net_op,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_src) AS BIGINT) AS n_src_ops,
+           CAST(COALESCE(SUM(CASE WHEN net_op IN ('UPDATE', 'INSERT')
+                 THEN CAST(floor(last_value * 100 + 0.5) AS BIGINT) END), 0)
+                AS BIGINT) AS final_value_cents,
+           CAST(bit_xor(last_version) AS BIGINT) AS versions_xor
+    FROM net GROUP BY 1 ORDER BY 1
+    """,
+)
+def x_cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog NET-EFFECT compaction — the batch pre-pass that turns a
+    raw CDC window (every upsert and delete, s12's feed verbatim) into
+    at most ONE effective operation per key BEFORE the expensive MERGE:
+    per key the last-writer op wins, and its meaning depends on whether
+    the key existed in the base snapshot — U→UPDATE (existed) or INSERT
+    (new), D→DELETE (existed) or NOOP (created and destroyed entirely
+    within the window, touching the target zero times). Emits per
+    net-op class: key count, source ops collapsed (the compaction
+    ratio's numerator), exact-cents sum of final upsert values, and an
+    order-independent xor of winning versions.
+
+    A MERGE joins the target per SOURCE ROW; at 100 TB feeds with hot
+    keys the net-effect pass cuts that join's probe side to |keys| and
+    drops NOOP churn before it ever reaches the table — the standard
+    Debezium/Delta-CDF consumer optimization. Plan: one map-side
+    max_by/count aggregation over the feed (uniform user keys), the
+    base-membership predicate is computed, not joined; then a
+    constant-size class rollup. s12 certifies APPLY semantics
+    (last-writer-wins with tombstones); this face certifies the
+    compaction that makes apply affordable.
+    """
+    feed = changefeed(spark, sf_dir)
+    collapsed = feed.groupBy("user_id").agg(
+        F.max_by("op", "version").alias("last_op"),
+        F.max_by("value", "version").alias("last_value"),
+        F.max("version").alias("last_version"),
+        F.count("*").alias("n_src"),
+    )
+    in_base = F.col("user_id") % _NET_BASE_MOD == 0
+    net = collapsed.withColumn(
+        "net_op",
+        F.when((F.col("last_op") == "U") & in_base, "UPDATE")
+        .when(F.col("last_op") == "U", "INSERT")
+        .when(in_base, "DELETE")
+        .otherwise("NOOP"),
+    )
+    return (
+        net.groupBy("net_op")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("n_src").cast("long").alias("n_src_ops"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("net_op").isin("UPDATE", "INSERT"),
+                        F.floor(F.col("last_value") * 100 + F.lit(0.5)).cast(
+                            "long"
+                        ),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("final_value_cents"),
+            F.expr("bit_xor(last_version)").cast("long").alias("versions_xor"),
+        )
+        .orderBy("net_op")
+    )
