@@ -154,6 +154,20 @@ RECORD_ONLY = [
     "x_phrase_search",
     "x_ktruss_peel",
     "x_scc_condensation",
+    # Round-13 shapes (own baselines from this round's first recording):
+    # deterministic row stamping, aggregate IVM, mergeable-HLL rollup,
+    # generalization ladder, medoids, NDCG, raking, CDC net-effect,
+    # assortativity moments, composed perceptual media dedup.
+    "f7_f8_row_metadata_det",
+    "x_ivm_agg_delta",
+    "x_hll_rollup_merge",
+    "x_kanon_generalize",
+    "x_cluster_medoids",
+    "x_ndcg_eval",
+    "x_raking_weights",
+    "x_cdc_net_effect",
+    "x_graph_assortativity",
+    "x_media_dedup_e2e",
 ]
 
 

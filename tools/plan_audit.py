@@ -172,6 +172,17 @@ DEFAULT_QUERIES = [
     "x_phrase_search",
     "x_ktruss_peel",
     "x_scc_condensation",
+    # round-13 queries
+    "f7_f8_row_metadata_det",
+    "x_ivm_agg_delta",
+    "x_hll_rollup_merge",
+    "x_kanon_generalize",
+    "x_cluster_medoids",
+    "x_ndcg_eval",
+    "x_raking_weights",
+    "x_cdc_net_effect",
+    "x_graph_assortativity",
+    "x_media_dedup_e2e",
 ]
 
 

@@ -166,6 +166,18 @@ DEFAULT_QUERIES = (
     "x_phrase_search",
     "x_ktruss_peel",
     "x_scc_condensation",
+    # round-13 additions: the new corpus/feed-scale shapes. f7_f8_det and
+    # x_kanon_generalize stay out (pure dim-scale map/agg, like the other
+    # f*/dim faces); x_raking_weights is metadata-scale after its one
+    # corpus count but rides along as the mixture family's 10x row.
+    "x_ivm_agg_delta",
+    "x_hll_rollup_merge",
+    "x_cluster_medoids",
+    "x_ndcg_eval",
+    "x_raking_weights",
+    "x_cdc_net_effect",
+    "x_graph_assortativity",
+    "x_media_dedup_e2e",
 )
 
 
