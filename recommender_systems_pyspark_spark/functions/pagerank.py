@@ -1329,6 +1329,10 @@ def _edge_support(cur: DataFrame, pack_ok: bool = False) -> DataFrame:
     # exploded to its 3 canonical edges in ONE pass (array-of-structs
     # explode, never a 3-way unionAll — a union would re-run the whole
     # wedge+closure join per branch: measured 41 s vs ~10 s at sf0.1).
+    # Closure is SHUFFLE_HASH with the edge side as the build (the
+    # x_graph_jaccard r13 rule): sort-merge would sort the full wedge
+    # volume per round — the spill that made jaccard 12.76× at 10× data —
+    # while hash streams it with zero memory against an |E|/parts build.
     if pack_ok:
         wedges = o1.join(o2, wedge_cond).select(
             F.col("o1.c").alias("a"),
@@ -1337,7 +1341,7 @@ def _edge_support(cur: DataFrame, pack_ok: bool = False) -> DataFrame:
         closing = oriented.select(
             (F.shiftleft(F.col("c"), 32) + F.col("y")).alias("bk")
         )
-        tri = wedges.join(closing, "bk").select(
+        tri = wedges.join(closing.hint("shuffle_hash"), "bk").select(
             "a",
             F.shiftright(F.col("bk"), 32).alias("b"),
             F.expr("bk & 4294967295").alias("c2"),
@@ -1349,7 +1353,9 @@ def _edge_support(cur: DataFrame, pack_ok: bool = False) -> DataFrame:
             F.col("o2.y").alias("c2"),
         )
         tri = wedges.join(
-            oriented.select(F.col("c").alias("b"), F.col("y").alias("c2")),
+            oriented.select(F.col("c").alias("b"), F.col("y").alias("c2")).hint(
+                "shuffle_hash"
+            ),
             ["b", "c2"],
         )
     exploded = tri.select(
