@@ -964,9 +964,26 @@ def x_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.where(F.col("doc_id") % 2 == 0)
     rref = ref.groupBy("source").agg(F.count("*").cast("long").alias("rt"))
     cref = ref.groupBy("lang").agg(F.count("*").cast("long").alias("ct"))
+    return rake_cell_weights(cells, rref, cref).orderBy("source", "lang")
+
+
+x_raking_weights.__doc__ = x_raking_weights.__doc__.format(r=_RAKE_ROUNDS)
+
+
+def rake_cell_weights(
+    cells: DataFrame,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    rounds: int = _RAKE_ROUNDS,
+) -> DataFrame:
+    """The IPF core behind x_raking_weights, reusable on any 2-D grid:
+    ``cells`` (source, lang, n), ``row_targets`` (source, rt),
+    ``col_targets`` (lang, ct). Returns (source, lang, n_docs,
+    weight_ppm, weighted_count). Hypothesis property-tests replay the
+    exact fixed-point recurrence in pure python on random grids."""
     w = (
-        cells.join(F.broadcast(rref), "source", "left")
-        .join(F.broadcast(cref), "lang", "left")
+        cells.join(F.broadcast(row_targets), "source", "left")
+        .join(F.broadcast(col_targets), "lang", "left")
         .select(
             "source",
             "lang",
@@ -976,7 +993,6 @@ def x_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_RAKE_SC).cast("long").alias("w"),
         )
     )
-    sc2 = F.lit(_RAKE_SC * _RAKE_SC).cast("long")
 
     def pass_(frame: DataFrame, key: str, target: str) -> DataFrame:
         mass = frame.groupBy(key).agg(F.sum(F.col("n") * F.col("w")).alias("ms"))
@@ -1000,7 +1016,7 @@ def x_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    for _ in range(_RAKE_ROUNDS):
+    for _ in range(rounds):
         w = pass_(w, "source", "rt")
         w = pass_(w, "lang", "ct")
     return w.select(
@@ -1009,7 +1025,4 @@ def x_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_docs"),
         F.col("w").alias("weight_ppm"),
         F.expr(f"(n * w) DIV {_RAKE_SC}").cast("long").alias("weighted_count"),
-    ).orderBy("source", "lang")
-
-
-x_raking_weights.__doc__ = x_raking_weights.__doc__.format(r=_RAKE_ROUNDS)
+    )

@@ -375,3 +375,130 @@ def test_cdc_merge_law_is_partition_invariant(ops, cuts, data):
     for key, (v, o, _val, _n) in expect.items():
         if o == "D":
             assert state[key][1] == "D"
+
+
+# ---------------------------------------------------------------------------
+# Raking (IPF) fixed-point recurrence vs a pure-python replay (round 13)
+# ---------------------------------------------------------------------------
+
+_CELL = st.tuples(
+    st.integers(0, 2),  # source index (small domain -> shared marginals)
+    st.integers(0, 2),  # lang index
+    st.integers(1, 50),  # cell count
+)
+
+
+@given(
+    cells=st.lists(_CELL, min_size=1, max_size=9, unique_by=lambda c: (c[0], c[1])),
+    rts=st.lists(st.integers(0, 40), min_size=3, max_size=3),
+    cts=st.lists(st.integers(0, 40), min_size=3, max_size=3),
+    rounds=st.integers(1, 3),
+)
+@_SPARK_SETTINGS
+def test_raking_matches_python_fixed_point_replay(spark, cells, rts, cts, rounds):
+    """The IPF weight recurrence is exact bigint fixed-point arithmetic —
+    a pure-python replay with the same DIV/NULLIF law must agree BIT FOR
+    BIT, including zero-target rows, zero-mass guards, and missing
+    cells (hypothesis finds the branchy cases the fixture never hits)."""
+    from recommender_systems_pyspark_spark.functions.strata import (
+        _RAKE_SC,
+        rake_cell_weights,
+    )
+
+    cdf = spark.createDataFrame(
+        [(f"s{s}", f"l{l}", n) for s, l, n in cells], "source string, lang string, n long"
+    )
+    rdf = spark.createDataFrame(
+        [(f"s{i}", t) for i, t in enumerate(rts)], "source string, rt long"
+    )
+    ldf = spark.createDataFrame(
+        [(f"l{i}", t) for i, t in enumerate(cts)], "lang string, ct long"
+    )
+    got = {
+        (r.source, r.lang): (r.weight_ppm, r.weighted_count)
+        for r in rake_cell_weights(cdf, rdf, ldf, rounds).collect()
+    }
+
+    # pure-python replay of the identical fixed-point recurrence
+    w = {
+        (f"s{s}", f"l{l}"): [n, rts[s], cts[l], _RAKE_SC] for s, l, n in cells
+    }
+
+    def do_pass(key_idx, target_idx):
+        mass = {}
+        for k, (n, rt, ct, wv) in w.items():
+            mass[k[key_idx]] = mass.get(k[key_idx], 0) + n * wv
+        for k, rec in w.items():
+            ms = mass[k[key_idx]]
+            t = rec[1 + target_idx]
+            if ms == 0:
+                rec[3] = 0
+            else:
+                # python // floors; operands are nonnegative here, matching
+                # Spark DIV (truncate-toward-zero) exactly
+                rec[3] = (rec[3] * ((t * _RAKE_SC * _RAKE_SC) // ms)) // _RAKE_SC
+        return
+
+    for _ in range(rounds):
+        do_pass(0, 0)  # row pass on source targets
+        do_pass(1, 1)  # column pass on lang targets
+    want = {
+        k: (rec[3], (rec[0] * rec[3]) // _RAKE_SC) for k, rec in w.items()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC net-effect law: applying net ops == applying the full feed (round 13)
+# ---------------------------------------------------------------------------
+
+_OP = st.tuples(
+    st.integers(0, 4),  # key (small domain -> multi-op keys are common)
+    st.integers(0, 1),  # 0 = upsert, 1 = delete
+    st.integers(0, 99),  # value
+)
+
+
+@given(ops=st.lists(_OP, min_size=1, max_size=16), base_mod=st.integers(2, 3))
+@_SPARK_SETTINGS
+def test_cdc_net_effect_equals_full_feed_apply(spark, ops, base_mod):
+    """For ANY feed, classifying per-key last-writer ops against base
+    membership and applying only the net ops must produce the same final
+    table as replaying the entire feed — the compaction-correctness law
+    x_cdc_net_effect's summary face rests on."""
+    feed = [
+        (k, i, float(v), "D" if d else "U") for i, (k, d, v) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(feed, "user_id long, version long, value double, op string")
+    collapsed = df.groupBy("user_id").agg(
+        F.max_by("op", "version").alias("last_op"),
+        F.max_by("value", "version").alias("last_value"),
+    )
+    in_base = F.col("user_id") % base_mod == 0
+    net = collapsed.withColumn(
+        "net_op",
+        F.when((F.col("last_op") == "U") & in_base, "UPDATE")
+        .when(F.col("last_op") == "U", "INSERT")
+        .when(in_base, "DELETE")
+        .otherwise("NOOP"),
+    ).collect()
+
+    # python full-feed replay: last op per key wins, D kills the key
+    last = {}
+    for k, ver, v, op in feed:
+        if k not in last or ver > last[k][0]:
+            last[k] = (ver, v, op)
+    base_keys = {k for k, *_ in feed if k % base_mod == 0}
+    final_full = {
+        k: v for k, (_, v, op) in last.items() if op == "U"
+    }
+    # net-op application to the base snapshot
+    final_net = {}
+    for r in net:
+        if r.net_op in ("INSERT", "UPDATE"):
+            final_net[r.user_id] = r.last_value
+        elif r.net_op == "DELETE":
+            assert r.user_id in base_keys
+        else:  # NOOP must involve a key outside the base that ends deleted
+            assert r.user_id not in base_keys
+    assert final_net == final_full
