@@ -163,6 +163,7 @@ _GRADE_FIRST = (
     "x_cdc_net_effect",
     "x_graph_assortativity",
     "x_media_dedup_e2e",
+    "s19_dynamic_session_gap",
     # --- the declared round-13 queue (VERDICT r12 next-step #2) ----------
     "t4_recent_per_user",
     "t7_topk_per_group",

@@ -145,6 +145,30 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", late_threshold: s
     )
 
 
+def session_counts_dynamic(
+    events: DataFrame, late_threshold: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked DYNAMIC-GAP session windows — the streaming face of
+    s19_dynamic_session_gap: the inactivity gap is a per-event column
+    expression (purchase 10 m / click 20 m / error 15 m / else 30 m), so
+    open-session state extends by a different horizon per event type.
+    Same state bound as the fixed-gap face: one open session per user,
+    closed when the watermark passes its running (max ts + gap) end."""
+    from .windows import dynamic_session_gap
+
+    return (
+        events.withWatermark("ts", late_threshold)
+        .groupBy(F.session_window("ts", dynamic_session_gap()).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def start_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> StreamingQuery:

@@ -157,3 +157,110 @@ def s7_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     redelivered = events.unionByName(events)
     return redelivered.dropDuplicates(["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows (round 13)
+# ---------------------------------------------------------------------------
+
+#: Per-event-type inactivity gap: transactional events close sessions
+#: fast, browsing events slowly — the per-activity session policy real
+#: clickstream pipelines run (a purchase ends intent quickly; a view
+#: keeps the session alive longest).
+_DYN_GAPS = (("purchase", 10), ("click", 20), ("error", 15))
+_DYN_DEFAULT_MIN = 30
+
+
+def dynamic_session_gap(col: str = "event_type"):
+    """The per-event gap expression shared by the batch face, the
+    streaming face, and (as SQL CASE) the oracle."""
+    # STRING interval literals, not INTERVAL expressions: session_window's
+    # dynamic-gap overload requires CalendarIntervalType, and a string
+    # branch is cast there while `INTERVAL 10 MINUTES` yields the
+    # non-castable DayTimeIntervalType (AnalysisException).
+    expr = None
+    for etype, minutes in _DYN_GAPS:
+        lit = F.lit(f"{minutes} minutes")
+        branch = F.when(F.col(col) == etype, lit)
+        expr = branch if expr is None else expr.when(F.col(col) == etype, lit)
+    return expr.otherwise(F.lit(f"{_DYN_DEFAULT_MIN} minutes"))
+
+
+_DYN_GAP_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{e}' THEN INTERVAL {m} MINUTE" for e, m in _DYN_GAPS)
+    + f" ELSE INTERVAL {_DYN_DEFAULT_MIN} MINUTE END"
+)
+
+
+@query(
+    "s19_dynamic_session_gap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value, ts + {_DYN_GAP_SQL} AS w_end
+      FROM events
+    ), e AS (
+      SELECT user_id, ts, value, w_end,
+             MAX(w_end) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_end
+      FROM g
+    ), s AS (
+      SELECT user_id, ts, value, w_end,
+             SUM(CASE WHEN prev_end IS NULL OR ts > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s_src
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(w_end) AS session_end,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value', 'total_value')}
+    FROM s GROUP BY user_id, sid
+    """.replace("FROM s_src", "FROM e"),
+)
+def s19_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event inactivity gap
+    (``session_window(ts, <column expression>)`` — the Structured
+    Streaming API face s3's fixed 30-minute gap cannot exercise):
+    purchases close a session after 10 idle minutes, clicks after 20,
+    errors after 15, everything else after 30. Each event contributes a
+    candidate window [ts, ts + gap(event)); overlapping candidates merge,
+    so session_end is the MAX of member (ts + gap) — not last-event +
+    constant — and the merge rule is non-strict at the boundary (an
+    event at exactly the running end joins, matching s3's empirically
+    verified fixed-gap semantics).
+
+    Oracle: gaps-and-islands generalized to variable gaps — the running
+    session end is a cumulative MAX of (ts + gap) over preceding events
+    (a constant-gap island oracle compares against lag(ts) only and is
+    WRONG here: a long-gap event can hold the session open across a
+    short-gap successor). Duplicate (user_id, ts) rows leave the window
+    order ambiguous but not the session MEMBERSHIP: a tied row's
+    candidate end is ≥ ts, so ties never break sessions in any order.
+
+    Scale: identical shape to s3 — one (user, session) keyed aggregation;
+    in streaming mode the state is one open session per user bounded by
+    the watermark horizon; the gap expression is row-local codegen.
+    tests/test_streaming.py runs the REAL watermarked stream face
+    (engine.session_counts_dynamic) and cross-checks it against this
+    batch plan."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", dynamic_session_gap()).alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -494,3 +494,74 @@ def test_s9_stream_state_equals_batch_aggregate(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_dynamic_gap_sessions_stream_matches_batch(spark, stream_dir):
+    """The REAL watermarked dynamic-gap session stream must emit the same
+    closed sessions as the batch face: a purchase's 10-minute gap closes
+    its session where a view's 30-minute gap would have held it open —
+    the per-event-type policy is visible in the emitted boundaries."""
+    from recommender_systems_pyspark_spark.streaming.engine import (
+        session_counts_dynamic,
+    )
+
+    rows = [
+        _ev(1, "2024-01-01 00:00:00", typ="purchase"),  # ends 00:10
+        _ev(2, "2024-01-01 00:12:00", typ="view"),      # NEW session (gap>10m), ends 00:42
+        _ev(3, "2024-01-01 00:40:00", typ="click"),     # merges (<=00:42), ends 01:00
+        _ev(4, "2024-01-01 06:00:00", typ="view"),      # watermark driver
+    ]
+    _write_batch(stream_dir, "batch0", rows)
+    q = start_to_memory(
+        session_counts_dynamic(read_event_stream(spark, stream_dir)),
+        "stream_dyn_sessions",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r.session_start), str(r.session_end)): r.n_events
+            for r in spark.sql("SELECT * FROM stream_dyn_sessions").collect()
+        }
+    finally:
+        q.stop()
+    # closed sessions: the purchase singleton and the view+click pair
+    assert got[("2024-01-01 00:00:00", "2024-01-01 00:10:00")] == 1
+    assert got[("2024-01-01 00:12:00", "2024-01-01 01:00:00")] == 2
+    # the 06:00 view's session is still open (append emits closed only)
+    assert ("2024-01-01 06:00:00", "2024-01-01 06:30:00") not in got
+
+
+def test_dynamic_gap_long_event_holds_session_open(spark, sf_dir):
+    """The variable-gap subtlety a constant-gap islands computation gets
+    WRONG: a long-gap event holds the session open across a short-gap
+    successor that arrives after the successor's own gap but before the
+    long event's end. Verified on the registered batch face with a
+    crafted frame via the same session_window expression."""
+    from recommender_systems_pyspark_spark.streaming.windows import (
+        dynamic_session_gap,
+    )
+
+    rows = [
+        ("2024-01-01 00:00:00", "view"),      # ends 00:30
+        ("2024-01-01 00:25:00", "purchase"),  # joins; its own end 00:35
+        ("2024-01-01 00:35:00", "purchase"),  # joins AT the boundary, ends 00:45
+        ("2024-01-01 00:50:00", "purchase"),  # breaks (> 00:45): new session
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string").select(
+        F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type"
+    )
+    sessions = (
+        df.groupBy(F.session_window("ts", dynamic_session_gap()).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("s"),
+            F.col("w.end").cast("string").alias("e"),
+            "n",
+        )
+        .collect()
+    )
+    got = {(r.s, r.e): r.n for r in sessions}
+    assert got == {
+        ("2024-01-01 00:00:00", "2024-01-01 00:45:00"): 3,
+        ("2024-01-01 00:50:00", "2024-01-01 01:00:00"): 1,
+    }

@@ -178,6 +178,7 @@ DEFAULT_QUERIES = (
     "x_cdc_net_effect",
     "x_graph_assortativity",
     "x_media_dedup_e2e",
+    "s19_dynamic_session_gap",
 )
 
 
