@@ -303,11 +303,12 @@ def x_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     this face answers the follow-up a release pipeline actually acts
     on — "how much must I coarsen it".
 
-    All rungs share one scan shape: a groupBy over the bounded dim per
-    rung (map-side partials), a constant-size summary each, and a
-    broadcast of the scalar winning rung — no joins over fact-scale
-    data, so the ladder costs rungs × one dimension aggregation at any
-    scale. Balance cents are offset positive before integer division
+    Plan: ONE scan of the dimension builds the finest class frame; every
+    coarser rung is a groupBy-SUM roll-up of the previous rung's
+    (bounded) class frame — the nested-coarsening structure makes class
+    counts mergeable partials, so the ladder costs one dim aggregation
+    plus metadata-scale roll-ups at any scale, and the winning rung is
+    one broadcast scalar. Balance cents are offset positive before integer division
     (Spark DIV truncates toward zero, DuckDB // floors; they only agree
     on non-negative operands — the x_kanon_audit rule).
 
@@ -323,29 +324,44 @@ def x_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast("long")
         + F.lit(_KANON_OFFSET_CENTS)
     )
-    specs: list[tuple[int, str, DataFrame]] = []
-    for i, width in enumerate(_KGEN_WIDTHS):
-        specs.append(
-            (
-                i,
-                f"nation+bal${width // 100}",
-                cust.groupBy(
-                    "c_nationkey", (cents / F.lit(width)).cast("long").alias("b")
-                ).agg(F.count("*").alias("cs")),
-            )
+    # ROLLUP-TREE plan (mergeable partials): the rungs are NESTED
+    # coarsenings (bucket widths ×10 each, then nation, then region), so
+    # every coarser rung's class counts are a groupBy-SUM over the finest
+    # class frame — the corpus-scale dimension is scanned ONCE, and the
+    # four roll-ups aggregate the (bounded) class frame, not the data.
+    # The naive per-rung re-scan (5 scans) was replaced in-round; at
+    # 100 TB dims the scan is the only data-volume term.
+    r0 = (
+        cust.groupBy(
+            "c_nationkey",
+            (cents / F.lit(_KGEN_WIDTHS[0])).cast("long").alias("b"),
         )
-    specs.append(
-        (3, "nation", cust.groupBy("c_nationkey").agg(F.count("*").alias("cs")))
+        .agg(F.count("*").alias("cs"))
+        .localCheckpoint(eager=True)  # multi-consumer: rung 0 summary + roll-up chain
     )
-    specs.append(
-        (
-            4,
-            "region",
-            cust.join(F.broadcast(nation), "c_nationkey")
-            .groupBy("n_regionkey")
-            .agg(F.count("*").alias("cs")),
-        )
+    step10 = _KGEN_WIDTHS[1] // _KGEN_WIDTHS[0]
+    r1 = r0.groupBy(
+        "c_nationkey", (F.col("b") / F.lit(step10)).cast("long").alias("b")
+    ).agg(F.sum("cs").alias("cs")).localCheckpoint(eager=True)
+    r2 = r1.groupBy(
+        "c_nationkey",
+        (F.col("b") / F.lit(_KGEN_WIDTHS[2] // _KGEN_WIDTHS[1])).cast("long").alias("b"),
+    ).agg(F.sum("cs").alias("cs")).localCheckpoint(eager=True)
+    r3 = r2.groupBy("c_nationkey").agg(F.sum("cs").alias("cs")).localCheckpoint(
+        eager=True
     )
+    r4 = (
+        r3.join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_regionkey")
+        .agg(F.sum("cs").alias("cs"))
+    )
+    specs: list[tuple[int, str, DataFrame]] = [
+        (0, f"nation+bal${_KGEN_WIDTHS[0] // 100}", r0),
+        (1, f"nation+bal${_KGEN_WIDTHS[1] // 100}", r1),
+        (2, f"nation+bal${_KGEN_WIDTHS[2] // 100}", r2),
+        (3, "nation", r3),
+        (4, "region", r4),
+    ]
     rows = None
     for rung, qi, classes in specs:
         summary = classes.agg(
