@@ -327,29 +327,29 @@ def x_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROLLUP-TREE plan (mergeable partials): the rungs are NESTED
     # coarsenings (bucket widths ×10 each, then nation, then region), so
     # every coarser rung's class counts are a groupBy-SUM over the finest
-    # class frame — the corpus-scale dimension is scanned ONCE, and the
-    # four roll-ups aggregate the (bounded) class frame, not the data.
-    # The naive per-rung re-scan (5 scans) was replaced in-round; at
-    # 100 TB dims the scan is the only data-volume term.
+    # class frame — the corpus-scale dimension is scanned ONCE (every
+    # rung's branch shares the finest agg exchange; ReusedExchange
+    # dedupes it within the one union plan, no checkpoint needed — eager
+    # checkpoints here were measured at +1 s of pure job overhead at
+    # sf0.1), and the four roll-ups aggregate the (bounded) class frame,
+    # not the data. The naive per-rung re-scan (5 scans) was replaced
+    # in-round; at 100 TB dims the scan is the only data-volume term.
     r0 = (
         cust.groupBy(
             "c_nationkey",
             (cents / F.lit(_KGEN_WIDTHS[0])).cast("long").alias("b"),
         )
         .agg(F.count("*").alias("cs"))
-        .localCheckpoint(eager=True)  # multi-consumer: rung 0 summary + roll-up chain
     )
     step10 = _KGEN_WIDTHS[1] // _KGEN_WIDTHS[0]
     r1 = r0.groupBy(
         "c_nationkey", (F.col("b") / F.lit(step10)).cast("long").alias("b")
-    ).agg(F.sum("cs").alias("cs")).localCheckpoint(eager=True)
+    ).agg(F.sum("cs").alias("cs"))
     r2 = r1.groupBy(
         "c_nationkey",
         (F.col("b") / F.lit(_KGEN_WIDTHS[2] // _KGEN_WIDTHS[1])).cast("long").alias("b"),
-    ).agg(F.sum("cs").alias("cs")).localCheckpoint(eager=True)
-    r3 = r2.groupBy("c_nationkey").agg(F.sum("cs").alias("cs")).localCheckpoint(
-        eager=True
-    )
+    ).agg(F.sum("cs").alias("cs"))
+    r3 = r2.groupBy("c_nationkey").agg(F.sum("cs").alias("cs"))
     r4 = (
         r3.join(F.broadcast(nation), "c_nationkey")
         .groupBy("n_regionkey")
