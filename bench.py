@@ -168,6 +168,8 @@ RECORD_ONLY = [
     "x_cdc_net_effect",
     "x_graph_assortativity",
     "x_media_dedup_e2e",
+    "x_winsorized_stats",
+    "x_embed_centroid_drift",
     "s19_dynamic_session_gap",
 ]
 

@@ -985,3 +985,104 @@ def x_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift between corpus versions (round 13)
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of the per-half quantized centroid (the centroids.py law
+#: with a version predicate — floor-quantized exact bigint sums, one
+#: final double division).
+_DRIFT_SQL_CENT = """
+      SELECT label, CAST(i - 1 AS INT) AS dim,
+             CAST(SUM(CAST(floor(v * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               / COUNT(v) / 1000000000.0 AS centroid
+      FROM (SELECT label,
+                   unnest(generate_series(1, len(embedding))) AS i,
+                   unnest(embedding::DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 2 = {parity})
+      GROUP BY label, i
+"""
+
+
+@query(
+    "x_embed_centroid_drift",
+    oracle=f"""
+    WITH c_old AS ({_DRIFT_SQL_CENT.format(parity=0)}),
+    c_new AS ({_DRIFT_SQL_CENT.format(parity=1)}),
+    a_old AS (SELECT label, list(centroid ORDER BY dim) AS cv
+              FROM c_old GROUP BY label),
+    a_new AS (SELECT label, list(centroid ORDER BY dim) AS cv
+              FROM c_new GROUP BY label),
+    sz AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old,
+             CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM embeddings GROUP BY label
+    )
+    SELECT sz.label, sz.n_old, sz.n_new,
+           {_SQL_COSINE.format(a='a_old.cv', b='a_new.cv')} AS centroid_cos
+    FROM sz
+    JOIN a_old USING (label)
+    JOIN a_new USING (label)
+    ORDER BY sz.label
+    """,
+)
+def x_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor between two corpus versions: split
+    the vectors into deterministic OLD/NEW halves (vec_id parity — the
+    stand-in for last ingest vs this ingest), compute each cell's
+    quantized centroid per half (the shared engine-portable
+    centroids.py law), and emit per cell the half sizes and the COSINE
+    between its two centroids — the signal an embedding pipeline alarms
+    on: a cell whose centroid rotates (cos ≪ 1) means the upstream
+    encoder, preprocessing, or population shifted, invalidating IVF
+    cells, SemDeDup thresholds, and ANN recall assumptions trained on
+    the old geometry. x_tvd_drift watches CATEGORY frequencies; this
+    watches the GEOMETRY.
+
+    Plan: two filtered passes of the posexplode centroid aggregation
+    (each one uniform (label, dim)-keyed agg), reassembly to #cells
+    rows, a broadcast-size 3-way join, one fold-cosine per cell — the
+    corpus is touched exactly twice, everything downstream is
+    metadata-scale. The cosine fold matches DuckDB's list_dot_product
+    accumulation (the _SQL_COSINE twin), so the float column is
+    bit-comparable like every cos_sim face.
+
+    Reference contrast: no embedding surface in the reference; §2.13
+    drift family (TVD r9, FD r10, KMV overlap r12) gains the
+    vector-geometry face.
+    """
+    from .centroids import centroids_assembled
+
+    e = tables(spark, sf_dir)["embeddings"]
+    old = e.where(F.col("vec_id") % 2 == 0)
+    new = e.where(F.col("vec_id") % 2 == 1)
+    c_old = centroids_assembled(old).select(
+        "label", F.col("centroid").alias("cv_old")
+    )
+    c_new = centroids_assembled(new).select(
+        "label", F.col("centroid").alias("cv_new")
+    )
+    sz = e.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_old"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+    return (
+        sz.join(F.broadcast(c_old), "label")
+        .join(F.broadcast(c_new), "label")
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            cosine(F.col("cv_old"), F.col("cv_new")).alias("centroid_cos"),
+        )
+        .orderBy("label")
+    )

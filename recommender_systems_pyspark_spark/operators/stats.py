@@ -1240,3 +1240,137 @@ def x_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias(f"err_gt_{_HLL_ERR_PCT}pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics (round 13)
+# ---------------------------------------------------------------------------
+
+#: Winsorization tails: clamp below the p05 and above the p95 order
+#: statistic (rank-DISC cutoffs — exact integers, engine-portable; an
+#: interpolated percentile would put a float in the hash).
+_WINSOR_LO_PCT = 5
+_WINSOR_HI_PCT = 95
+
+
+@query(
+    "x_winsorized_stats",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(floor(o_totalprice * 100 + 0.5)
+                                              AS BIGINT)) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    cuts AS (
+      SELECT grp,
+             MIN(CASE WHEN rn = (n * {_WINSOR_LO_PCT} + 99) // 100
+                      THEN cents END) AS lo,
+             MIN(CASE WHEN rn = (n * {_WINSOR_HI_PCT} + 99) // 100
+                      THEN cents END) AS hi
+      FROM v GROUP BY grp
+    )
+    SELECT v.grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           cuts.lo AS lo_cents,
+           cuts.hi AS hi_cents,
+           CAST(SUM(v.cents) AS BIGINT) AS sum_cents_raw,
+           CAST(SUM(least(greatest(v.cents, cuts.lo), cuts.hi)) AS BIGINT)
+             AS sum_cents_winsorized,
+           CAST(SUM(CASE WHEN v.cents < cuts.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(SUM(CASE WHEN v.cents > cuts.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high
+    FROM v JOIN cuts USING (grp)
+    GROUP BY v.grp, cuts.lo, cuts.hi
+    ORDER BY v.grp
+    """,
+)
+def x_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per order priority: exact
+    rank-DISC p{lo}/p{hi} cutoffs (the value at rank ⌈p·n⌉ — an
+    integer ORDER STATISTIC, so everything emitted is an exact bigint),
+    tail rows clamped to the cutoffs, and both the raw and winsorized
+    sums with clamp counts. The standard heavy-tail-robust alternative
+    to trimming: winsorization keeps n constant (weights every row)
+    while bounding the influence of outliers — what a revenue or
+    token-count aggregate should publish when single extreme rows can
+    move the mean. Complements a18_anomaly_mad (which FLAGS outliers)
+    with the CAPPED-AGGREGATE face (which neutralizes them).
+
+    Plan: one per-group value sort (partitioned window — group count is
+    bounded), cutoffs reduced to a 1-row-per-group frame that broadcasts
+    back onto the rows, one clamped aggregation. Two passes over the
+    fact table, no all-pairs anything; at 100 TB swap the exact rank for
+    the two-phase distributed rank (operators/ranking.py) the same way
+    a8's docstring prescribes.
+
+    Reference contrast: the reference publishes raw AVG() dashboards
+    (app.py:218-236) with no robustness surface; §2.13 stats family.
+    """
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    from pyspark.sql import Window
+
+    v = tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("grp"), cents.alias("cents")
+    )
+    w = Window.partitionBy("grp").orderBy("cents")
+    ranked = v.select(
+        "grp",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n"),
+    )
+    cuts = ranked.groupBy("grp").agg(
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.expr(f"(n * {_WINSOR_LO_PCT} + 99) DIV 100"),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.expr(f"(n * {_WINSOR_HI_PCT} + 99) DIV 100"),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        v.join(F.broadcast(cuts), "grp")
+        .groupBy("grp", "lo", "hi")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents_raw"),
+            F.sum(clamped).cast("long").alias("sum_cents_winsorized"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+        )
+        .select(
+            "grp",
+            "n_rows",
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+            "sum_cents_raw",
+            "sum_cents_winsorized",
+            "n_clamped_low",
+            "n_clamped_high",
+        )
+        .orderBy("grp")
+    )
+
+
+x_winsorized_stats.__doc__ = x_winsorized_stats.__doc__.format(
+    lo=_WINSOR_LO_PCT, hi=_WINSOR_HI_PCT
+)

@@ -164,6 +164,8 @@ _GRADE_FIRST = (
     "x_graph_assortativity",
     "x_media_dedup_e2e",
     "s19_dynamic_session_gap",
+    "x_winsorized_stats",
+    "x_embed_centroid_drift",
     # --- the declared round-13 queue (VERDICT r12 next-step #2) ----------
     "t4_recent_per_user",
     "t7_topk_per_group",

@@ -371,3 +371,74 @@ def test_media_dedup_histogram_matches_union_find(spark):
     want = {s: (n, n * (s - 1)) for s, n in hist.items()}
     assert got == want
     assert sum(s * n for s, (n, _) in got.items()) == len(imgs)
+
+
+# ---------------------------------------------------------------------------
+# x_winsorized_stats
+# ---------------------------------------------------------------------------
+
+
+def test_winsorized_stats_python_replay(spark):
+    """Full numpy-free python replay: exact rank-disc cutoffs, clamp, sums."""
+    from recommender_systems_pyspark_spark.sources import tables
+
+    got = {r.grp: r for r in _q("x_winsorized_stats")(spark, SF_SMOKE).collect()}
+    rows = tables(spark, SF_SMOKE)["orders"].select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.o_orderpriority, []).append(
+            int(r.o_totalprice * 100 + 0.5) if r.o_totalprice >= 0
+            else int(__import__("math").floor(r.o_totalprice * 100 + 0.5))
+        )
+    assert set(got) == set(by)
+    for g, cents in by.items():
+        cents.sort()
+        n = len(cents)
+        lo = cents[(n * 5 + 99) // 100 - 1]
+        hi = cents[(n * 95 + 99) // 100 - 1]
+        w = [min(max(c, lo), hi) for c in cents]
+        r = got[g]
+        assert (r.lo_cents, r.hi_cents) == (lo, hi)
+        assert r.n_rows == n
+        assert r.sum_cents_raw == sum(cents)
+        assert r.sum_cents_winsorized == sum(w)
+        assert r.n_clamped_low == sum(1 for c in cents if c < lo)
+        assert r.n_clamped_high == sum(1 for c in cents if c > hi)
+        # winsorization moves the sum TOWARD the interior, never past it
+        assert r.n_clamped_low + r.n_clamped_high > 0 or r.sum_cents_raw == r.sum_cents_winsorized
+
+
+# ---------------------------------------------------------------------------
+# x_embed_centroid_drift
+# ---------------------------------------------------------------------------
+
+
+def test_embed_centroid_drift_numpy_replay(spark):
+    import numpy as np
+
+    from recommender_systems_pyspark_spark.sources import tables
+
+    got = {r.label: r for r in _q("x_embed_centroid_drift")(spark, SF_SMOKE).collect()}
+    emb = tables(spark, SF_SMOKE)["embeddings"].collect()
+    halves = {}
+    for r in emb:
+        halves.setdefault(r.label, ([], []))[r.vec_id % 2].append(
+            np.array(r.embedding, dtype=np.float64)
+        )
+    q = 1_000_000_000.0
+    for label, (old, new) in halves.items():
+        r = got[label]
+        assert (r.n_old, r.n_new) == (len(old), len(new))
+        co = np.floor(np.stack(old) * q).sum(axis=0) / len(old) / q
+        cn = np.floor(np.stack(new) * q).sum(axis=0) / len(new) / q
+        import math
+
+        cos = float(co @ cn / math.sqrt(co @ co) / math.sqrt(cn @ cn))
+        assert r.centroid_cos == pytest.approx(cos, rel=1e-9)
+        # cosine is a valid similarity, nothing more is promised: at
+        # smoke scale (25 vectors/half) sample centroids of near-zero-
+        # mean cells can be close to orthogonal — that is exactly the
+        # signal the monitor exists to surface, not a test failure
+        assert -1.0 <= r.centroid_cos <= 1.0

@@ -184,6 +184,8 @@ DEFAULT_QUERIES = [
     "x_graph_assortativity",
     "x_media_dedup_e2e",
     "s19_dynamic_session_gap",
+    "x_winsorized_stats",
+    "x_embed_centroid_drift",
 ]
 
 
