@@ -502,3 +502,73 @@ def test_cdc_net_effect_equals_full_feed_apply(spark, ops, base_mod):
         else:  # NOOP must involve a key outside the base that ends deleted
             assert r.user_id not in base_keys
     assert final_net == final_full
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows vs a python cumulative-max replay (round 13)
+# ---------------------------------------------------------------------------
+
+_DYN_EVENT = st.tuples(
+    st.integers(0, 2),               # user (small domain)
+    st.integers(0, 120),             # minute offset (collisions common)
+    st.sampled_from(["purchase", "click", "error", "view"]),
+)
+
+
+@given(events=st.lists(_DYN_EVENT, min_size=1, max_size=14))
+@_SPARK_SETTINGS
+def test_dynamic_session_gap_matches_cummax_replay(spark, events):
+    """Spark's dynamic-gap session_window must equal the generalized
+    gaps-and-islands replay: running session end = cumulative MAX of
+    (ts + gap(event)), non-strict merge at the boundary. Random minute
+    offsets generate ties, exact-boundary events, and long-gap events
+    spanning short-gap successors."""
+    from datetime import datetime, timedelta
+
+    from recommender_systems_pyspark_spark.streaming.windows import (
+        _DYN_DEFAULT_MIN,
+        _DYN_GAPS,
+        dynamic_session_gap,
+    )
+
+    gaps = dict(_DYN_GAPS)
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u, base + timedelta(minutes=m), t) for u, m, t in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {
+        (r.user_id, str(r.s), str(r.e)): r.n
+        for r in df.groupBy(
+            F.session_window("ts", dynamic_session_gap()).alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s"),
+            F.col("w.end").alias("e"),
+            "n",
+        )
+        .collect()
+    }
+
+    want = {}
+    by_user = {}
+    for u, ts, t in rows:
+        by_user.setdefault(u, []).append(
+            (ts, ts + timedelta(minutes=gaps.get(t, _DYN_DEFAULT_MIN)))
+        )
+    for u, evs in by_user.items():
+        evs.sort(key=lambda p: p[0])
+        sessions = []
+        for ts, end in evs:
+            if sessions and ts <= sessions[-1][1]:
+                s0, e0, n0 = sessions[-1]
+                sessions[-1] = (s0, max(e0, end), n0 + 1)
+            else:
+                sessions.append((ts, end, 1))
+        for s0, e0, n0 in sessions:
+            want[(u, str(s0), str(e0))] = n0
+    assert got == want
