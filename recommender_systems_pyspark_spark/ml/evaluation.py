@@ -48,11 +48,26 @@ _EVAL_CUTOFF = "2000-01-01"
 _EVAL_K = 5
 
 
+#: Per-(session, sf_dir) memo of the evaluation-point frame (the
+#: cached_scc_assignment pattern, VERDICT r12 #4's endorsed shape):
+#: x_recs_eval and x_ndcg_eval consume the identical train/test wedge +
+#: model build — in-session memo so the FIRST consumer in any sweep pays
+#: it reproducibly and the second reuses the checkpointed frame; never a
+#: disk artifact (which would turn the cost into a cold/warm lottery).
+_EVAL_POINTS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _eval_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared evaluation-point frame behind x_recs_eval and
     x_ndcg_eval: one row per (test order, part a) with the relevant-set
     size/members and the trained recommendation list [(rnk, pb), …] —
     the single-consumer chain documented in x_recs_eval."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    got = _EVAL_POINTS_MEMO.get(key)
+    if got is not None:
+        return got
     t = tables(spark, sf_dir)
     # repartition on the wedge key BEFORE distinct: l_orderkey hash
     # clustering satisfies the distinct's (superset-key) distribution AND
@@ -115,11 +130,17 @@ def _eval_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs_pa = recs.groupBy("pa").agg(
         F.collect_list(F.struct("rnk", "pb")).alias("rl")
     )
-    return eval_pts.join(recs_pa, "pa", "left").select(
-        "n_rel",
-        "rel_pbs",
-        F.coalesce(F.col("rl"), F.array()).alias("rl"),
+    points = (
+        eval_pts.join(recs_pa, "pa", "left")
+        .select(
+            "n_rel",
+            "rel_pbs",
+            F.coalesce(F.col("rl"), F.array()).alias("rl"),
+        )
+        .localCheckpoint()  # eager: multi-consumer memo (the SCC-memo rule)
     )
+    _EVAL_POINTS_MEMO[key] = points
+    return points
 
 
 @query(
