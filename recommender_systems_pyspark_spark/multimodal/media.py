@@ -731,6 +731,10 @@ _AHASH_SQL_CTES = f"""imgs AS (
     )"""
 
 
+#: Per-(session, sf_dir) memo of the decoded aHash frame (see below).
+_AHASH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def ahash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, shared_bands, hamming) — the banded aHash candidate
     pairs with full Hamming scores, unordered. Shared by
@@ -742,13 +746,21 @@ def ahash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("byte_len") == F.char_length(F.decode(F.col("payload"), "UTF-8")))
     )
     # the hash frame feeds the band unpivot AND both sides of the
-    # Hamming join — pin it so the Arrow decode stage runs ONCE (at scale
-    # the hashes are a persisted per-corpus artifact anyway)
-    hashes = (
-        m.select("doc_id", "media_type", F.col("payload_enc").alias("payload"))
-        .mapInPandas(ahash_words, schema=AHASH_SCHEMA)
-        .localCheckpoint(eager=False)
-    )
+    # Hamming join — and BOTH registered consumers (the pair ledger and
+    # the e2e dedup): memoized per (session, sf_dir) like every
+    # per-corpus-version artifact (the cached_scc_assignment pattern),
+    # so the Arrow decode pass runs once per sweep, eagerly checkpointed.
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    hashes = _AHASH_MEMO.get(key)
+    if hashes is None:
+        hashes = (
+            m.select("doc_id", "media_type", F.col("payload_enc").alias("payload"))
+            .mapInPandas(ahash_words, schema=AHASH_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+        _AHASH_MEMO[key] = hashes
     words = hashes.select(
         "doc_id",
         F.explode(
