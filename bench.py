@@ -171,6 +171,7 @@ RECORD_ONLY = [
     "x_winsorized_stats",
     "x_embed_centroid_drift",
     "s19_dynamic_session_gap",
+    "s20_view_click_semi",
 ]
 
 

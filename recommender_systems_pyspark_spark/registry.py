@@ -166,6 +166,7 @@ _GRADE_FIRST = (
     "s19_dynamic_session_gap",
     "x_winsorized_stats",
     "x_embed_centroid_drift",
+    "s20_view_click_semi",
     # --- the declared round-13 queue (VERDICT r12 next-step #2) ----------
     "t4_recent_per_user",
     "t7_topk_per_group",

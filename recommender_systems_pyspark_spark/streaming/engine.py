@@ -145,6 +145,35 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", late_threshold: s
     )
 
 
+def join_view_click_semi(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    late_threshold: str = "30 minutes",
+) -> DataFrame:
+    """LEFT SEMI stream-stream interval join: converted views, each
+    emitted exactly once at its first matching click — see
+    streaming.joins s20_view_click_semi for semantics and the state
+    contrast with the inner/outer faces."""
+    v = views.withWatermark("ts", late_threshold).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", late_threshold).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_semi",
+    ).select(F.col("v_user").alias("user_id"), "view_id", "view_ts")
+
+
 def session_counts_dynamic(
     events: DataFrame, late_threshold: str = "30 minutes"
 ) -> DataFrame:

@@ -159,3 +159,56 @@ def s8_view_click_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left",
     ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+
+
+@query(
+    "s20_view_click_semi",
+    oracle=f"""
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts
+    FROM events v
+    WHERE v.event_type = 'view' AND EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = v.user_id
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '{_FUNNEL_HORIZON}'
+    )
+    """,
+)
+def s20_view_click_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream interval join, batch face: the CONVERTED
+    views, each emitted EXACTLY ONCE — the third join mode of the funnel
+    triple (s6 inner duplicates a view per matching click, s8 left outer
+    adds null rows for the unconverted; semi is the conversion SET, the
+    input a retargeting-suppression or billing pipeline actually wants,
+    with no downstream dropDuplicates repair). Oracle: EXISTS — the
+    relational semantics of semi.
+
+    In streaming mode the semi join changes the STATE story relative to
+    inner: a view emits at its FIRST match and its buffered copy is
+    dropped immediately (inner keeps it for further clicks until the
+    watermark evicts), while clicks buffer identically — so semi holds
+    strictly less view-side state under hot users
+    (engine.join_view_click_semi is the live form;
+    tests/test_streaming.py exercises it on micro-batches).
+
+    Scale: the same user-keyed equi join with the interval residual as
+    s6/s8, AQE skew-split on hot users; strictly smaller output (≤ one
+    row per view)."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {_FUNNEL_HORIZON}")
+        ),
+        "left_semi",
+    ).select("user_id", "view_id", "view_ts")

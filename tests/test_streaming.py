@@ -565,3 +565,39 @@ def test_dynamic_gap_long_event_holds_session_open(spark, sf_dir):
         ("2024-01-01 00:00:00", "2024-01-01 00:45:00"): 3,
         ("2024-01-01 00:50:00", "2024-01-01 01:00:00"): 1,
     }
+
+
+def test_semi_join_stream_emits_converted_views_once(spark, stream_dir):
+    """The REAL left-semi stream-stream join: a view with TWO matching
+    clicks emits exactly once; a view with none never emits."""
+    from recommender_systems_pyspark_spark.streaming.engine import (
+        join_view_click_semi,
+    )
+
+    rows = [
+        _ev(1, "2024-01-01 00:00:00", user=1, typ="view"),
+        _ev(2, "2024-01-01 00:10:00", user=1, typ="click"),
+        _ev(3, "2024-01-01 00:20:00", user=1, typ="click"),  # second match
+        _ev(4, "2024-01-01 00:05:00", user=2, typ="view"),   # never clicks
+        _ev(5, "2024-01-01 09:00:00", user=3, typ="view"),   # watermark driver
+        _ev(6, "2024-01-01 09:00:00", user=3, typ="click"),
+    ]
+    _write_batch(stream_dir, "batch0", rows)
+    src = read_event_stream(spark, stream_dir)
+    q = start_to_memory(
+        join_view_click_semi(
+            src.where(F.col("event_type") == "view"),
+            src.where(F.col("event_type") == "click"),
+        ),
+        "stream_semi",
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r.user_id, r.view_id)
+            for r in spark.sql("SELECT * FROM stream_semi").collect()
+        ]
+    finally:
+        q.stop()
+    assert got.count((1, 1)) == 1          # exactly once despite 2 clicks
+    assert all(u != 2 for u, _ in got)     # unconverted view never emits

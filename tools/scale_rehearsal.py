@@ -181,6 +181,7 @@ DEFAULT_QUERIES = (
     "s19_dynamic_session_gap",
     "x_winsorized_stats",
     "x_embed_centroid_drift",
+    "s20_view_click_semi",
 )
 
 
