@@ -196,3 +196,29 @@ def test_grade_first_names_are_registered():
     qs = set(registry.all_queries())
     missing = [n for n in registry._GRADE_FIRST if n not in qs]
     assert not missing, f"_GRADE_FIRST names not in registry: {missing}"
+
+
+def test_round13_queue_fits_the_grading_window():
+    """VERDICT r12 #2's done-bar depends on the DECLARED round-13 queue
+    landing inside the driver's 50-slot grading window. A later insertion
+    at the head of _GRADE_FIRST could silently push queue entries past
+    the cut — this pins the invariant."""
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    window = set(list(all_queries())[:50])
+    declared_queue = {
+        "t4_recent_per_user", "t7_topk_per_group", "u1_union_all",
+        "u2_union_distinct", "u3_intersect", "u4_except", "g1_rollup",
+        "g2_cube", "g3_pivot", "j6_asof_join", "j7_range_join",
+        "j10_full_outer", "a2_approx_distinct", "a8_percentiles",
+        "f1_split_array_ops", "f2_explode_distinct",
+        "f3_explode_struct_array", "f4_normalize_strings",
+        "f6_format_display", "f7_f8_row_metadata", "f9_conditional_buckets",
+        "f10_deterministic_sample", "f11_membership_overlap",
+        "w5_rank_fractions", "ml_rating_stats", "ml_user_unlock_gate",
+        "ml_latest_rating_dedup", "ml_dict_encode_items", "tpch_q2_style",
+        "x_dedup_jaccard_join", "x_dedup_incremental", "s9_foreach_upsert",
+        "x_lda_topics",
+    }
+    missing = declared_queue - window
+    assert not missing, f"declared r13 queue entries pushed past slot 50: {sorted(missing)}"
