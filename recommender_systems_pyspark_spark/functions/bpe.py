@@ -110,12 +110,14 @@ def cached_bpe_merges(
     """Train-once accessor for the fixture corpus tokenizer."""
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), n_merges)
-    got = _BPE_MERGES_MEMO.get(key)
-    if got is None:
-        got = bpe_train(tables(spark, sf_dir)["documents"], n_merges)
-        _BPE_MERGES_MEMO[key] = got
-    return got
+    from ..memo import session_memo
+
+    return session_memo(
+        _BPE_MERGES_MEMO,
+        spark,
+        (os.path.normpath(sf_dir), n_merges),
+        lambda: bpe_train(tables(spark, sf_dir)["documents"], n_merges),
+    )
 
 
 def bpe_train(docs: DataFrame, n_merges: int = _BPE_MERGES) -> list[tuple[str, str, int]]:

@@ -921,14 +921,16 @@ def cached_scc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     condensation endpoint joins)."""
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
-    got = _SCC_ASSIGN_MEMO.get(key)
-    if got is None:
-        got = strongly_connected_components(
+    from ..memo import session_memo
+
+    return session_memo(
+        _SCC_ASSIGN_MEMO,
+        spark,
+        (os.path.normpath(sf_dir),),
+        lambda: strongly_connected_components(
             _scc_sample_edges(spark, sf_dir)
-        ).localCheckpoint()
-        _SCC_ASSIGN_MEMO[key] = got
-    return got
+        ).localCheckpoint(),
+    )
 
 
 def _scc_sample_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

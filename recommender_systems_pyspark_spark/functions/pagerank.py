@@ -1264,50 +1264,88 @@ def _orient_canonical(cur: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
+#: Per-(session, sf_dir) memo of the peel's per-round (edges, support)
+#: frames (ADVICE r13 #3: ktruss_round_wedge_counts used to REPLAY the
+#: full peel — support joins included — solely to record wedge volumes,
+#: roughly doubling rehearsal cost). EAGER checkpoints: the frames are
+#: multi-consumer (the stats rows, the next round, AND the rehearsal
+#: instrumentation), and a lazy checkpoint reused across invocations
+#: hits the AQE stale-accumulator failure (x_source_overlap_kmv, r12).
+_KTRUSS_ROUNDS_MEMO: dict[tuple, list[tuple[DataFrame, DataFrame]]] = {}
+
+
+def ktruss_peel_rounds(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[DataFrame, DataFrame]]:
+    """``[(edges_r, support_r)]`` for each peel round: the synchronous
+    peel's per-round surviving-edge set and its per-edge triangle
+    support, computed ONCE per (session, sf_dir) and shared by
+    x_ktruss_peel (stats + verdicts) and the rehearsal's per-round wedge
+    instrumentation (:func:`ktruss_round_wedge_counts`)."""
+    import os
+
+    from ..memo import session_memo
+
+    def build() -> list[tuple[DataFrame, DataFrame]]:
+        cur = (
+            cached_copurchase_edges(spark, sf_dir)
+            .where(
+                (F.col("src") < F.col("dst"))
+                & (F.col("src") % _KTRUSS_MOD == 0)
+                & (F.col("dst") % _KTRUSS_MOD == 0)
+            )
+            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .localCheckpoint()
+        )
+        # Packing is only sound for ids in [0, 2^31): a NEGATIVE id would
+        # corrupt the shiftleft packing just as silently as an oversized
+        # one, so the guard checks both ends (ADVICE r12 #2).
+        id_range = cur.agg(
+            F.max(F.greatest(F.col("u"), F.col("v"))).alias("hi"),
+            F.min(F.least(F.col("u"), F.col("v"))).alias("lo"),
+        ).collect()[0]
+        pack_ok = (
+            id_range["hi"] is not None
+            and id_range["hi"] < (1 << 31)
+            and id_range["lo"] >= 0
+        )
+        rounds: list[tuple[DataFrame, DataFrame]] = []
+        for r in range(_KTRUSS_ROUNDS + 1):
+            sup = _edge_support(cur, pack_ok).localCheckpoint()
+            rounds.append((cur, sup))
+            if r < _KTRUSS_ROUNDS:
+                cur = (
+                    sup.where(F.col("support") >= _KTRUSS_K - 2)
+                    .select("u", "v")
+                    .localCheckpoint()
+                )
+        return rounds
+
+    return session_memo(
+        _KTRUSS_ROUNDS_MEMO, spark, (os.path.normpath(sf_dir),), build
+    )
+
+
 def ktruss_round_wedge_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     """Per-peel-round oriented-wedge row counts for x_ktruss_peel — the
     exact row volume of each round's support join, i.e. the work the
     query does per round. Recorded in BENCH_SCALE each round (VERDICT
     r12 #5) so the 10× time ratio is judged against MEASURED work, the
     same contract as x_graph_jaccard's :func:`oriented_wedge_count`.
-    Replays the peel (support joins included — rounds > 0 need the
-    surviving edge set), so it costs ~1 query run."""
-    cur = (
-        cached_copurchase_edges(spark, sf_dir)
-        .where(
-            (F.col("src") < F.col("dst"))
-            & (F.col("src") % _KTRUSS_MOD == 0)
-            & (F.col("dst") % _KTRUSS_MOD == 0)
-        )
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint(eager=False)
-    )
-    id_range = cur.agg(
-        F.max(F.greatest(F.col("u"), F.col("v"))).alias("hi"),
-        F.min(F.least(F.col("u"), F.col("v"))).alias("lo"),
-    ).collect()[0]
-    pack_ok = (
-        id_range["hi"] is not None
-        and id_range["hi"] < (1 << 31)
-        and id_range["lo"] >= 0
-    )
+    Reuses the memoized peel rounds (:func:`ktruss_peel_rounds`), so the
+    support joins run once per session, not once per instrumentation
+    pass (ADVICE r13 #3); only the cheap degree-orient aggregate runs
+    per round here."""
     out: dict[str, int] = {}
-    for r in range(_KTRUSS_ROUNDS + 1):
+    for r, (edges_r, _sup) in enumerate(ktruss_peel_rounds(spark, sf_dir)):
         n = (
-            _orient_canonical(cur)
+            _orient_canonical(edges_r)
             .groupBy("c")
             .agg(F.count("*").alias("oc"))
             .agg(F.sum(F.expr("oc * (oc - 1) DIV 2")).alias("w"))
             .collect()[0][0]
         )
         out[f"round{r}"] = int(n or 0)
-        if r < _KTRUSS_ROUNDS:
-            cur = (
-                _edge_support(cur, pack_ok)
-                .where(F.col("support") >= _KTRUSS_K - 2)
-                .select("u", "v")
-                .localCheckpoint(eager=False)
-            )
     return out
 
 
@@ -1463,16 +1501,6 @@ def x_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference contrast: no graph surface in the reference; extends
     §2.13's graph family (k-core r8, triangles r9, jaccard r11,
     SCC r12) with the edge-decomposition face."""
-    cur = (
-        cached_copurchase_edges(spark, sf_dir)
-        .where(
-            (F.col("src") < F.col("dst"))
-            & (F.col("src") % _KTRUSS_MOD == 0)
-            & (F.col("dst") % _KTRUSS_MOD == 0)
-        )
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint(eager=False)
-    )
     edge_hash = F.expr(
         "cast(conv(substring(md5(concat(cast(u as string), '-',"
         " cast(v as string))), 1, 15), 16, 10) as bigint)"
@@ -1500,30 +1528,13 @@ def x_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # Packing is only sound for ids in [0, 2^31): a NEGATIVE id would
-    # corrupt the shiftleft packing just as silently as an oversized one,
-    # so the guard checks both ends (ADVICE r12 #2 — fixture partkeys are
-    # positive, but _edge_support is a reusable helper).
-    id_range = cur.agg(
-        F.max(F.greatest(F.col("u"), F.col("v"))).alias("hi"),
-        F.min(F.least(F.col("u"), F.col("v"))).alias("lo"),
-    ).collect()[0]
-    pack_ok = (
-        id_range["hi"] is not None
-        and id_range["hi"] < (1 << 31)
-        and id_range["lo"] >= 0
-    )
+    # The peel itself (support joins, pack guard, round frames) lives in
+    # the session-memoized :func:`ktruss_peel_rounds` so the rehearsal's
+    # wedge instrumentation shares one pass (ADVICE r13 #3).
     out: DataFrame | None = None
-    for r in range(_KTRUSS_ROUNDS + 1):
-        sup = _edge_support(cur, pack_ok).localCheckpoint(eager=False)
-        row = stats(r, cur.withColumn("eh", edge_hash), sup)
+    for r, (edges_r, sup) in enumerate(ktruss_peel_rounds(spark, sf_dir)):
+        row = stats(r, edges_r.withColumn("eh", edge_hash), sup)
         out = row if out is None else out.unionByName(row)
-        if r < _KTRUSS_ROUNDS:
-            cur = (
-                sup.where(F.col("support") >= _KTRUSS_K - 2)
-                .select("u", "v")
-                .localCheckpoint(eager=False)
-            )
     assert out is not None
     return out
 

@@ -1026,3 +1026,155 @@ def rake_cell_weights(
         F.col("w").alias("weight_ppm"),
         F.expr(f"(n * w) DIV {_RAKE_SC}").cast("long").alias("weighted_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Score-calibration reliability profile (round 14)
+# ---------------------------------------------------------------------------
+
+#: Reliability-diagram bins over the normalized classifier confidence.
+_ECE_BINS = 10
+
+
+def _sql_ece() -> str:
+    from .corpus import SQL_GOPHER_KEEP
+
+    return f"""
+    WITH w AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws
+      FROM documents WHERE length(text) > 0
+    ),
+    scored AS (
+      SELECT doc_id,
+             ({SQL_GOPHER_KEEP}) AS ref_keep,
+             (1000000 * LEAST(80 * len(ws), GREATEST(0,
+                5 * (-6 * len(ws)
+                     + 8 * len(list_filter(ws, t -> t IN ('the', 'a')))
+                     + 12 * len(list_distinct(ws))
+                     + length(replace(text, ' ', '')))
+                + 4 * len(ws))))
+             // (80 * len(ws)) AS conf_ppm
+      FROM w
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM scored),
+    b AS (
+      SELECT CAST(LEAST({_ECE_BINS - 1}, conf_ppm // 100000) AS INTEGER)
+               AS bin,
+             ref_keep, conf_ppm
+      FROM scored
+    ),
+    g AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(CASE WHEN ref_keep THEN 1 END) AS BIGINT) AS n_keep,
+             CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf_ppm
+      FROM b GROUP BY bin
+    )
+    SELECT bin, n_docs, n_keep, sum_conf_ppm,
+           CAST(sum_conf_ppm AS DOUBLE) / n_docs / 1000000.0 AS avg_conf,
+           CAST(n_keep AS DOUBLE) / n_docs AS keep_rate,
+           ABS(CAST(sum_conf_ppm AS DOUBLE) / n_docs / 1000000.0
+               - CAST(n_keep AS DOUBLE) / n_docs) AS abs_gap,
+           ABS(CAST(sum_conf_ppm AS DOUBLE) / n_docs / 1000000.0
+               - CAST(n_keep AS DOUBLE) / n_docs)
+             * n_docs / (SELECT n_total FROM tot) AS ece_term
+    FROM g ORDER BY bin
+    """
+
+
+@query("x_ece_calibration", oracle=_sql_ece())
+def x_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram / expected-calibration-error profile of the
+    frozen-weight quality classifier (x_classifier_eval's linear score)
+    against the Gopher rule battery as reference labels: the raw score
+    is normalized to a [0, 1] confidence (affine map centered on the
+    1.8 decision threshold), cut into {b} equal-width bins, and each bin
+    reports its size, mean confidence, empirical keep rate, calibration
+    gap, and its ECE contribution (gap × bin mass) — summing ``ece_term``
+    IS the expected calibration error. The metric a pipeline checks
+    before using classifier scores as sampling WEIGHTS (DSIR-style
+    reweighting, x_dsir_select) rather than as a hard gate: a
+    well-ranked but mis-calibrated score corrupts weighted mixtures
+    while leaving x_classifier_eval's accuracy/F1 untouched — this face
+    sees what that one cannot.
+
+    Determinism (the no-libm doctrine, learned the hard way in-round:
+    the float-expression form diverged from DuckDB by 1 ulp on ONE
+    document, which the decimal cast then amplified into a hash
+    mismatch): the score's ratio terms share denominator n_tokens, so
+    4·score·n_tokens is an exact integer I = −6n + 8·stops + 12·uniq +
+    chars, the normalized confidence is the exact rational
+    (5I + 4n)/(80n), and ``conf_ppm`` floors its ppm scaling with the
+    numerator clamped non-negative BEFORE the division (Spark DIV
+    truncates, DuckDB // floors — they agree only on non-negative
+    operands, the x_kanon_audit rule). Every aggregate is an integer
+    sum; the final doubles are single identical divisions.
+
+    Scale: one scan, one {b}-group aggregate with map-side partials,
+    one broadcast of the scalar total — the same shape at any corpus
+    size.
+
+    Reference contrast: no model-eval surface in the reference; extends
+    the §2.13 eval family (classifier_eval r11, recs/ndcg r11/r13) with
+    the calibration face."""
+    from .corpus import gopher_metrics
+
+    docs = tables(spark, sf_dir)["documents"].where(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    stops = F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("long")
+    uniq = F.size(F.array_distinct(toks)).cast("long")
+    chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "long"
+    )
+    score_i = -6 * n_tok + 8 * stops + 12 * uniq + chars  # = 4·score·n_tok
+    conf_num = F.least(
+        80 * n_tok, F.greatest(F.lit(0).cast("long"), 5 * score_i + 4 * n_tok)
+    )
+    scored = docs.select(
+        gopher_metrics()["keep"].alias("ref_keep"),
+        (1000000 * conf_num).alias("cn"),
+        (80 * n_tok).alias("cd"),
+    ).select("ref_keep", F.expr("cn DIV cd").alias("conf_ppm"))
+    tot = scored.agg(F.count("*").cast("long").alias("n_total"))
+    binned = scored.select(
+        F.least(F.lit(_ECE_BINS - 1), F.expr("conf_ppm DIV 100000"))
+        .cast("int")
+        .alias("bin"),
+        "ref_keep",
+        "conf_ppm",
+    )
+    g = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count(F.when(F.col("ref_keep"), 1)).cast("long").alias("n_keep"),
+        F.sum("conf_ppm").cast("long").alias("sum_conf_ppm"),
+    )
+    avg_conf = (
+        F.col("sum_conf_ppm").cast("double")
+        / F.col("n_docs")
+        / F.lit(1000000.0)
+    )
+    keep_rate = F.col("n_keep").cast("double") / F.col("n_docs")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            "n_keep",
+            "sum_conf_ppm",
+            avg_conf.alias("avg_conf"),
+            keep_rate.alias("keep_rate"),
+            F.abs(avg_conf - keep_rate).alias("abs_gap"),
+            (
+                F.abs(avg_conf - keep_rate)
+                * F.col("n_docs")
+                / F.col("n_total")
+            ).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+x_ece_calibration.__doc__ = x_ece_calibration.__doc__.replace(
+    "{b}", str(_ECE_BINS)
+)

@@ -64,10 +64,17 @@ def _eval_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-consumer chain documented in x_recs_eval."""
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
-    got = _EVAL_POINTS_MEMO.get(key)
-    if got is not None:
-        return got
+    from ..memo import session_memo
+
+    return session_memo(
+        _EVAL_POINTS_MEMO,
+        spark,
+        (os.path.normpath(sf_dir),),
+        lambda: _build_eval_points(spark, sf_dir),
+    )
+
+
+def _build_eval_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     # repartition on the wedge key BEFORE distinct: l_orderkey hash
     # clustering satisfies the distinct's (superset-key) distribution AND
@@ -139,7 +146,6 @@ def _eval_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # eager: multi-consumer memo (the SCC-memo rule)
     )
-    _EVAL_POINTS_MEMO[key] = points
     return points
 
 

@@ -752,15 +752,18 @@ def ahash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the Arrow decode pass runs once per sweep, eagerly checkpointed.
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
-    hashes = _AHASH_MEMO.get(key)
-    if hashes is None:
-        hashes = (
+    from ..memo import session_memo
+
+    hashes = session_memo(
+        _AHASH_MEMO,
+        spark,
+        (os.path.normpath(sf_dir),),
+        lambda: (
             m.select("doc_id", "media_type", F.col("payload_enc").alias("payload"))
             .mapInPandas(ahash_words, schema=AHASH_SCHEMA)
             .localCheckpoint(eager=True)
-        )
-        _AHASH_MEMO[key] = hashes
+        ),
+    )
     words = hashes.select(
         "doc_id",
         F.explode(

@@ -334,20 +334,25 @@ def x_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1), and the four roll-ups aggregate the (bounded) class frame,
     # not the data. The naive per-rung re-scan (5 scans) was replaced
     # in-round; at 100 TB dims the scan is the only data-volume term.
+    # Integer DIV throughout (ADVICE r13 #1): true division + cast('long')
+    # is numerically identical only while operands stay far below 2^53;
+    # DIV is the engine-portable integer-division convention the oracles
+    # (and x_kanon_audit's offset rule) are written against.
     r0 = (
-        cust.groupBy(
+        cust.select("c_nationkey", cents.alias("cents"))
+        .groupBy(
             "c_nationkey",
-            (cents / F.lit(_KGEN_WIDTHS[0])).cast("long").alias("b"),
+            F.expr(f"cents DIV {_KGEN_WIDTHS[0]}").alias("b"),
         )
         .agg(F.count("*").alias("cs"))
     )
     step10 = _KGEN_WIDTHS[1] // _KGEN_WIDTHS[0]
     r1 = r0.groupBy(
-        "c_nationkey", (F.col("b") / F.lit(step10)).cast("long").alias("b")
+        "c_nationkey", F.expr(f"b DIV {step10}").alias("b")
     ).agg(F.sum("cs").alias("cs"))
     r2 = r1.groupBy(
         "c_nationkey",
-        (F.col("b") / F.lit(_KGEN_WIDTHS[2] // _KGEN_WIDTHS[1])).cast("long").alias("b"),
+        F.expr(f"b DIV {_KGEN_WIDTHS[2] // _KGEN_WIDTHS[1]}").alias("b"),
     ).agg(F.sum("cs").alias("cs"))
     r3 = r2.groupBy("c_nationkey").agg(F.sum("cs").alias("cs"))
     r4 = (

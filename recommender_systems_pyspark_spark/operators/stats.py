@@ -1374,3 +1374,356 @@ def x_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_winsorized_stats.__doc__ = x_winsorized_stats.__doc__.format(
     lo=_WINSOR_LO_PCT, hi=_WINSOR_HI_PCT
 )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollups, rounds 14: quantiles + KMV bottom-k samples
+# ---------------------------------------------------------------------------
+
+#: Fixed histogram bin width in cents for the mergeable quantile sketch.
+#: events.value spans [0.01, ~490] → ≤ ~50 live bins at $10 width: the
+#: per-hour sketch is a bounded (bin → count) map, and the deterministic
+#: estimate is guaranteed within one bin width of the exact rank statistic.
+_QSK_WIDTH_CENTS = 1000
+
+
+@query(
+    "x_quantile_rollup_merge",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             date_trunc('hour', ts) AS hour,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    hh AS (
+      SELECT day, hour, cents // {_QSK_WIDTH_CENTS} AS bin, COUNT(*) AS cnt
+      FROM v GROUP BY 1, 2, 3
+    ),
+    dh AS (
+      SELECT day, bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM hh GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT hour) AS BIGINT) AS n_hour_sketches
+      FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, bin,
+             SUM(cnt) OVER (PARTITION BY day ORDER BY bin) AS cum
+      FROM dh
+    ),
+    est AS (
+      SELECT c.day,
+             MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END)
+               * {_QSK_WIDTH_CENTS} AS est_p50_cents,
+             MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END)
+               * {_QSK_WIDTH_CENTS} AS est_p95_cents
+      FROM cum c JOIN tot USING (day) GROUP BY c.day
+    ),
+    rk AS (
+      SELECT day, cents,
+             row_number() OVER (PARTITION BY day ORDER BY cents) AS rn
+      FROM v
+    ),
+    exact AS (
+      SELECT r.day,
+             MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END)
+               AS exact_p50_cents,
+             MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END)
+               AS exact_p95_cents
+      FROM rk r JOIN tot USING (day) GROUP BY r.day
+    )
+    SELECT t.day, t.n, t.n_hour_sketches,
+           est_p50_cents, exact_p50_cents,
+           est_p95_cents, exact_p95_cents,
+           (exact_p50_cents - est_p50_cents) // {_QSK_WIDTH_CENTS}
+             AS p50_err_div_width,
+           (exact_p95_cents - est_p95_cents) // {_QSK_WIDTH_CENTS}
+             AS p95_err_div_width
+    FROM tot t JOIN est USING (day) JOIN exact USING (day)
+    ORDER BY t.day
+    """,
+)
+def x_quantile_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE-sketch rollup — the quantile twin of
+    x_hll_rollup_merge (VERDICT r13 next-step #6, completing the
+    mergeable-sketch story: distinct ✓ HLL, frequency ✓ count-min,
+    quantiles now ✓): per-HOUR fixed-boundary histograms of event value
+    cents (bin = cents DIV {w} — a bounded (bin → count) map, THE
+    textbook mergeable quantile sketch: merging is count addition, no
+    raw re-scan), union-merged to DAY, then the p50/p95 rank statistics
+    read off the merged cumulative histogram. Fixed shared boundaries
+    make the merge exact (unlike KLL/t-digest whose compaction is
+    engine-specific and unreplayable — this sketch is deterministic and
+    hash-certifiable end to end), at the cost of a data-dependent bin
+    count; width ${w//100} bounds it ≤ ~50 on this value domain.
+
+    Certification (all integer): the exact tier recomputes the rank-DISC
+    p50/p95 from raw per day (the x_winsorized_stats rank convention),
+    and the pinned-error columns ``(exact − est) DIV width`` are 0 by
+    construction — the exact statistic lies inside the estimated bin, so
+    any estimator/merge regression hash-mismatches loudly.
+
+    Scale: the hour tier is one map-side-combinable groupBy (sketch
+    state ≈ bins × hours, kilobytes); day/week/month rollups re-aggregate
+    SKETCHES, never raw events — at 100 TB the raw scan happens once at
+    ingest and every later horizon is metadata-scale. The exact tier
+    exists only to audit at fixture scale (its per-day rank sort is the
+    part one drops at 100 TB, or swaps for the two-phase global-rank
+    primitive in operators/ranking.py for extreme days).
+
+    Reference contrast: no sketch surface in the reference; extends the
+    §2.13 diagnostics family's mergeable-rollup row (x_hll_rollup_merge,
+    stats.py) from distinct counts to order statistics."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"].select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    hour_hist = ev.groupBy(
+        "day", "hour", F.expr(f"cents DIV {_QSK_WIDTH_CENTS}").alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+    day_hist = hour_hist.groupBy("day", "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    tot = ev.groupBy("day").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("hour").cast("long").alias("n_hour_sketches"),
+    )
+    cum = day_hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("day").orderBy("bin")
+        ),
+    )
+    est = (
+        cum.join(F.broadcast(tot), "day")
+        .groupBy("day")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n * 50 + 99) DIV 100"),
+                        F.col("bin"),
+                    )
+                )
+                * _QSK_WIDTH_CENTS
+            ).alias("est_p50_cents"),
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n * 95 + 99) DIV 100"),
+                        F.col("bin"),
+                    )
+                )
+                * _QSK_WIDTH_CENTS
+            ).alias("est_p95_cents"),
+        )
+    )
+    rk = ev.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("day").orderBy("cents"))
+    )
+    exact = (
+        rk.join(F.broadcast(tot), "day")
+        .groupBy("day")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(n * 50 + 99) DIV 100"),
+                    F.col("cents"),
+                )
+            ).alias("exact_p50_cents"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(n * 95 + 99) DIV 100"),
+                    F.col("cents"),
+                )
+            ).alias("exact_p95_cents"),
+        )
+    )
+    return (
+        tot.join(est, "day")
+        .join(exact, "day")
+        .select(
+            "day",
+            "n",
+            "n_hour_sketches",
+            "est_p50_cents",
+            "exact_p50_cents",
+            "est_p95_cents",
+            "exact_p95_cents",
+            F.expr(
+                f"(exact_p50_cents - est_p50_cents) DIV {_QSK_WIDTH_CENTS}"
+            ).alias("p50_err_div_width"),
+            F.expr(
+                f"(exact_p95_cents - est_p95_cents) DIV {_QSK_WIDTH_CENTS}"
+            ).alias("p95_err_div_width"),
+        )
+        .orderBy("day")
+    )
+
+
+x_quantile_rollup_merge.__doc__ = x_quantile_rollup_merge.__doc__.replace(
+    "{w}", str(_QSK_WIDTH_CENTS)
+).replace("{w//100}", str(_QSK_WIDTH_CENTS // 100))
+
+
+#: Bottom-k sketch size for the mergeable distinct-sample rollup. Per-day
+#: distinct users comfortably exceed K at sf ≥ 0.01 (the estimator tier);
+#: below K the sketch IS the exact set and the estimate equals it.
+_KMV_ROLLUP_K = 48
+#: 15 hex chars of the md5 → a 60-bit integer rank space for the KMV
+#: distinct estimator (the x_ktruss_peel edge-hash convention).
+_KMV_SPACE = 1 << 60
+
+
+@query(
+    "x_kmv_rollup_merge",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             date_trunc('hour', ts) AS hour, user_id,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    hs AS (
+      SELECT day, hour, user_id, h FROM (
+        SELECT *, row_number() OVER (PARTITION BY day, hour ORDER BY h) AS r
+        FROM u)
+      WHERE r <= {_KMV_ROLLUP_K}
+    ),
+    du AS (SELECT DISTINCT day, user_id, h FROM hs),
+    ds AS (
+      SELECT day, user_id, h FROM (
+        SELECT *, row_number() OVER (PARTITION BY day ORDER BY h) AS r
+        FROM du)
+      WHERE r <= {_KMV_ROLLUP_K}
+    ),
+    agg AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(bit_xor(user_id) AS BIGINT) AS sample_xor,
+             CAST(('0x' || substr(MAX(h), 1, 15))::BIGINT AS BIGINT)
+               AS kth_hash60
+      FROM ds GROUP BY 1
+    ),
+    ex AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+               AS n_hour_sketches
+      FROM events GROUP BY 1
+    ),
+    est AS (
+      SELECT day, n_hour_sketches, k_used, kth_hash60, sample_xor,
+             exact_distinct,
+             CAST(CASE WHEN k_used < {_KMV_ROLLUP_K} THEN k_used
+                  ELSE ({_KMV_SPACE} // kth_hash60) * {_KMV_ROLLUP_K - 1}
+                  END AS BIGINT) AS est_distinct
+      FROM agg JOIN ex USING (day)
+    )
+    SELECT day, n_hour_sketches, k_used, kth_hash60, est_distinct,
+           exact_distinct,
+           ABS(est_distinct - exact_distinct) // exact_distinct
+             AS err_gt_100pct,
+           sample_xor
+    FROM est ORDER BY day
+    """,
+)
+def x_kmv_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable BOTTOM-K (KMV) distinct-sample rollup: per HOUR, the
+    k={k} lexicographically-smallest md5 hashes of the hour's distinct
+    users — simultaneously (a) a uniform sample of the distinct-user set
+    and (b) a KMV distinct-count sketch — union-merged to DAY by taking
+    the k smallest of the hour sketches' union. Bottom-k merge is EXACT
+    (any of the day's k smallest distinct hashes is necessarily inside
+    its own hour's k smallest), so the two-tier result is byte-identical
+    to a direct single-tier pass — which is exactly what the oracle
+    certifies: it computes the hour tier then the day merge, while the
+    columns it pins (``sample_xor`` of the sampled user ids, the k-th
+    hash threshold, the KMV estimate) would diverge on ANY merge bug.
+    The third mergeable-sketch face next to x_hll_rollup_merge (opaque
+    registers, estimate-only) and x_quantile_rollup_merge (histogram):
+    KMV is the one whose state doubles as a REAL row sample — the seed
+    for downstream inspection/labeling jobs.
+
+    Estimator tier (all integer, no libm): with the 60-bit hash rank
+    space, ``est = (space DIV h_k) · (k−1)`` when the sketch is full,
+    else the sketch is the exhaustive set and ``est = k_used``. The
+    pinned ``err_gt_100pct = |est − exact| DIV exact`` is 0 at ~7σ of
+    the KMV error distribution (rsd ≈ 1/√(k−2) ≈ 15%) — the
+    x_hll_rollup_merge loud-bound doctrine.
+
+    Scale: hour tier is one distinct + one bounded per-hour top-k
+    (map-side combinable on (day, hour)); every coarser horizon merges
+    k-row sketches — metadata-scale, no raw re-scan. The exact tier is
+    the fixture-scale audit only.
+
+    Reference contrast: no sketch surface in the reference; §2.13
+    diagnostics family, mergeable-rollup row three of three."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    u = ev.select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "user_id",
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    hs = (
+        u.withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("day", "hour").orderBy("h")),
+        )
+        .where(F.col("r") <= _KMV_ROLLUP_K)
+        .select("day", "user_id", "h")
+    )
+    du = hs.distinct()
+    ds = (
+        du.withColumn(
+            "r", F.row_number().over(Window.partitionBy("day").orderBy("h"))
+        )
+        .where(F.col("r") <= _KMV_ROLLUP_K)
+    )
+    agg = ds.groupBy("day").agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.expr("bit_xor(user_id)").cast("long").alias("sample_xor"),
+        F.conv(F.substring(F.max("h"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("kth_hash60"),
+    )
+    ex = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+        F.countDistinct(F.date_trunc("hour", "ts"))
+        .cast("long")
+        .alias("n_hour_sketches"),
+    )
+    est = F.when(
+        F.col("k_used") < _KMV_ROLLUP_K, F.col("k_used")
+    ).otherwise(
+        F.expr(f"({_KMV_SPACE} DIV kth_hash60) * {_KMV_ROLLUP_K - 1}")
+    ).cast("long")
+    return (
+        agg.join(ex, "day")
+        .withColumn("est_distinct", est)
+        .select(
+            "day",
+            "n_hour_sketches",
+            "k_used",
+            "kth_hash60",
+            "est_distinct",
+            "exact_distinct",
+            F.expr("abs(est_distinct - exact_distinct) DIV exact_distinct")
+            .cast("long")
+            .alias("err_gt_100pct"),
+            "sample_xor",
+        )
+        .orderBy("day")
+    )
+
+
+x_kmv_rollup_merge.__doc__ = x_kmv_rollup_merge.__doc__.replace(
+    "{k}", str(_KMV_ROLLUP_K)
+)

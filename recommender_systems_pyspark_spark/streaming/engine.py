@@ -390,3 +390,42 @@ def join_view_click_outer(
     ).select(
         F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
     )
+
+
+def join_view_click_full(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    late_threshold: str = "30 minutes",
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join: attribution pairs PLUS
+    null-extended unconverted views PLUS null-extended orphan clicks —
+    the fourth funnel join mode (see streaming.joins
+    s21_view_click_full for semantics). Null emission on either side
+    waits for the OTHER side's watermark to clear that row's interval;
+    matched pairs emit immediately. Both watermarks plus the time bound
+    are mandatory — Spark rejects the query otherwise, because neither
+    buffer could ever be proven final."""
+    v = views.withWatermark("ts", late_threshold).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", late_threshold).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+    )

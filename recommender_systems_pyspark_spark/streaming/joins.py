@@ -212,3 +212,67 @@ def s20_view_click_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_semi",
     ).select("user_id", "view_id", "view_ts")
+
+
+@query(
+    "s21_view_click_full",
+    oracle=f"""
+    SELECT COALESCE(v.user_id, c.user_id) AS user_id,
+           v.event_id AS view_id, c.event_id AS click_id,
+           v.ts AS view_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '{_FUNNEL_HORIZON}'
+    """,
+)
+def s21_view_click_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join, batch face — the fourth
+    and final join mode of the funnel matrix (s6 inner / s8 left-outer /
+    s20 left-semi): every view-click attribution pair PLUS every
+    unconverted view (null click columns) PLUS every orphan click that
+    no view within the preceding {h} can claim (null view columns) — the
+    one-stream reconciliation feed an attribution audit wants, where the
+    left-outer face silently drops unattributable clicks (VERDICT r13
+    next-step #7).
+
+    In streaming mode full-outer is the maximal-proof shape: a null
+    extension on EITHER side needs that side proven unmatched — an
+    unconverted view waits for the click watermark to pass
+    ``view_ts + horizon``, an orphan click waits for the view watermark
+    to pass ``click_ts`` (its interval lower bound) — so emission trails
+    the JOINT watermark, while matched pairs still emit immediately
+    (engine.join_view_click_full is the live form;
+    tests/test_streaming.py proves the micro-batch output set equals
+    this batch face). State eviction math is identical to s6/s8: the
+    time bound keeps both buffers finite.
+
+    Scale: the same user-keyed equi join with the interval residual;
+    output ≤ |views matched| + |views| + |clicks| rows; AQE skew-split
+    covers hot users. Oracle: ANSI FULL JOIN with the identical ON
+    condition."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {_FUNNEL_HORIZON}")
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+    )
