@@ -6,6 +6,18 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced end-to-end with a noop-format write (full computation on
 executors, no driver collect — measures the engine, not py4j transfer).
+
+Cold/warm policy (VERDICT r13 what's-wrong #1): every batch RECORD_ONLY
+entry runs TWICE — the first (cold) pass pays parquet-footer/codegen/
+block-manager warmup plus any shared-artifact memo build (SCC assignment,
+aHash decode, eval points, k-truss rounds) and is recorded under
+``queries_cold``; the second (steady-state) pass is the canonical
+``queries`` figure, comparable round-over-round and to the scale
+rehearsal's rows. HEADLINE entries stay single-run so the headline total
+remains apples-to-apples with the r1 baseline; streaming-family entries
+already run on a fresh recycled session (the r13 fix) and stay single-run
+— their cost IS the per-trigger machinery, which a warm rerun would
+understate.
 """
 
 from __future__ import annotations
@@ -172,6 +184,13 @@ RECORD_ONLY = [
     "x_embed_centroid_drift",
     "s19_dynamic_session_gap",
     "s20_view_click_semi",
+    # Round-14 shapes (own baselines from this round's first recording):
+    # the two new mergeable-sketch rollups, the calibration profile, and
+    # the full-outer funnel face (routed to the streaming split by name).
+    "x_quantile_rollup_merge",
+    "x_kmv_rollup_merge",
+    "x_ece_calibration",
+    "s21_view_click_full",
 ]
 
 
@@ -370,9 +389,17 @@ def main() -> None:
     # block-manager reclaim runs BETWEEN entries so each figure measures
     # the query, not its predecessor's leftover memory pressure
     # (VERDICT r7 #7: the phantom 3.87x on x_dedup_incremental).
+    # Each entry runs twice — cold first (recorded separately), then the
+    # canonical steady-state pass (see the cold/warm policy note above).
+    # One reclaim per entry, BEFORE the cold pass: the warm pass runs
+    # immediately after (its predecessor is the same query — leftover
+    # pressure from your own cold run is part of your steady state, and a
+    # second reclaim per entry costs the sweep ~2 min of pure settle).
+    cold: dict[str, float] = {}
     for name in batch_only:
         if name in specs:
             reclaim(spark)
+            cold[name] = round(run(name), 4)
             timings[name] = round(run(name), 4)
 
     # --- session recycle: the streaming block runs on a fresh session ---
@@ -405,6 +432,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
         "sf": sf,
     }
     print(json.dumps(out))

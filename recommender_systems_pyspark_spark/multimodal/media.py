@@ -735,35 +735,44 @@ _AHASH_SQL_CTES = f"""imgs AS (
 _AHASH_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
+def cached_ahash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decoded aHash frame (doc_id, w0..w3), one row per decodable
+    image — the per-corpus-version artifact behind BOTH registered
+    consumers (x_media_ahash_pairs and x_media_dedup_e2e): memoized per
+    (session, sf_dir) like every shared pass (the cached_scc_assignment
+    pattern), so the Arrow decode runs once per sweep, eagerly
+    checkpointed. Its doc_id set IS the gated image set (the ASCII
+    byte==char gate is applied before hashing and empty rasters are
+    skipped by the gate's byte_len > 0), so consumers needing the node
+    list read it from here instead of re-running the encode+decode scan."""
+    import os
+
+    from ..memo import session_memo
+
+    def build() -> DataFrame:
+        m = encoded_media_table(spark, sf_dir).where(
+            (F.col("media_type") == "image")
+            & (F.col("byte_len") > 0)
+            & (
+                F.col("byte_len")
+                == F.char_length(F.decode(F.col("payload"), "UTF-8"))
+            )
+        )
+        return (
+            m.select("doc_id", "media_type", F.col("payload_enc").alias("payload"))
+            .mapInPandas(ahash_words, schema=AHASH_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+
+    return session_memo(_AHASH_MEMO, spark, (os.path.normpath(sf_dir),), build)
+
+
 def ahash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, shared_bands, hamming) — the banded aHash candidate
     pairs with full Hamming scores, unordered. Shared by
     x_media_ahash_pairs (the ledger face) and x_media_dedup_e2e (the
     composed dedup pipeline)."""
-    m = encoded_media_table(spark, sf_dir).where(
-        (F.col("media_type") == "image")
-        & (F.col("byte_len") > 0)
-        & (F.col("byte_len") == F.char_length(F.decode(F.col("payload"), "UTF-8")))
-    )
-    # the hash frame feeds the band unpivot AND both sides of the
-    # Hamming join — and BOTH registered consumers (the pair ledger and
-    # the e2e dedup): memoized per (session, sf_dir) like every
-    # per-corpus-version artifact (the cached_scc_assignment pattern),
-    # so the Arrow decode pass runs once per sweep, eagerly checkpointed.
-    import os
-
-    from ..memo import session_memo
-
-    hashes = session_memo(
-        _AHASH_MEMO,
-        spark,
-        (os.path.normpath(sf_dir),),
-        lambda: (
-            m.select("doc_id", "media_type", F.col("payload_enc").alias("payload"))
-            .mapInPandas(ahash_words, schema=AHASH_SCHEMA)
-            .localCheckpoint(eager=True)
-        ),
-    )
+    hashes = cached_ahash_frame(spark, sf_dir)
     words = hashes.select(
         "doc_id",
         F.explode(
@@ -898,21 +907,17 @@ def x_media_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _MEDIA_DEDUP_HAM)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    imgs = (
-        encoded_media_table(spark, sf_dir)
-        .where(
-            (F.col("media_type") == "image")
-            & (F.col("byte_len") > 0)
-            & (
-                F.col("byte_len")
-                == F.char_length(F.decode(F.col("payload"), "UTF-8"))
-            )
-        )
-        .select(F.col("doc_id").alias("id"))
-    )
-    from ..functions.graph import connected_components
+    # Node list = the memoized hash frame's ids (identical gate — see
+    # cached_ahash_frame), so the steady-state run re-scans nothing.
+    imgs = cached_ahash_frame(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    # Hash-to-min closure, NOT plain min-label propagation: aHash dup
+    # edges chain drifting copies (A≈B≈C… with A,C sharing no band), and
+    # the measured sf0.1 dup graph has diameter 23 — 24 propagation
+    # rounds (~15 s of round overhead) vs 6 with pointer doubling, and
+    # the gap widens with scale (chains lengthen as corpora grow).
+    from ..functions.graph import connected_components_hashmin
 
-    comp = connected_components(pairs, imgs)
+    comp = connected_components_hashmin(pairs, imgs)
     sized = comp.groupBy("component").agg(
         F.count("*").alias("cluster_size"),
         F.min("id").alias("keeper"),

@@ -198,27 +198,69 @@ def test_grade_first_names_are_registered():
     assert not missing, f"_GRADE_FIRST names not in registry: {missing}"
 
 
-def test_round13_queue_fits_the_grading_window():
-    """VERDICT r12 #2's done-bar depends on the DECLARED round-13 queue
-    landing inside the driver's 50-slot grading window. A later insertion
-    at the head of _GRADE_FIRST could silently push queue entries past
-    the cut — this pins the invariant."""
+def test_round14_queue_fits_the_grading_window():
+    """VERDICT r13 next-step #1's done-bar depends on the 8 r7-vintage
+    queries (the rows CHANGES_r13 wrongly claimed drained) landing inside
+    the driver's 50-slot grading window THIS round. A later insertion at
+    the head of _GRADE_FIRST could silently push them past the cut —
+    this pins the invariant."""
     from recommender_systems_pyspark_spark.registry import all_queries
 
     window = set(list(all_queries())[:50])
-    declared_queue = {
-        "t4_recent_per_user", "t7_topk_per_group", "u1_union_all",
-        "u2_union_distinct", "u3_intersect", "u4_except", "g1_rollup",
-        "g2_cube", "g3_pivot", "j6_asof_join", "j7_range_join",
-        "j10_full_outer", "a2_approx_distinct", "a8_percentiles",
-        "f1_split_array_ops", "f2_explode_distinct",
-        "f3_explode_struct_array", "f4_normalize_strings",
-        "f6_format_display", "f7_f8_row_metadata", "f9_conditional_buckets",
-        "f10_deterministic_sample", "f11_membership_overlap",
-        "w5_rank_fractions", "ml_rating_stats", "ml_user_unlock_gate",
-        "ml_latest_rating_dedup", "ml_dict_encode_items", "tpch_q2_style",
-        "x_dedup_jaccard_join", "x_dedup_incremental", "s9_foreach_upsert",
-        "x_lda_topics",
+    r7_vintage = {
+        "x_dedup_shingle_pairs", "x_dedup_substring", "x_doc_stats_by_lang",
+        "x_embed_neardup_pairs", "x_embed_neardup_multiprobe",
+        "x_fingerprint", "x_media_features", "x_media_frame_sample",
     }
-    missing = declared_queue - window
-    assert not missing, f"declared r13 queue entries pushed past slot 50: {sorted(missing)}"
+    missing = r7_vintage - window
+    assert not missing, f"r7-vintage entries pushed past slot 50: {sorted(missing)}"
+
+
+#: Queries the round-14 window DEFERS to round 15 (the declared r15
+#: queue — see the _GRADE_FIRST block comment for the deferral rationale).
+DECLARED_NEXT_QUEUE = {
+    "x_bloom_decontaminate", "x_dsir_select", "x_decontam_e2e",
+    "x_ingest_gate_e2e", "x_kcore_layers", "x_label_propagation",
+    "ml_als_top_recs", "ml_user_crud_flow",
+}
+
+
+def test_vintage_floor_is_mechanical():
+    """VERDICT r13 #1 / what's-wrong #2: CHANGES_r13 CLAIMED a grading
+    vintage floor ("no latest grade older than r8") that was false because
+    nobody computed it from the artifacts. This test computes the floor
+    MECHANICALLY from the committed CORRECTNESS files: every registered
+    query whose latest driver grade is at or below the stale threshold
+    must sit inside the CURRENT 50-slot window (it gets re-graded this
+    round) or be explicitly declared as next round's queue. Any claim a
+    CHANGES file makes about the floor is checkable against this test."""
+    import re
+
+    latest_round: dict[str, int] = {}
+    for fname, data in _correctness_rounds():
+        rnd = int(re.search(r"r(\d+)", fname).group(1))
+        for name in data:
+            latest_round[name] = max(rnd, latest_round.get(name, 0))
+
+    registered = set(registry.all_queries())
+    graded = {n: r for n, r in latest_round.items() if n in registered}
+    assert graded, "no graded registered queries"
+    window = set(list(registry.all_queries())[:50])
+
+    outside = {n: r for n, r in graded.items() if n not in window}
+    floor = min(outside.values())
+    max_round = max(graded.values())
+    # The stale cohort = everything ≥ 5 rounds older than the newest
+    # grade. All of it must be queued (in-window) or declared deferred.
+    stale = {n for n, r in graded.items() if r <= max_round - 5}
+    unhandled = stale - window - DECLARED_NEXT_QUEUE
+    assert not unhandled, (
+        f"stale grades (≤ r{max_round - 5}) neither in the current window "
+        f"nor in the declared next-round queue: {sorted(unhandled)}"
+    )
+    # And the declared deferrals must be the ONLY stale rows left outside
+    # the window — the floor outside the window is exactly what the
+    # CHANGES file may claim, never better.
+    stale_outside = {n for n in stale if n not in window}
+    assert stale_outside <= DECLARED_NEXT_QUEUE
+    assert floor >= 7, f"undeclared pre-r7 grade exists (floor r{floor})"

@@ -422,3 +422,43 @@ def test_bfs_delta_frontier_joins_only_new_nodes(spark, sf_dir):
     # accumulated reached set the r6 shape re-expanded
     reached_before_last = n_seeds + sum(trace[:-1])
     assert trace[-1] < reached_before_last
+
+
+def test_hashmin_components_match_union_find(spark):
+    """Hash-to-min (pointer-doubling min-label, x_media_dedup_e2e's
+    closure) must agree with union-find on random graphs and on the
+    deep-chain worst case it exists for (O(log d) rounds, not O(d))."""
+    from recommender_systems_pyspark_spark.functions.graph import (
+        connected_components_hashmin,
+    )
+
+    for seed, n, m in ((7, 120, 80), (11, 120, 200), (13, 60, 30)):
+        rng = random.Random(seed)
+        edges = [
+            (a, b)
+            for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(m))
+            if a != b
+        ]
+        got = {
+            r.id: r.component
+            for r in connected_components_hashmin(
+                spark.createDataFrame(edges, "src long, dst long"),
+                spark.range(n).select(F.col("id")),
+            ).collect()
+        }
+        assert got == _union_find(n, edges), f"seed={seed}"
+
+    # chain: diameter 59 must converge well inside 20 rounds (pointer
+    # doubling halves label-chain depth per round)
+    n = 60
+    got = {
+        r.id: r.component
+        for r in connected_components_hashmin(
+            spark.createDataFrame(
+                [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+            ),
+            spark.range(n).select(F.col("id")),
+            max_iter=20,
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}

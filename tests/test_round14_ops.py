@@ -1,0 +1,241 @@
+"""Round-14 operators: mergeable quantile/KMV sketch rollups, ECE
+calibration, the full-outer funnel join face, and the session-memo
+eviction contract (ADVICE r13 #2)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# x_quantile_rollup_merge
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_rollup_est_within_one_bin_width(spark):
+    from recommender_systems_pyspark_spark.operators.stats import (
+        x_quantile_rollup_merge,
+    )
+
+    out = _rows(x_quantile_rollup_merge(spark, SF_ORACLE))
+    assert out, "no day rows"
+    for r in out:
+        # the exact statistic lies inside the estimated bin by construction
+        assert r["p50_err_div_width"] == 0, r
+        assert r["p95_err_div_width"] == 0, r
+        assert r["est_p50_cents"] <= r["exact_p50_cents"]
+        assert r["est_p95_cents"] <= r["exact_p95_cents"]
+        assert r["n_hour_sketches"] <= 24
+
+
+def test_quantile_rollup_matches_python_replay(spark):
+    """Exact p50/p95 and the histogram estimate replayed in plain python
+    from the raw parquet for every day at smoke scale."""
+    import duckdb
+
+    from recommender_systems_pyspark_spark.operators.stats import (
+        _QSK_WIDTH_CENTS,
+        x_quantile_rollup_merge,
+    )
+
+    raw = duckdb.sql(
+        f"SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,"
+        f" CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents"
+        f" FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    by_day: dict[str, list[int]] = {}
+    for day, cents in raw:
+        by_day.setdefault(day, []).append(cents)
+    got = {r["day"]: r for r in _rows(x_quantile_rollup_merge(spark, SF_SMOKE))}
+    assert set(got) == set(by_day)
+    for day, vals in by_day.items():
+        vals.sort()
+        n = len(vals)
+        for q, ecol, xcol in ((50, "est_p50_cents", "exact_p50_cents"),
+                              (95, "est_p95_cents", "exact_p95_cents")):
+            rank = (n * q + 99) // 100
+            exact = vals[rank - 1]
+            assert got[day][xcol] == exact, (day, q)
+            assert got[day][ecol] == (exact // _QSK_WIDTH_CENTS) * _QSK_WIDTH_CENTS
+
+
+# ---------------------------------------------------------------------------
+# x_kmv_rollup_merge
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_two_tier_merge_equals_direct_bottom_k(spark):
+    """The mergeability theorem, replayed in python: the day-level
+    bottom-k of the hour sketches' union equals the bottom-k computed
+    directly over the day's distinct users."""
+    import duckdb
+
+    from recommender_systems_pyspark_spark.operators.stats import (
+        _KMV_ROLLUP_K,
+        x_kmv_rollup_merge,
+    )
+
+    raw = duckdb.sql(
+        f"SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id"
+        f" FROM '{SF_ORACLE}/events.parquet'"
+    ).fetchall()
+    by_day: dict[str, set[int]] = {}
+    for day, uid in raw:
+        by_day.setdefault(day, set()).add(uid)
+    got = {r["day"]: r for r in _rows(x_kmv_rollup_merge(spark, SF_ORACLE))}
+    assert set(got) == set(by_day)
+    for day, users in by_day.items():
+        ranked = sorted(
+            (hashlib.md5(str(u).encode()).hexdigest(), u) for u in users
+        )[:_KMV_ROLLUP_K]
+        xor = 0
+        for _, u in ranked:
+            xor ^= u
+        assert got[day]["k_used"] == len(ranked)
+        assert got[day]["sample_xor"] == xor, day
+        assert got[day]["kth_hash60"] == int(ranked[-1][0][:15], 16)
+        assert got[day]["exact_distinct"] == len(users)
+        assert got[day]["err_gt_100pct"] == 0
+
+
+def test_kmv_underfull_sketch_is_exact(spark):
+    """At smoke scale some days hold fewer distinct users than K: the
+    sketch is then the exhaustive set and est must EQUAL exact."""
+    from recommender_systems_pyspark_spark.operators.stats import (
+        _KMV_ROLLUP_K,
+        x_kmv_rollup_merge,
+    )
+
+    rows = _rows(x_kmv_rollup_merge(spark, SF_SMOKE))
+    underfull = [r for r in rows if r["k_used"] < _KMV_ROLLUP_K]
+    assert underfull, "smoke fixture should have at least one underfull day"
+    for r in underfull:
+        assert r["est_distinct"] == r["exact_distinct"] == r["k_used"]
+
+
+# ---------------------------------------------------------------------------
+# x_ece_calibration
+# ---------------------------------------------------------------------------
+
+
+def test_ece_bins_partition_the_corpus_and_terms_sum_to_ece(spark):
+    from recommender_systems_pyspark_spark.functions.strata import (
+        x_ece_calibration,
+    )
+    from recommender_systems_pyspark_spark.sources import tables
+
+    rows = _rows(x_ece_calibration(spark, SF_ORACLE))
+    n_docs_total = (
+        tables(spark, SF_ORACLE)["documents"]
+        .where(F.length("text") > 0)
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    for r in rows:
+        assert 0.0 <= r["avg_conf"] <= 1.0
+        assert 0.0 <= r["keep_rate"] <= 1.0
+        assert abs(r["abs_gap"] - abs(r["avg_conf"] - r["keep_rate"])) < 1e-12
+        # mean confidence must lie inside the bin's value range
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 if r["bin"] < 9 else 1.0
+        assert lo - 1e-9 <= r["avg_conf"] <= hi + 1e-9
+    ece = sum(r["ece_term"] for r in rows)
+    manual = (
+        sum(r["abs_gap"] * r["n_docs"] for r in rows) / n_docs_total
+    )
+    assert abs(ece - manual) < 1e-12
+    assert 0.0 <= ece <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# s21_view_click_full — batch-face algebra against the other join modes
+# ---------------------------------------------------------------------------
+
+
+def test_full_outer_funnel_is_inner_plus_both_null_extensions(spark):
+    from recommender_systems_pyspark_spark.streaming.joins import (
+        s6_view_click_funnel,
+        s20_view_click_semi,
+        s21_view_click_full,
+    )
+    from recommender_systems_pyspark_spark.sources import load_table
+
+    full = _rows(s21_view_click_full(spark, SF_SMOKE))
+    inner = _rows(s6_view_click_funnel(spark, SF_SMOKE))
+    semi = _rows(s20_view_click_semi(spark, SF_SMOKE))
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_views = ev.where(F.col("event_type") == "view").count()
+    n_clicks = ev.where(F.col("event_type") == "click").count()
+
+    matched = [r for r in full if r["view_id"] is not None and r["click_id"] is not None]
+    null_clicks = [r for r in full if r["click_id"] is None]
+    null_views = [r for r in full if r["view_id"] is None]
+    # matched rows ARE the inner join
+    assert {(r["view_id"], r["click_id"]) for r in matched} == {
+        (r["view_id"], r["click_id"]) for r in inner
+    }
+    # unconverted views = views minus the semi (converted) set
+    assert len(null_clicks) == n_views - len(semi)
+    # every click appears: matched distinct + orphans = all clicks
+    matched_clicks = {r["click_id"] for r in matched}
+    assert len(matched_clicks) + len(null_views) == n_clicks
+    # no row loses both sides
+    assert all(r["view_id"] is not None or r["click_id"] is not None for r in full)
+    assert all(r["user_id"] is not None for r in full)
+
+
+# ---------------------------------------------------------------------------
+# session_memo eviction (ADVICE r13 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_session_memo_evicts_dead_session_keys(spark):
+    from recommender_systems_pyspark_spark.memo import session_memo
+
+    memo: dict[tuple, str] = {
+        ("dead-app-1", "x"): "stale1",
+        ("dead-app-2", "y"): "stale2",
+    }
+    got = session_memo(memo, spark, ("k",), lambda: "fresh")
+    assert got == "fresh"
+    app = spark.sparkContext.applicationId
+    assert set(memo) == {(app, "k")}, "stale-session keys must be evicted"
+    # second call: cache hit, no rebuild
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return "rebuilt"
+
+    assert session_memo(memo, spark, ("k",), build) == "fresh"
+    assert calls["n"] == 0
+
+
+def test_ktruss_wedge_counts_reuse_memoized_peel(spark):
+    """ADVICE r13 #3: the instrumentation must not replay the peel —
+    after x_ktruss_peel runs, ktruss_round_wedge_counts reuses the
+    memoized round frames, and both report consistent round structure."""
+    from recommender_systems_pyspark_spark.functions.pagerank import (
+        _KTRUSS_ROUNDS,
+        ktruss_round_wedge_counts,
+        x_ktruss_peel,
+    )
+
+    peel = {r["round"]: r for r in _rows(x_ktruss_peel(spark, SF_SMOKE))}
+    wedges = ktruss_round_wedge_counts(spark, SF_SMOKE)
+    assert set(wedges) == {f"round{r}" for r in range(_KTRUSS_ROUNDS + 1)}
+    # wedge volume is monotonically non-increasing as edges peel away
+    vals = [wedges[f"round{r}"] for r in range(_KTRUSS_ROUNDS + 1)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    # edge counts shrink (or hold) each round too — peel invariant
+    edges = [peel[r]["n_edges"] for r in range(_KTRUSS_ROUNDS + 1)]
+    assert all(a >= b for a, b in zip(edges, edges[1:]))

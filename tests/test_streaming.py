@@ -601,3 +601,60 @@ def test_semi_join_stream_emits_converted_views_once(spark, stream_dir):
         q.stop()
     assert got.count((1, 1)) == 1          # exactly once despite 2 clicks
     assert all(u != 2 for u, _ in got)     # unconverted view never emits
+
+
+def test_full_outer_join_stream_emits_both_null_extensions(spark, stream_dir):
+    """The REAL full-outer stream-stream join (s21's live form): matched
+    pairs emit like the inner join; an unconverted view null-extends once
+    the click watermark clears view_ts + horizon; an orphan click (no view
+    within the preceding horizon) null-extends once the view watermark
+    clears its ts — the side the left-outer face silently drops."""
+    import shutil
+    import tempfile
+
+    from recommender_systems_pyspark_spark.streaming.engine import (
+        join_view_click_full,
+    )
+
+    views_dir = tempfile.mkdtemp(prefix="views_stream_")
+    clicks_dir = tempfile.mkdtemp(prefix="clicks_stream_")
+    try:
+        views = [
+            _ev(1, "2024-01-01 00:00:00", user=1, typ="view"),  # clicked
+            _ev(2, "2024-01-01 00:30:00", user=2, typ="view"),  # never clicked
+        ]
+        clicks = [
+            _ev(10, "2024-01-01 00:20:00", user=1, typ="click"),  # joins view 1
+            _ev(11, "2024-01-01 02:00:00", user=3, typ="click"),  # orphan: no view
+        ]
+        _write_batch(views_dir, "batch0", views)
+        _write_batch(clicks_dir, "batch0", clicks)
+        # advance BOTH watermarks far enough to finalize every buffered row
+        for i, t in ((1, "09:00:00"), (2, "10:00:00")):
+            _write_batch(
+                views_dir, f"batch{i}", [_ev(100 + i, f"2024-01-01 {t}", user=8, typ="view")]
+            )
+            _write_batch(
+                clicks_dir, f"batch{i}", [_ev(200 + i, f"2024-01-01 {t}", user=9, typ="click")]
+            )
+        joined = join_view_click_full(
+            read_event_stream(spark, views_dir),
+            read_event_stream(spark, clicks_dir),
+        )
+        q = start_to_memory(joined, "funnel_full")
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.user_id, r.view_id, r.click_id)
+                for r in spark.sql("SELECT * FROM funnel_full").collect()
+            }
+        finally:
+            q.stop()
+        assert (1, 1, 10) in got, "matched pair must emit"
+        assert (2, 2, None) in got, "unconverted view -> null click row"
+        assert (3, None, 11) in got, "orphan click -> null view row"
+        # every emitted row keeps a non-null coalesced user key
+        assert all(u is not None for u, _, _ in got)
+    finally:
+        shutil.rmtree(views_dir, ignore_errors=True)
+        shutil.rmtree(clicks_dir, ignore_errors=True)

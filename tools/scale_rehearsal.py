@@ -182,6 +182,14 @@ DEFAULT_QUERIES = (
     "x_winsorized_stats",
     "x_embed_centroid_drift",
     "s20_view_click_semi",
+    # round-14 additions: the mergeable quantile/KMV sketch rollups (event
+    # scale: one groupBy tier + metadata-scale merges), the calibration
+    # profile (corpus scan + 10-group agg), and the full-outer funnel
+    # face (the largest-output join mode of the s6/s8/s20 family).
+    "x_quantile_rollup_merge",
+    "x_kmv_rollup_merge",
+    "x_ece_calibration",
+    "s21_view_click_full",
 )
 
 
