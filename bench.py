@@ -191,6 +191,8 @@ RECORD_ONLY = [
     "x_kmv_rollup_merge",
     "x_ece_calibration",
     "s21_view_click_full",
+    "x_bpe_fertility",
+    "x_dedup_source_priority",
 ]
 
 

@@ -357,3 +357,98 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _sql_bpe_fertility(n_merges: int = _BPE_MERGES) -> str:
+    """DuckDB replica of the per-language fertility rollup: the same
+    unrolled training chain as x_bpe_encode, aggregated by lang."""
+    parts = _bpe_cte_parts(n_merges)
+    parts.append(
+        """dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+                 FROM documents)"""
+    )
+    parts.append(f"wh AS (SELECT word, len(syms) AS nt FROM wt{n_merges})")
+    parts.append("dl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)")
+    parts.append(
+        """g AS (
+          SELECT lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                 CAST(SUM(length(word)) AS BIGINT) AS n_chars
+          FROM dw JOIN wh USING (word)
+          WHERE word <> ''
+          GROUP BY lang
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT g.lang, CAST(dl.n_docs AS BIGINT) AS n_docs,
+           g.n_words, g.n_tokens, g.n_chars,
+           CAST(g.n_tokens * 1000000 // g.n_words AS BIGINT)
+             AS fertility_ppm,
+           CAST(g.n_chars * 1000000 // g.n_tokens AS BIGINT)
+             AS chars_per_token_ppm
+    FROM g JOIN dl USING (lang)
+    ORDER BY g.lang
+    """
+    )
+
+
+@query("x_bpe_fertility", oracle=_sql_bpe_fertility())
+def x_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — tokens emitted per whitespace
+    word (ppm) and characters per token (ppm) under the trained BPE
+    merges: the metric that tells a multilingual pipeline which
+    languages the shared tokenizer penalizes (high fertility = more
+    tokens per word = fewer effective context words and higher training
+    cost for that slice — the standard argument for revisiting merge
+    budgets or vocab allocation). Complements x_bpe_encode (per-document
+    grain) and x_vocab_coverage (OOV rates) with the per-LANGUAGE cost
+    profile.
+
+    All integer: token/word/char sums are exact, ratios are fixed-point
+    ppm via DIV (non-negative operands). The oracle replays training +
+    encoding per the x_bpe_encode scheme and aggregates by lang.
+
+    Scale: the merge fold runs on the word-TYPE table (shared
+    :func:`cached_bpe_merges` memo — the sweep trains once); the
+    occurrences⋈types join is the x_bpe_encode shape; the rollup is a
+    5-group aggregate with map-side partials.
+
+    Reference contrast: no tokenizer surface in the reference; extends
+    §2.13's tokenizer family (train r10, encode r12, vocab-coverage r9)
+    with the per-language cost face."""
+    docs = tables(spark, sf_dir)["documents"]
+    merges = cached_bpe_merges(spark, sf_dir)
+    enc = bpe_encode(docs, merges)
+    wh = enc.select("word", F.size("syms").cast("long").alias("nt"))
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    g = (
+        words.join(wh, "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+    )
+    dl = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        dl.join(g, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("n_tokens * 1000000 DIV n_words").alias("fertility_ppm"),
+            F.expr("n_chars * 1000000 DIV n_tokens").alias(
+                "chars_per_token_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )

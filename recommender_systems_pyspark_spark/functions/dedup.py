@@ -1363,3 +1363,92 @@ def x_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jacc_exact"),
         )
     )
+
+
+@query(
+    "x_dedup_source_priority",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4) AS INTEGER) AS prio,
+             sha256(lower(trim(text))) AS h
+      FROM documents
+    ),
+    k AS (
+      SELECT h, doc_id AS keep_id, source AS keep_src FROM (
+        SELECT *, row_number() OVER (PARTITION BY h ORDER BY prio, doc_id)
+                    AS rn
+        FROM d)
+      WHERE rn = 1
+    ),
+    j AS (SELECT d.*, k.keep_id, k.keep_src FROM d JOIN k USING (h))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id = keep_id THEN 1 END) AS BIGINT)
+             AS n_kept,
+           CAST(COUNT(CASE WHEN doc_id <> keep_id THEN 1 END) AS BIGINT)
+             AS n_dropped,
+           CAST(COUNT(CASE WHEN doc_id <> keep_id AND keep_src <> source
+                           THEN 1 END) AS BIGINT) AS n_lost_cross_source,
+           CAST(COALESCE(bit_xor(CASE WHEN doc_id = keep_id THEN doc_id END),
+                         0) AS BIGINT) AS kept_xor
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def x_dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source PRIORITY dedup ledger: exact-content clusters (the
+    x_dedup_exact canonicalize→sha256 key) elect their keeper by SOURCE
+    PRIORITY first (numeric source rank, ascending — src0 outranks
+    src19), doc_id as the tiebreaker — the Dolma/RedPajama-style policy
+    "when the same document appears in a curated source and a crawl,
+    keep the curated copy", which x_dedup_exact's min-doc_id election
+    cannot express. Output is the per-source audit a mixture owner reads
+    before re-weighting: docs, kept, dropped, how many copies were lost
+    TO A DIFFERENT SOURCE (the cross-source cannibalization column —
+    large values mean a source is mostly shadow-copies of higher-priority
+    feeds), and an order-independent xor of the kept ids.
+
+    Plan: one uniform sha256-key shuffle; the election is one min-struct
+    aggregate ((prio, doc_id, source) — Spark struct ordering is
+    field-lexicographic, the oracle's row_number ORDER BY twin); the
+    per-source rollup joins cluster keepers back by the hash key, so the
+    second shuffle reuses the first's partitioning. Same shape at 100 TB
+    as the exact-dedup family: no skew beyond content popularity, which
+    AQE skew-split covers.
+
+    Reference contrast: no dedup surface in the reference; completes
+    §2.13's exact-dedup family (exact r12, fingerprint r7, checksum r11)
+    with the multi-source election policy face."""
+    docs = tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        "source",
+        F.substring("source", 4, 10).cast("int").alias("prio"),
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"),
+    )
+    keep = docs.groupBy("h").agg(
+        F.min(F.struct("prio", "doc_id", "source")).alias("k")
+    ).select(
+        "h",
+        F.col("k.doc_id").alias("keep_id"),
+        F.col("k.source").alias("keep_src"),
+    )
+    j = docs.join(keep, "h")
+    kept = F.col("doc_id") == F.col("keep_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+            F.count(F.when(~kept, 1)).cast("long").alias("n_dropped"),
+            F.count(
+                F.when(~kept & (F.col("keep_src") != F.col("source")), 1)
+            )
+            .cast("long")
+            .alias("n_lost_cross_source"),
+            F.coalesce(
+                F.expr("bit_xor(CASE WHEN doc_id = keep_id THEN doc_id END)"),
+                F.lit(0).cast("long"),
+            ).alias("kept_xor"),
+        )
+        .orderBy("source")
+    )

@@ -151,14 +151,17 @@ _QUERY_MODULES = (
 #:         only after passing the local oracle gate) — first driver
 #:         grades take precedence over re-grades.
 #:   next  the 8 r7-vintage queries (VERDICT r13 #1, verbatim).
-#:   rest  oldest r8-vintage rows fill to slot 50. The 8 r8 rows that
+#:   rest  oldest r8-vintage rows fill to slot 50. The 10 r8 rows that
 #:         do NOT fit are the DECLARED ROUND-15 QUEUE:
 #:         x_bloom_decontaminate, x_dsir_select, x_decontam_e2e,
 #:         x_ingest_gate_e2e, x_kcore_layers, x_label_propagation
 #:         (all six independently judge-re-verified green in r13, so
-#:         deferring them re-grades the least-stale evidence last) plus
+#:         deferring them re-grades the least-stale evidence last),
 #:         ml_als_top_recs and ml_user_crud_flow (rows-only-by-design —
-#:         a re-grade carries the least information of any row).
+#:         a re-grade carries the least information of any row), and
+#:         ml_synthetic_weighted_ratings / x_ivf_recall (displaced by
+#:         the two late-round-14 first grades; x_ivf_recall is also
+#:         judge-re-verified r13).
 #: The vintage floor this window leaves is computed MECHANICALLY from
 #: the committed CORRECTNESS files by
 #: tests/test_certification_ledger.py::test_vintage_floor_is_mechanical
@@ -169,6 +172,8 @@ _GRADE_FIRST = (
     "x_kmv_rollup_merge",
     "x_ece_calibration",
     "s21_view_click_full",
+    "x_bpe_fertility",
+    "x_dedup_source_priority",
     # --- the 8 r7-vintage grades (VERDICT r13 next-step #1, verbatim) ----
     "x_dedup_shingle_pairs",
     "x_dedup_substring",
@@ -215,9 +220,9 @@ _GRADE_FIRST = (
     "x_zorder_cells",
     "x_zorder_pruning_gain",
     "x_bucketed_join",
+    # --- slot 51+: the declared round-15 queue (see block comment) -------
     "ml_synthetic_weighted_ratings",
     "x_ivf_recall",
-    # --- slot 51+: the declared round-15 queue (see block comment) -------
     "x_bloom_decontaminate",
     "x_dsir_select",
     "x_decontam_e2e",

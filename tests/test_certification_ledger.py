@@ -222,6 +222,7 @@ DECLARED_NEXT_QUEUE = {
     "x_bloom_decontaminate", "x_dsir_select", "x_decontam_e2e",
     "x_ingest_gate_e2e", "x_kcore_layers", "x_label_propagation",
     "ml_als_top_recs", "ml_user_crud_flow",
+    "ml_synthetic_weighted_ratings", "x_ivf_recall",
 }
 
 

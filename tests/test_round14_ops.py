@@ -239,3 +239,74 @@ def test_ktruss_wedge_counts_reuse_memoized_peel(spark):
     # edge counts shrink (or hold) each round too — peel invariant
     edges = [peel[r]["n_edges"] for r in range(_KTRUSS_ROUNDS + 1)]
     assert all(a >= b for a, b in zip(edges, edges[1:]))
+
+
+# ---------------------------------------------------------------------------
+# x_bpe_fertility
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_fertility_consistent_with_per_doc_encode(spark):
+    """Per-language sums must reconcile with the per-document encode face
+    (same merges, same corpus), and each word yields >= 1 token."""
+    from recommender_systems_pyspark_spark.functions.bpe import (
+        x_bpe_encode,
+        x_bpe_fertility,
+    )
+
+    fert = _rows(x_bpe_fertility(spark, SF_SMOKE))
+    enc = _rows(x_bpe_encode(spark, SF_SMOKE))
+    assert sum(r["n_words"] for r in fert) == sum(r["n_words"] for r in enc)
+    assert sum(r["n_tokens"] for r in fert) == sum(r["n_tokens"] for r in enc)
+    for r in fert:
+        assert r["n_tokens"] >= r["n_words"]
+        assert r["fertility_ppm"] >= 1_000_000
+        assert r["fertility_ppm"] == r["n_tokens"] * 1_000_000 // r["n_words"]
+        assert r["chars_per_token_ppm"] == r["n_chars"] * 1_000_000 // r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_source_priority
+# ---------------------------------------------------------------------------
+
+
+def test_source_priority_election_matches_python_replay(spark):
+    import duckdb
+
+    from recommender_systems_pyspark_spark.functions.dedup import (
+        x_dedup_source_priority,
+    )
+
+    raw = duckdb.sql(
+        f"SELECT doc_id, source, lower(trim(text)) AS t"
+        f" FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    clusters: dict[str, list[tuple[int, int, str]]] = {}
+    for doc_id, source, t in raw:
+        h = hashlib.sha256(t.encode()).hexdigest()
+        clusters.setdefault(h, []).append((int(source[3:]), doc_id, source))
+    per_src: dict[str, dict[str, int]] = {}
+    for members in clusters.values():
+        keeper = min(members)
+        for prio, doc_id, source in members:
+            s = per_src.setdefault(
+                source,
+                {"n_docs": 0, "n_kept": 0, "n_lost_cross": 0, "kept_xor": 0},
+            )
+            s["n_docs"] += 1
+            if (prio, doc_id, source) == keeper:
+                s["n_kept"] += 1
+                s["kept_xor"] ^= doc_id
+            elif keeper[2] != source:
+                s["n_lost_cross"] += 1
+    got = {r["source"]: r for r in _rows(x_dedup_source_priority(spark, SF_SMOKE))}
+    assert set(got) == set(per_src)
+    for src, exp in per_src.items():
+        g = got[src]
+        assert g["n_docs"] == exp["n_docs"], src
+        assert g["n_kept"] == exp["n_kept"], src
+        assert g["n_dropped"] == exp["n_docs"] - exp["n_kept"], src
+        assert g["n_lost_cross_source"] == exp["n_lost_cross"], src
+        assert g["kept_xor"] == exp["kept_xor"], src
+    # conservation: one keeper per content cluster
+    assert sum(r["n_kept"] for r in got.values()) == len(clusters)

@@ -190,6 +190,8 @@ DEFAULT_QUERIES = (
     "x_kmv_rollup_merge",
     "x_ece_calibration",
     "s21_view_click_full",
+    "x_bpe_fertility",
+    "x_dedup_source_priority",
 )
 
 
@@ -305,38 +307,50 @@ def main() -> None:
     build_replica(spark, src, dst, factor, mutate_docs=mutate_docs)
     build_sec = round(time.perf_counter() - t0, 2)
 
+    # Work instrumentation is gated on the REQUESTED query set (round 14:
+    # a focused --factor 30 run of the two highest-ratio shapes must not
+    # pay a 30× k-truss peel it never times), and each block names the
+    # query whose measured work it certifies.
+    requested = set(names)
+
     # LSH candidate-pair counts at both scales: the evidence that organic
     # duplicate density keeps candidate growth ~linear (VERDICT r6 #6
     # asked for the count in the artifact, not an explanatory note)
-    lsh_candidates = {
-        "sf_small": all_queries()["x_dedup_minhash_lsh"].fn(spark, src).count(),
-        "sf_big": all_queries()["x_dedup_minhash_lsh"].fn(spark, dst).count(),
-    }
+    lsh_candidates = None
+    if "x_dedup_minhash_lsh" in requested:
+        lsh_candidates = {
+            "sf_small": all_queries()["x_dedup_minhash_lsh"].fn(spark, src).count(),
+            "sf_big": all_queries()["x_dedup_minhash_lsh"].fn(spark, dst).count(),
+        }
 
     # Oriented-wedge counts at both scales (VERDICT r11 #6): the exact
     # row count of x_graph_jaccard's dominant join — ~10× wedges at 10×
     # data is the proof its time ratio is linear work, not a plan blowup.
-    from recommender_systems_pyspark_spark.functions.pagerank import (
-        oriented_wedge_count,
-    )
+    oriented_wedges = None
+    if "x_graph_jaccard" in requested:
+        from recommender_systems_pyspark_spark.functions.pagerank import (
+            oriented_wedge_count,
+        )
 
-    oriented_wedges = {
-        "sf_small": oriented_wedge_count(spark, src),
-        "sf_big": oriented_wedge_count(spark, dst),
-    }
+        oriented_wedges = {
+            "sf_small": oriented_wedge_count(spark, src),
+            "sf_big": oriented_wedge_count(spark, dst),
+        }
 
     # Per-peel-round support-join row volumes for x_ktruss_peel at both
     # scales (VERDICT r12 #5): the k-truss analog of the wedge count
     # above — its 10× time ratio is judged against these measured
     # per-round work figures, not argued from the plan shape.
-    from recommender_systems_pyspark_spark.functions.pagerank import (
-        ktruss_round_wedge_counts,
-    )
+    ktruss_round_wedges = None
+    if "x_ktruss_peel" in requested:
+        from recommender_systems_pyspark_spark.functions.pagerank import (
+            ktruss_round_wedge_counts,
+        )
 
-    ktruss_round_wedges = {
-        "sf_small": ktruss_round_wedge_counts(spark, src),
-        "sf_big": ktruss_round_wedge_counts(spark, dst),
-    }
+        ktruss_round_wedges = {
+            "sf_small": ktruss_round_wedge_counts(spark, src),
+            "sf_big": ktruss_round_wedge_counts(spark, dst),
+        }
 
     def run(name: str, sf_dir: str) -> float:
         t = time.perf_counter()
@@ -379,18 +393,40 @@ def main() -> None:
     )
     from recommender_systems_pyspark_spark.sources import tables as _tables
 
+    # Gate each artifact family on the requested queries (a focused run
+    # must not pay a 30× k-means fit for a dedup shape): centroid models
+    # feed the semdedup/ANN family, the graph-edge snapshots feed every
+    # co-purchase graph query.
+    needs_centroids = any(
+        n.startswith(("x_semdedup", "x_knn_", "x_embed_", "x_ivf", "x_cluster_"))
+        or n in ("x_ingest_gate_e2e", "x_hybrid_rrf")
+        for n in known
+    )
+    needs_edges = any(
+        n.startswith(("x_graph_", "x_ktruss", "x_scc", "x_kcore"))
+        or n
+        in (
+            "x_pagerank",
+            "x_bfs_hops",
+            "x_label_propagation",
+            "x_random_walks",
+        )
+        for n in known
+    )
     for d_ in (src, dst):
-        semdedup_centroids(spark, d_).count()
-        emb = _tables(spark, d_)["embeddings"]
-        for subset, keep in (
-            (f"est_mod{_INC_MOD}", F.col("vec_id") % _INC_MOD != 0),
-            ("est_mod10ge8", F.col("vec_id") % 10 < 8),
-        ):
-            cached_centroids(
-                spark, d_, subset, emb.where(keep).select("vec_id", "embedding")
-            ).count()
-        cached_copurchase_edges(spark, d_).count()
-        _cached_strong_edges(spark, d_).count()
+        if needs_centroids:
+            semdedup_centroids(spark, d_).count()
+            emb = _tables(spark, d_)["embeddings"]
+            for subset, keep in (
+                (f"est_mod{_INC_MOD}", F.col("vec_id") % _INC_MOD != 0),
+                ("est_mod10ge8", F.col("vec_id") % 10 < 8),
+            ):
+                cached_centroids(
+                    spark, d_, subset, emb.where(keep).select("vec_id", "embedding")
+                ).count()
+        if needs_edges:
+            cached_copurchase_edges(spark, d_).count()
+            _cached_strong_edges(spark, d_).count()
 
     small, big = {}, {}
     for n in names:
@@ -411,10 +447,10 @@ def main() -> None:
         "replica_build_sec": build_sec,
         "sf0.1_sec": small,
         "sf1.0_sec": big,
-        "time_ratio_at_10x_data": ratios,
+        f"time_ratio_at_{factor}x_data": ratios,
         "unit": "sec",
     }
-    print(json.dumps(out))
+    print(json.dumps({k: v for k, v in out.items() if v is not None}))
     spark.stop()
 
 
