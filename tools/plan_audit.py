@@ -187,6 +187,13 @@ DEFAULT_QUERIES = [
     "x_winsorized_stats",
     "x_embed_centroid_drift",
     "s20_view_click_semi",
+    # round-14 queries
+    "x_quantile_rollup_merge",
+    "x_kmv_rollup_merge",
+    "x_ece_calibration",
+    "s21_view_click_full",
+    "x_bpe_fertility",
+    "x_dedup_source_priority",
 ]
 
 

@@ -307,51 +307,6 @@ def main() -> None:
     build_replica(spark, src, dst, factor, mutate_docs=mutate_docs)
     build_sec = round(time.perf_counter() - t0, 2)
 
-    # Work instrumentation is gated on the REQUESTED query set (round 14:
-    # a focused --factor 30 run of the two highest-ratio shapes must not
-    # pay a 30× k-truss peel it never times), and each block names the
-    # query whose measured work it certifies.
-    requested = set(names)
-
-    # LSH candidate-pair counts at both scales: the evidence that organic
-    # duplicate density keeps candidate growth ~linear (VERDICT r6 #6
-    # asked for the count in the artifact, not an explanatory note)
-    lsh_candidates = None
-    if "x_dedup_minhash_lsh" in requested:
-        lsh_candidates = {
-            "sf_small": all_queries()["x_dedup_minhash_lsh"].fn(spark, src).count(),
-            "sf_big": all_queries()["x_dedup_minhash_lsh"].fn(spark, dst).count(),
-        }
-
-    # Oriented-wedge counts at both scales (VERDICT r11 #6): the exact
-    # row count of x_graph_jaccard's dominant join — ~10× wedges at 10×
-    # data is the proof its time ratio is linear work, not a plan blowup.
-    oriented_wedges = None
-    if "x_graph_jaccard" in requested:
-        from recommender_systems_pyspark_spark.functions.pagerank import (
-            oriented_wedge_count,
-        )
-
-        oriented_wedges = {
-            "sf_small": oriented_wedge_count(spark, src),
-            "sf_big": oriented_wedge_count(spark, dst),
-        }
-
-    # Per-peel-round support-join row volumes for x_ktruss_peel at both
-    # scales (VERDICT r12 #5): the k-truss analog of the wedge count
-    # above — its 10× time ratio is judged against these measured
-    # per-round work figures, not argued from the plan shape.
-    ktruss_round_wedges = None
-    if "x_ktruss_peel" in requested:
-        from recommender_systems_pyspark_spark.functions.pagerank import (
-            ktruss_round_wedge_counts,
-        )
-
-        ktruss_round_wedges = {
-            "sf_small": ktruss_round_wedge_counts(spark, src),
-            "sf_big": ktruss_round_wedge_counts(spark, dst),
-        }
-
     def run(name: str, sf_dir: str) -> float:
         t = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -434,6 +389,56 @@ def main() -> None:
             continue
         small[n] = run(n, src)
         big[n] = run(n, dst)
+
+    # Instrumentation runs AFTER the timed loop (round 14): the k-truss
+    # wedge counter reuses the session-memoized peel rounds, so running it
+    # first would warm the memo and hollow out x_ktruss_peel's timed row —
+    # after the loop it reuses the frames the timed run already built.
+    # Work instrumentation is gated on the REQUESTED query set (round 14:
+    # a focused --factor 30 run of the two highest-ratio shapes must not
+    # pay a 30× k-truss peel it never times), and each block names the
+    # query whose measured work it certifies.
+    requested = set(names)
+
+    # LSH candidate-pair counts at both scales: the evidence that organic
+    # duplicate density keeps candidate growth ~linear (VERDICT r6 #6
+    # asked for the count in the artifact, not an explanatory note)
+    lsh_candidates = None
+    if "x_dedup_minhash_lsh" in requested:
+        lsh_candidates = {
+            "sf_small": all_queries()["x_dedup_minhash_lsh"].fn(spark, src).count(),
+            "sf_big": all_queries()["x_dedup_minhash_lsh"].fn(spark, dst).count(),
+        }
+
+    # Oriented-wedge counts at both scales (VERDICT r11 #6): the exact
+    # row count of x_graph_jaccard's dominant join — ~10× wedges at 10×
+    # data is the proof its time ratio is linear work, not a plan blowup.
+    oriented_wedges = None
+    if "x_graph_jaccard" in requested:
+        from recommender_systems_pyspark_spark.functions.pagerank import (
+            oriented_wedge_count,
+        )
+
+        oriented_wedges = {
+            "sf_small": oriented_wedge_count(spark, src),
+            "sf_big": oriented_wedge_count(spark, dst),
+        }
+
+    # Per-peel-round support-join row volumes for x_ktruss_peel at both
+    # scales (VERDICT r12 #5): the k-truss analog of the wedge count
+    # above — its 10× time ratio is judged against these measured
+    # per-round work figures, not argued from the plan shape.
+    ktruss_round_wedges = None
+    if "x_ktruss_peel" in requested:
+        from recommender_systems_pyspark_spark.functions.pagerank import (
+            ktruss_round_wedge_counts,
+        )
+
+        ktruss_round_wedges = {
+            "sf_small": ktruss_round_wedge_counts(spark, src),
+            "sf_big": ktruss_round_wedge_counts(spark, dst),
+        }
+
 
     ratios = {n: round(big[n] / small[n], 2) for n in small if small[n] > 0}
     out = {
