@@ -227,7 +227,22 @@ def build_replica(
                 for col, base in offsets.items():
                     c = c.withColumn(col, (F.col(col) + F.lit(i * base)).cast("long"))
                 if t == "documents" and mutate_docs and i > 0:
-                    rot = _ALPHA[i:] + _ALPHA[:i]
+                    # Plain Caesar rotations wrap at 26: copies i and i+26
+                    # would be BYTE-IDENTICAL (discovered by the r14
+                    # factor-30 run — LSH candidates jumped 245× from
+                    # cross-copy cliques that are a builder artifact, not
+                    # organic density). Second bank of 26 copies uses the
+                    # REVERSED alphabet before rotating — still a
+                    # character bijection (within-copy dup structure
+                    # preserved exactly), disjoint from every plain
+                    # rotation. Valid to factor 52; loud beyond.
+                    if i >= 52:
+                        raise SystemExit(
+                            "replica factor > 52 exhausts the distinct "
+                            "char-bijection banks; add a third bank"
+                        )
+                    base = _ALPHA if i < 26 else _ALPHA[::-1]
+                    rot = base[i % 26:] + base[: i % 26]
                     c = c.withColumn(
                         "text",
                         F.translate(
