@@ -393,15 +393,19 @@ def main() -> None:
     # (VERDICT r7 #7: the phantom 3.87x on x_dedup_incremental).
     # Each entry runs twice — cold first (recorded separately), then the
     # canonical steady-state pass (see the cold/warm policy note above).
-    # One reclaim per entry, BEFORE the cold pass: the warm pass runs
-    # immediately after (its predecessor is the same query — leftover
-    # pressure from your own cold run is part of your steady state, and a
-    # second reclaim per entry costs the sweep ~2 min of pure settle).
+    # Reclaim before BOTH passes: a first version reclaimed only before
+    # the cold pass, and checkpoint-heavy shapes then recorded a WARM
+    # figure slower than their cold one (x_scc_condensation 9.3 cold →
+    # 14.4 warm at sf0.1 — the warm run inherited its own cold run's
+    # truncated-lineage blocks, the r7 phantom all over again). The
+    # steady-state number must not carry the predecessor's memory
+    # pressure even when the predecessor is yourself.
     cold: dict[str, float] = {}
     for name in batch_only:
         if name in specs:
             reclaim(spark)
             cold[name] = round(run(name), 4)
+            reclaim(spark)
             timings[name] = round(run(name), 4)
 
     # --- session recycle: the streaming block runs on a fresh session ---
