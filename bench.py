@@ -193,6 +193,8 @@ RECORD_ONLY = [
     "s21_view_click_full",
     "x_bpe_fertility",
     "x_dedup_source_priority",
+    "x_auc_rank",
+    "x_bootstrap_ci",
 ]
 
 

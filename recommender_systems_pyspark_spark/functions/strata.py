@@ -1036,16 +1036,22 @@ def rake_cell_weights(
 _ECE_BINS = 10
 
 
-def _sql_ece() -> str:
+def _sql_conf_cte() -> str:
+    """Shared oracle CTE: per-document Gopher reference label + the
+    exact-integer classifier confidence in ppm (the no-libm form — see
+    x_ece_calibration's docstring for the derivation). Produces
+    ``conf_scored(doc_id, lang, ref_keep, conf_ppm)``; consumed by the
+    ECE (calibration) and AUC (ranking) eval oracles so the score
+    definition cannot drift between the two faces."""
     from .corpus import SQL_GOPHER_KEEP
 
-    return f"""
-    WITH w AS (
-      SELECT doc_id, text, string_split(text, ' ') AS ws
+    return f"""w AS (
+      SELECT doc_id, COALESCE(lang, '∅') AS lang, text,
+             string_split(text, ' ') AS ws
       FROM documents WHERE length(text) > 0
     ),
-    scored AS (
-      SELECT doc_id,
+    conf_scored AS (
+      SELECT doc_id, lang,
              ({SQL_GOPHER_KEEP}) AS ref_keep,
              (1000000 * LEAST(80 * len(ws), GREATEST(0,
                 5 * (-6 * len(ws)
@@ -1055,7 +1061,41 @@ def _sql_ece() -> str:
                 + 4 * len(ws))))
              // (80 * len(ws)) AS conf_ppm
       FROM w
-    ),
+    )"""
+
+
+def conf_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_sql_conf_cte`: one map-side projection per
+    document → (lang, ref_keep, conf_ppm). The confidence is the exact
+    rational (5I + 4n)/(80n) floored to ppm with the numerator clamped
+    non-negative BEFORE the DIV (trunc-vs-floor rule); I = 4·score·n is
+    the integer numerator of the frozen-weight linear quality score."""
+    from .corpus import gopher_metrics
+
+    docs = tables(spark, sf_dir)["documents"].where(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    stops = F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("long")
+    uniq = F.size(F.array_distinct(toks)).cast("long")
+    chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "long"
+    )
+    score_i = -6 * n_tok + 8 * stops + 12 * uniq + chars  # = 4·score·n_tok
+    conf_num = F.least(
+        80 * n_tok, F.greatest(F.lit(0).cast("long"), 5 * score_i + 4 * n_tok)
+    )
+    return docs.select(
+        F.coalesce(F.col("lang"), F.lit("∅")).alias("lang"),
+        gopher_metrics()["keep"].alias("ref_keep"),
+        (1000000 * conf_num).alias("cn"),
+        (80 * n_tok).alias("cd"),
+    ).select("lang", "ref_keep", F.expr("cn DIV cd").alias("conf_ppm"))
+
+
+def _sql_ece() -> str:
+    return f"""
+    WITH {_sql_conf_cte()},
+    scored AS (SELECT doc_id, ref_keep, conf_ppm FROM conf_scored),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM scored),
     b AS (
       SELECT CAST(LEAST({_ECE_BINS - 1}, conf_ppm // 100000) AS INTEGER)
@@ -1117,25 +1157,7 @@ def x_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference contrast: no model-eval surface in the reference; extends
     the §2.13 eval family (classifier_eval r11, recs/ndcg r11/r13) with
     the calibration face."""
-    from .corpus import gopher_metrics
-
-    docs = tables(spark, sf_dir)["documents"].where(F.length("text") > 0)
-    toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks).cast("long")
-    stops = F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("long")
-    uniq = F.size(F.array_distinct(toks)).cast("long")
-    chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
-        "long"
-    )
-    score_i = -6 * n_tok + 8 * stops + 12 * uniq + chars  # = 4·score·n_tok
-    conf_num = F.least(
-        80 * n_tok, F.greatest(F.lit(0).cast("long"), 5 * score_i + 4 * n_tok)
-    )
-    scored = docs.select(
-        gopher_metrics()["keep"].alias("ref_keep"),
-        (1000000 * conf_num).alias("cn"),
-        (80 * n_tok).alias("cd"),
-    ).select("ref_keep", F.expr("cn DIV cd").alias("conf_ppm"))
+    scored = conf_scored_docs(spark, sf_dir).select("ref_keep", "conf_ppm")
     tot = scored.agg(F.count("*").cast("long").alias("n_total"))
     binned = scored.select(
         F.least(F.lit(_ECE_BINS - 1), F.expr("conf_ppm DIV 100000"))
@@ -1178,3 +1200,134 @@ def x_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_ece_calibration.__doc__ = x_ece_calibration.__doc__.replace(
     "{b}", str(_ECE_BINS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Ranking quality of the classifier score: exact Mann-Whitney AUC (round 14)
+# ---------------------------------------------------------------------------
+
+
+def _sql_auc() -> str:
+    return f"""
+    WITH {_sql_conf_cte()},
+    g AS (
+      SELECT lang, conf_ppm,
+             CAST(COUNT(CASE WHEN ref_keep THEN 1 END) AS BIGINT) AS n_pos,
+             CAST(COUNT(CASE WHEN NOT ref_keep THEN 1 END) AS BIGINT) AS n_neg
+      FROM conf_scored GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT lang, n_pos, n_neg,
+             COALESCE(SUM(n_neg) OVER (
+               PARTITION BY lang ORDER BY conf_ppm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+      FROM g
+    ),
+    per_lang AS (
+      SELECT lang,
+             CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+             CAST(SUM(2 * n_pos * cneg + n_pos * n_neg) AS BIGINT) AS u2
+      FROM cum GROUP BY 1
+    ),
+    gg AS (
+      SELECT conf_ppm, SUM(n_pos) AS n_pos, SUM(n_neg) AS n_neg
+      FROM g GROUP BY 1
+    ),
+    gcum AS (
+      SELECT n_pos, n_neg,
+             COALESCE(SUM(n_neg) OVER (
+               ORDER BY conf_ppm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+      FROM gg
+    ),
+    overall AS (
+      SELECT 'ALL' AS lang,
+             CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+             CAST(SUM(2 * n_pos * cneg + n_pos * n_neg) AS BIGINT) AS u2
+      FROM gcum
+    ),
+    u AS (SELECT * FROM per_lang UNION ALL SELECT * FROM overall)
+    SELECT lang, n_pos, n_neg, u2,
+           CAST((1000000 * u2) // NULLIF(2 * n_pos * n_neg, 0) AS BIGINT)
+             AS auc_ppm
+    FROM u ORDER BY lang
+    """
+
+
+@query("x_auc_rank", oracle=_sql_auc())
+def x_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware Mann-Whitney AUC of the frozen-weight quality
+    classifier against the Gopher rule battery, per language plus an
+    'ALL' corpus row — the RANKING face of the eval family:
+    x_classifier_eval grades the thresholded decision, x_ece_calibration
+    grades the probability calibration, this grades the score's ordering
+    power (can it rank a random kept doc above a random dropped one?),
+    which is what matters when the score drives top-p selection or
+    quality-weighted sampling rather than a fixed gate. A per-language
+    AUC split exposes the classic failure where a score that ranks well
+    globally is random WITHIN a low-resource language.
+
+    Exactness: AUC = (#(pos>neg) + ½·#(pos==neg)) / (n_pos·n_neg). The
+    score is the shared integer ``conf_ppm`` (``conf_scored_docs``), so
+    ties are exact; doubling the numerator keeps everything integer:
+    u2 = Σ_v [2·n_pos(v)·cumneg(<v) + n_pos(v)·n_neg(v)] and
+    auc_ppm = 10⁶·u2 DIV (2·n_pos·n_neg) — operands non-negative, so
+    Spark's truncating DIV and DuckDB's flooring // agree. NULLIF guards
+    the all-one-class language.
+
+    Scale: one map-side score projection, one (lang, conf_ppm) hash agg
+    — after which every frame is bounded by the score CODOMAIN, not the
+    corpus: ≤ 1,000,001 distinct ppm values per language partition (the
+    cumulative window is partitioned by lang), and the 'ALL' face
+    re-aggregates that histogram to ≤ 1,000,001 rows total before its
+    global window (bounded-by-construction allowlist,
+    tests/test_scale_plans.py). u2 ≤ (n_docs)² needs DECIMAL(38,0)
+    beyond ~3·10⁹ docs per language — swap the three sum types there;
+    the plan shape is unchanged.
+
+    Reference contrast: no eval surface in the reference app (app.py
+    displays ALS outputs raw); extends SURVEY §2.13's eval family."""
+    s = conf_scored_docs(spark, sf_dir)
+    g = s.groupBy("lang", "conf_ppm").agg(
+        F.count(F.when(F.col("ref_keep"), 1)).cast("long").alias("n_pos"),
+        F.count(F.when(~F.col("ref_keep"), 1)).cast("long").alias("n_neg"),
+    )
+
+    def _u2(grouped: DataFrame, part_cols: list[str], lang_col) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols).orderBy("conf_ppm")
+            if part_cols
+            else Window.orderBy("conf_ppm")
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        cneg = F.coalesce(F.sum("n_neg").over(w), F.lit(0).cast("long"))
+        terms = grouped.select(
+            lang_col.alias("lang"),
+            "n_pos",
+            "n_neg",
+            (2 * F.col("n_pos") * cneg + F.col("n_pos") * F.col("n_neg")).alias(
+                "t"
+            ),
+        )
+        return terms.groupBy("lang").agg(
+            F.sum("n_pos").cast("long").alias("n_pos"),
+            F.sum("n_neg").cast("long").alias("n_neg"),
+            F.sum("t").cast("long").alias("u2"),
+        )
+
+    per_lang = _u2(g, ["lang"], F.col("lang"))
+    gg = g.groupBy("conf_ppm").agg(
+        F.sum("n_pos").alias("n_pos"), F.sum("n_neg").alias("n_neg")
+    )
+    overall = _u2(gg, [], F.lit("ALL"))
+    u = per_lang.unionByName(overall)
+    return u.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr("(1000000 * u2) DIV NULLIF(2 * n_pos * n_neg, 0)")
+        .cast("long")
+        .alias("auc_ppm"),
+    ).orderBy("lang")

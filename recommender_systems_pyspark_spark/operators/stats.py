@@ -1727,3 +1727,158 @@ def x_kmv_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_kmv_rollup_merge.__doc__ = x_kmv_rollup_merge.__doc__.replace(
     "{k}", str(_KMV_ROLLUP_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (round 14)
+# ---------------------------------------------------------------------------
+
+#: Bootstrap replicates. 32 gives rank-based 2nd-smallest/2nd-largest
+#: endpoints ≈ a 94% interval; constant fan-out, so the explode is a
+#: fixed 32× map-side multiplier absorbed by partial aggregation.
+_BOOT_REPS = 32
+
+_SQL_BOOTSTRAP = f"""
+    WITH reps AS (SELECT CAST(r AS INTEGER) AS r FROM range({_BOOT_REPS}) t(r)),
+    w AS (
+      SELECT d.source, d.n_chars, reps.r,
+             (CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                        CAST(reps.r AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3') THEN 1 ELSE 0 END
+            + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                        CAST(reps.r AS VARCHAR)), 2, 1)
+                   IN ('0','1','2','3') THEN 1 ELSE 0 END
+            + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                        CAST(reps.r AS VARCHAR)), 3, 1)
+                   IN ('0','1','2','3') THEN 1 ELSE 0 END
+            + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                        CAST(reps.r AS VARCHAR)), 4, 1)
+                   IN ('0','1','2','3') THEN 1 ELSE 0 END) AS wt
+      FROM documents d CROSS JOIN reps
+    ),
+    g AS (
+      SELECT source, r,
+             CAST(SUM(wt) AS BIGINT) AS wsum,
+             CAST(SUM(wt * n_chars) AS BIGINT) AS wn
+      FROM w GROUP BY 1, 2
+    ),
+    rep_means AS (
+      SELECT source, r,
+             CAST(wn AS DOUBLE) / NULLIF(wsum, 0) AS rep_mean,
+             wsum, wn
+      FROM g
+    ),
+    boot AS (
+      SELECT source,
+             list_sort(list(rep_mean)) AS arr,
+             CAST(SUM(wsum) AS BIGINT) AS sum_wsum,
+             CAST(SUM(wn) AS BIGINT) AS sum_wn
+      FROM rep_means GROUP BY 1
+    ),
+    exact AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1
+    )
+    SELECT e.source, e.n_docs, e.sum_chars,
+           CAST(e.sum_chars AS DOUBLE) / e.n_docs AS mean_chars,
+           b.arr[2] AS boot_lo,
+           b.arr[{_BOOT_REPS - 1}] AS boot_hi,
+           b.sum_wsum, b.sum_wn,
+           (b.arr[2] <= CAST(e.sum_chars AS DOUBLE) / e.n_docs
+            AND CAST(e.sum_chars AS DOUBLE) / e.n_docs
+                <= b.arr[{_BOOT_REPS - 1}]) AS covers_mean
+    FROM exact e JOIN boot b USING (source)
+    ORDER BY e.source
+    """
+
+
+@query("x_bootstrap_ci", oracle=_SQL_BOOTSTRAP)
+def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap confidence interval for the per-source mean
+    document length, with DETERMINISTIC resampling: replicate weights are
+    Binomial(4, 1/4) draws (mean 1 — the Poisson-bootstrap approximation,
+    Chamandy et al.'s "Estimating Uncertainty for Massive Data Streams")
+    read off four md5 hex digits of (doc_id, replicate), so every run,
+    every engine, and every partitioning draws the SAME bootstrap sample
+    — the oracle certifies the resampling itself, not just the interval
+    arithmetic. Endpoints are the rank-based 2nd-smallest / 2nd-largest
+    of the {r} replicate means (≈94% coverage); ``covers_mean`` flags
+    the sanity invariant a healthy interval almost always satisfies.
+
+    This is THE scale-out uncertainty recipe: a classical resample-n-rows
+    bootstrap cannot run on 100 TB (each replicate would shuffle the
+    corpus), but Poissonized per-row weights make all {r} replicates ONE
+    map-side pass — explode a constant 32-element range, weight, and
+    hash-aggregate with map-side partials; state per (source, replicate)
+    is two bigints, then 32 doubles per source for the rank endpoints
+    (bounded arrays, never row collections).
+
+    Integer doctrine: weights and weighted sums are exact integers;
+    each replicate mean is ONE double division of two bigints (identical
+    expression both engines); the sorted 32-array lookup is rank logic,
+    not float summation.
+
+    Reference contrast: the reference has no uncertainty surface at all
+    (``app.py`` prints point estimates); extends SURVEY §2.13's
+    stats/eval family alongside a10_stat_moments (exact moments) and
+    x_welch_ttest (parametric inference) with the nonparametric face."""
+    docs = tables(spark, sf_dir)["documents"]
+    w = docs.select(
+        "source",
+        "n_chars",
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("r"),
+    )
+    key = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("r").cast("string"),
+        )
+    )
+    wt = sum(
+        F.when(F.substring(key, k, 1).isin("0", "1", "2", "3"), 1).otherwise(0)
+        for k in range(1, 5)
+    )
+    g = w.select("source", "r", wt.alias("wt"), "n_chars").groupBy(
+        "source", "r"
+    ).agg(
+        F.sum("wt").cast("long").alias("wsum"),
+        F.sum(F.col("wt") * F.col("n_chars")).cast("long").alias("wn"),
+    )
+    rep_mean = F.col("wn").cast("double") / F.nullif(
+        F.col("wsum"), F.lit(0)
+    )
+    boot = g.select("source", rep_mean.alias("rep_mean"), "wsum", "wn").groupBy(
+        "source"
+    ).agg(
+        F.sort_array(F.collect_list("rep_mean")).alias("arr"),
+        F.sum("wsum").cast("long").alias("sum_wsum"),
+        F.sum("wn").cast("long").alias("sum_wn"),
+    )
+    exact = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    mean_chars = F.col("sum_chars").cast("double") / F.col("n_docs")
+    lo = F.col("arr").getItem(1)
+    hi = F.col("arr").getItem(_BOOT_REPS - 2)
+    return (
+        exact.join(boot, "source")
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            mean_chars.alias("mean_chars"),
+            lo.alias("boot_lo"),
+            hi.alias("boot_hi"),
+            "sum_wsum",
+            "sum_wn",
+            ((lo <= mean_chars) & (mean_chars <= hi)).alias("covers_mean"),
+        )
+        .orderBy("source")
+    )
+
+
+x_bootstrap_ci.__doc__ = x_bootstrap_ci.__doc__.replace("{r}", str(_BOOT_REPS))

@@ -161,7 +161,9 @@ _QUERY_MODULES = (
 #:         a re-grade carries the least information of any row), and
 #:         ml_synthetic_weighted_ratings / x_ivf_recall (displaced by
 #:         the two late-round-14 first grades; x_ivf_recall is also
-#:         judge-re-verified r13).
+#:         judge-re-verified r13), and x_bucketed_join /
+#:         x_zorder_pruning_gain (displaced by the x_auc_rank and
+#:         x_bootstrap_ci first grades; graded r8, never failed).
 #: The vintage floor this window leaves is computed MECHANICALLY from
 #: the committed CORRECTNESS files by
 #: tests/test_certification_ledger.py::test_vintage_floor_is_mechanical
@@ -174,6 +176,8 @@ _GRADE_FIRST = (
     "s21_view_click_full",
     "x_bpe_fertility",
     "x_dedup_source_priority",
+    "x_auc_rank",
+    "x_bootstrap_ci",
     # --- the 8 r7-vintage grades (VERDICT r13 next-step #1, verbatim) ----
     "x_dedup_shingle_pairs",
     "x_dedup_substring",
@@ -218,9 +222,9 @@ _GRADE_FIRST = (
     "x_text_scrub",
     "x_text_tfidf_top_terms",
     "x_zorder_cells",
+    # --- slot 51+: the declared round-15 queue (see block comment) -------
     "x_zorder_pruning_gain",
     "x_bucketed_join",
-    # --- slot 51+: the declared round-15 queue (see block comment) -------
     "ml_synthetic_weighted_ratings",
     "x_ivf_recall",
     "x_bloom_decontaminate",

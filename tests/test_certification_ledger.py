@@ -223,6 +223,8 @@ DECLARED_NEXT_QUEUE = {
     "x_ingest_gate_e2e", "x_kcore_layers", "x_label_propagation",
     "ml_als_top_recs", "ml_user_crud_flow",
     "ml_synthetic_weighted_ratings", "x_ivf_recall",
+    "x_bucketed_join",  # displaced by the x_auc_rank first grade
+    "x_zorder_pruning_gain",  # displaced by the x_bootstrap_ci first grade
 }
 
 

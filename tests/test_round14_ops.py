@@ -310,3 +310,96 @@ def test_source_priority_election_matches_python_replay(spark):
         assert g["kept_xor"] == exp["kept_xor"], src
     # conservation: one keeper per content cluster
     assert sum(r["n_kept"] for r in got.values()) == len(clusters)
+
+
+# ---------------------------------------------------------------------------
+# x_auc_rank
+# ---------------------------------------------------------------------------
+
+
+def test_auc_rank_matches_pair_counting_replay(spark):
+    """The windowed u2 accumulation must equal the literal tie-aware
+    Mann-Whitney pair count 2·#(pos>neg) + #(pos==neg), per language and
+    for the 'ALL' row (O(n²) replay is fine at smoke scale)."""
+    import collections
+
+    from recommender_systems_pyspark_spark.functions.strata import (
+        conf_scored_docs,
+        x_auc_rank,
+    )
+
+    by_lang = collections.defaultdict(list)
+    for r in _rows(conf_scored_docs(spark, SF_SMOKE)):
+        by_lang[r["lang"]].append((r["ref_keep"], r["conf_ppm"]))
+        by_lang["ALL"].append((r["ref_keep"], r["conf_ppm"]))
+    got = {r["lang"]: r for r in _rows(x_auc_rank(spark, SF_SMOKE))}
+    assert set(got) == set(by_lang)
+    for lang, items in by_lang.items():
+        pos = [c for keep, c in items if keep]
+        neg = [c for keep, c in items if not keep]
+        u2 = sum(2 * (p > n) + (p == n) for p in pos for n in neg)
+        g = got[lang]
+        assert g["n_pos"] == len(pos) and g["n_neg"] == len(neg), lang
+        assert g["u2"] == u2, lang
+        if pos and neg:
+            assert g["auc_ppm"] == (1_000_000 * u2) // (2 * len(pos) * len(neg))
+            assert 0 <= g["auc_ppm"] <= 1_000_000
+        else:
+            assert g["auc_ppm"] is None
+
+
+# ---------------------------------------------------------------------------
+# x_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_matches_python_replay(spark):
+    """The deterministic Poisson-bootstrap is a pure function of
+    (doc_id, replicate): replay the md5 weight draws and the rank-based
+    endpoints in plain python and compare every column."""
+    import duckdb
+
+    from recommender_systems_pyspark_spark.operators.stats import (
+        _BOOT_REPS,
+        x_bootstrap_ci,
+    )
+
+    raw = duckdb.sql(
+        f"SELECT source, doc_id, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    acc: dict[str, dict] = {}
+    for source, doc_id, n_chars in raw:
+        s = acc.setdefault(
+            source,
+            {
+                "n_docs": 0,
+                "sum_chars": 0,
+                "wsum": [0] * _BOOT_REPS,
+                "wn": [0] * _BOOT_REPS,
+            },
+        )
+        s["n_docs"] += 1
+        s["sum_chars"] += n_chars
+        for r in range(_BOOT_REPS):
+            h = hashlib.md5(f"{doc_id}:{r}".encode()).hexdigest()
+            wt = sum(1 for k in range(4) if h[k] in "0123")
+            s["wsum"][r] += wt
+            s["wn"][r] += wt * n_chars
+    got = {r["source"]: r for r in _rows(x_bootstrap_ci(spark, SF_SMOKE))}
+    assert set(got) == set(acc)
+    for source, exp in acc.items():
+        g = got[source]
+        means = sorted(
+            exp["wn"][r] / exp["wsum"][r] for r in range(_BOOT_REPS)
+        )
+        assert g["n_docs"] == exp["n_docs"]
+        assert g["sum_chars"] == exp["sum_chars"]
+        assert g["sum_wsum"] == sum(exp["wsum"])
+        assert g["sum_wn"] == sum(exp["wn"])
+        assert g["boot_lo"] == means[1]
+        assert g["boot_hi"] == means[_BOOT_REPS - 2]
+        assert g["boot_lo"] <= g["boot_hi"]
+        mean = exp["sum_chars"] / exp["n_docs"]
+        assert g["covers_mean"] == (g["boot_lo"] <= mean <= g["boot_hi"])
+        # a sane bootstrap at this n almost surely covers; flag if not
+        assert g["covers_mean"], f"{source}: CI misses the exact mean"

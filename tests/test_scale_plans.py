@@ -249,6 +249,9 @@ def test_no_unpartitioned_window_in_any_registered_query(spark):
         "x_ks_two_sample",  # CDF window over ≤~500 fixed-width price bins
         "x_mixture_temperature",  # largest-remainder rank over the ≤#sources
         # per-source agg frame (constant metadata scale)
+        "x_auc_rank",  # 'ALL' cumulative over the conf_ppm histogram —
+        # bounded by the score CODOMAIN (≤ 1,000,001 rows) at any corpus
+        # size; the per-lang face is a partitioned window
     }
     SKIP_EAGER = {
         "ml_als_top_recs",

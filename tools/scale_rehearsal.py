@@ -192,6 +192,12 @@ DEFAULT_QUERIES = (
     "s21_view_click_full",
     "x_bpe_fertility",
     "x_dedup_source_priority",
+    # ranking eval: corpus scan + (lang, conf_ppm) agg; windows bounded
+    # by the score codomain, so the 10x ratio isolates the scan+agg.
+    "x_auc_rank",
+    # bootstrap: constant 32x explode folded by map-side partials — the
+    # ratio certifies the fan-out stays a multiplier, not a blow-up.
+    "x_bootstrap_ci",
 )
 
 
