@@ -195,6 +195,7 @@ RECORD_ONLY = [
     "x_dedup_source_priority",
     "x_auc_rank",
     "x_bootstrap_ci",
+    "x_dp_bounded_contribution",
 ]
 
 

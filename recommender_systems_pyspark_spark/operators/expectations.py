@@ -12,7 +12,7 @@ Output is one row per constraint — constant-size regardless of input."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -419,16 +419,19 @@ _DP_BOUND = 40
 _DP_SCALE = 1 << 60
 
 
-def _dp_cdf_table() -> list[tuple[int, int]]:
-    """(z, hi) rows of the truncated discrete-Laplace CDF, scaled to
-    integers in [0, 2^60]: a 60-bit uniform u maps to the first z with
-    u < hi. math.exp runs ONCE here at import; both the Spark expression
-    and the oracle SQL are generated from this same list, so the two
-    engines compare u against bit-identical constants."""
+def _dp_cdf_table(
+    eps: float = _DP_EPS, bound: int = _DP_BOUND, sensitivity: int = 1
+) -> list[tuple[int, int]]:
+    """(z, hi) rows of the truncated discrete-Laplace CDF at scale
+    sensitivity/eps, scaled to integers in [0, 2^60]: a 60-bit uniform u
+    maps to the first z with u < hi. math.exp runs ONCE here at import;
+    both the Spark expression and the oracle SQL are generated from this
+    same list, so the two engines compare u against bit-identical
+    constants."""
     import math
 
-    alpha = math.exp(-_DP_EPS)
-    zs = list(range(-_DP_BOUND, _DP_BOUND + 1))
+    alpha = math.exp(-eps / sensitivity)
+    zs = list(range(-bound, bound + 1))
     weights = [alpha ** abs(z) for z in zs]
     total = sum(weights)
     out: list[tuple[int, int]] = []
@@ -526,3 +529,172 @@ def x_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("released_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# User-level DP: contribution bounding before the noisy release (round 14)
+# ---------------------------------------------------------------------------
+
+_DPU_EPS = 1.0
+#: L0 bound: each user contributes to at most this many event types.
+_DPU_T = 2
+#: L∞ bound: within a kept (user, type), at most this many events count.
+_DPU_C = 2
+#: L1 sensitivity of the whole released histogram to ONE USER.
+_DPU_SENS = _DPU_T * _DPU_C
+#: Truncation of the scale-4 discrete Laplace: P(|Z| > 120) < 2e-13.
+_DPU_BOUND = 120
+
+_DPU_TABLE = _dp_cdf_table(_DPU_EPS, _DPU_BOUND, _DPU_SENS)
+
+_DPU_SQL_CASE = "CASE " + " ".join(
+    f"WHEN u < {hi} THEN CAST({z} AS BIGINT)" for z, hi in _DPU_TABLE
+) + " END"
+
+
+@query(
+    "x_dp_bounded_contribution",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(user_id AS VARCHAR) || ':' || event_type),
+                        event_type) AS rk
+      FROM per
+    ),
+    bounded AS (
+      SELECT event_type,
+             CAST(SUM(LEAST(n, {_DPU_C})) AS BIGINT) AS true_n,
+             CAST(COUNT(*) AS BIGINT) AS n_users_kept
+      FROM ranked WHERE rk <= {_DPU_T} GROUP BY 1
+    ),
+    raw AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS raw_n,
+             CAST(COUNT(*) AS BIGINT) AS n_user_types
+      FROM per GROUP BY 1
+    ),
+    seeded AS (
+      SELECT r.event_type, r.raw_n, r.n_user_types,
+             COALESCE(b.true_n, 0) AS true_n,
+             COALESCE(b.n_users_kept, 0) AS n_users_kept,
+             ('0x' || substr(md5('dpu:' || r.event_type), 1, 15))::BIGINT AS u
+      FROM raw r LEFT JOIN bounded b USING (event_type)
+    )
+    SELECT event_type, raw_n, n_user_types, true_n, n_users_kept,
+           {_DPU_SQL_CASE} AS noise,
+           GREATEST(true_n + {_DPU_SQL_CASE}, 0) AS released_n
+    FROM seeded ORDER BY event_type
+    """,
+)
+def x_dp_bounded_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-level differentially-private event-type histogram —
+    the contribution-bounding face x_dp_noisy_counts (row-level, Δ=1)
+    cannot express: one user may emit thousands of events, so releasing
+    per-type counts with ±1-scale noise protects rows, not people. The
+    pipeline-standard fix (Wilson et al., "Differentially Private SQL
+    with Bounded User Contributions"): per user keep at most T={t} event
+    types (deterministic md5 rank — replayable, unlike a sampled keep)
+    and cap the kept (user, type) contribution at C={c} events, making
+    the whole histogram's L1 sensitivity to ONE USER at most T·C={s};
+    then add truncated discrete-Laplace noise at scale {s}/ε per cell.
+    ``raw_n`` vs ``true_n`` is the bounding cost ledger (how much signal
+    the privacy clamp discards — the knob a release tunes BEFORE
+    spending ε), n_users_kept the surviving support.
+
+    Seeding doctrine as x_dp_noisy_counts: the 60-bit md5 uniform and
+    the {b2}-branch integer inverse-CDF CASE are generated from ONE
+    compile-time table (``_dp_cdf_table(eps, bound, sensitivity)``,
+    math.exp at import only), so the realized noise is bit-replayable by
+    the oracle; production swaps the seed for fresh randomness and drops
+    raw_n/true_n.
+
+    Scale: one (user, type) hash agg (uniform keys), one window
+    partitioned BY USER (bounded by the #types a user touches — never
+    corpus-wide), one bounded-key type agg, then row-local noise over
+    #event_type cells. Constant state per user regardless of event
+    volume — the exact shape user-level DP needs at 100 TB.
+
+    Reference contrast: no privacy surface in the reference (raw tables
+    displayed verbatim, ``app.py``); completes the §2.13 privacy family
+    (k-anon audit → generalization ladder → row-DP → user-DP)."""
+    t = tables(spark, sf_dir)
+    per = (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("event_type"),
+                )
+            ),
+            "event_type",
+        )
+    )
+    bounded = (
+        per.withColumn("rk", rk)
+        .where(F.col("rk") <= _DPU_T)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.least(F.col("n"), F.lit(_DPU_C))).cast("long").alias("true_n"),
+            F.count("*").cast("long").alias("n_users_kept"),
+        )
+    )
+    raw = per.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("raw_n"),
+        F.count("*").cast("long").alias("n_user_types"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dpu:"), F.col("event_type"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    noise = F.lit(None).cast("long")
+    # descending when-chain so evaluation order matches the ascending SQL
+    # CASE: build from the last row backwards, each earlier row overrides.
+    for z, hi in reversed(_DPU_TABLE):
+        noise = F.when(F.col("u") < F.lit(hi), F.lit(z).cast("long")).otherwise(noise)
+    return (
+        raw.join(bounded, "event_type", "left")
+        .select(
+            "event_type",
+            "raw_n",
+            "n_user_types",
+            F.coalesce(F.col("true_n"), F.lit(0).cast("long")).alias("true_n"),
+            F.coalesce(F.col("n_users_kept"), F.lit(0).cast("long")).alias(
+                "n_users_kept"
+            ),
+            u.alias("u"),
+        )
+        .withColumn("noise", noise)
+        .select(
+            "event_type",
+            "raw_n",
+            "n_user_types",
+            "true_n",
+            "n_users_kept",
+            "noise",
+            F.greatest(
+                F.col("true_n") + F.col("noise"), F.lit(0).cast("long")
+            ).alias("released_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+x_dp_bounded_contribution.__doc__ = (
+    x_dp_bounded_contribution.__doc__.replace("{t}", str(_DPU_T))
+    .replace("{c}", str(_DPU_C))
+    .replace("{s}", str(_DPU_SENS))
+    .replace("{b2}", str(2 * _DPU_BOUND + 1))
+)

@@ -225,6 +225,7 @@ DECLARED_NEXT_QUEUE = {
     "ml_synthetic_weighted_ratings", "x_ivf_recall",
     "x_bucketed_join",  # displaced by the x_auc_rank first grade
     "x_zorder_pruning_gain",  # displaced by the x_bootstrap_ci first grade
+    "x_zorder_cells",  # displaced by the x_dp_bounded_contribution grade
 }
 
 

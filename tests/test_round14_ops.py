@@ -403,3 +403,61 @@ def test_bootstrap_ci_matches_python_replay(spark):
         assert g["covers_mean"] == (g["boot_lo"] <= mean <= g["boot_hi"])
         # a sane bootstrap at this n almost surely covers; flag if not
         assert g["covers_mean"], f"{source}: CI misses the exact mean"
+
+
+# ---------------------------------------------------------------------------
+# x_dp_bounded_contribution
+# ---------------------------------------------------------------------------
+
+
+def test_dp_bounded_contribution_replay_and_sensitivity(spark):
+    """Replay the L0/L∞ bounding in python and assert (a) every column
+    matches, (b) noise lies in the truncated support, and (c) the DP
+    guarantee's premise holds mechanically: no single user contributes
+    more than T·C to the bounded histogram."""
+    import collections
+
+    import duckdb
+
+    from recommender_systems_pyspark_spark.operators.expectations import (
+        _DPU_BOUND,
+        _DPU_C,
+        _DPU_SENS,
+        _DPU_T,
+        x_dp_bounded_contribution,
+    )
+
+    raw = duckdb.sql(
+        f"SELECT user_id, event_type, COUNT(*) FROM"
+        f" '{SF_SMOKE}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    per_user: dict[int, list] = collections.defaultdict(list)
+    for user_id, etype, n in raw:
+        key = hashlib.md5(f"{user_id}:{etype}".encode()).hexdigest()
+        per_user[user_id].append((key, etype, n))
+    true_n = collections.Counter()
+    n_users_kept = collections.Counter()
+    raw_n = collections.Counter()
+    n_user_types = collections.Counter()
+    user_contrib = collections.Counter()
+    for user_id, items in per_user.items():
+        for rank, (_, etype, n) in enumerate(sorted(items), start=1):
+            raw_n[etype] += n
+            n_user_types[etype] += 1
+            if rank <= _DPU_T:
+                capped = min(n, _DPU_C)
+                true_n[etype] += capped
+                n_users_kept[etype] += 1
+                user_contrib[user_id] += capped
+    assert user_contrib and max(user_contrib.values()) <= _DPU_SENS
+    got = {r["event_type"]: r for r in _rows(x_dp_bounded_contribution(spark, SF_SMOKE))}
+    assert set(got) == set(raw_n)
+    for etype, g in got.items():
+        assert g["raw_n"] == raw_n[etype]
+        assert g["n_user_types"] == n_user_types[etype]
+        assert g["true_n"] == true_n[etype]
+        assert g["n_users_kept"] == n_users_kept[etype]
+        assert -_DPU_BOUND <= g["noise"] <= _DPU_BOUND
+        assert g["released_n"] == max(g["true_n"] + g["noise"], 0)
+        # bounding only ever removes signal
+        assert g["true_n"] <= g["raw_n"]

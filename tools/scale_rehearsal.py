@@ -198,6 +198,9 @@ DEFAULT_QUERIES = (
     # bootstrap: constant 32x explode folded by map-side partials — the
     # ratio certifies the fan-out stays a multiplier, not a blow-up.
     "x_bootstrap_ci",
+    # user-DP: (user, type) agg + per-user window + type agg — event
+    # scale on the first shuffle only.
+    "x_dp_bounded_contribution",
 )
 
 
