@@ -196,6 +196,7 @@ RECORD_ONLY = [
     "x_auc_rank",
     "x_bootstrap_ci",
     "x_dp_bounded_contribution",
+    "s22_stream_quantile_rollup",
 ]
 
 

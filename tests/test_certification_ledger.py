@@ -226,6 +226,7 @@ DECLARED_NEXT_QUEUE = {
     "x_bucketed_join",  # displaced by the x_auc_rank first grade
     "x_zorder_pruning_gain",  # displaced by the x_bootstrap_ci first grade
     "x_zorder_cells",  # displaced by the x_dp_bounded_contribution grade
+    "x_text_tfidf_top_terms",  # displaced by s22_stream_quantile_rollup
 }
 
 

@@ -461,3 +461,55 @@ def test_dp_bounded_contribution_replay_and_sensitivity(spark):
         assert g["released_n"] == max(g["true_n"] + g["noise"], 0)
         # bounding only ever removes signal
         assert g["true_n"] <= g["raw_n"]
+
+
+# ---------------------------------------------------------------------------
+# s22_stream_quantile_rollup
+# ---------------------------------------------------------------------------
+
+
+def test_stream_quantile_rollup_closure_and_estimator(spark):
+    """The streamed sketch must cover exactly the watermark-closed hours,
+    conserve counts, and place the exact rank statistic inside the
+    estimated bin (err DIV width == 0) — replayed from the raw fixture."""
+    import collections
+    import datetime
+
+    import duckdb
+
+    from recommender_systems_pyspark_spark.operators.stats import (
+        _QSK_WIDTH_CENTS,
+    )
+    from recommender_systems_pyspark_spark.streaming.chained_rollup import (
+        s22_stream_quantile_rollup,
+    )
+
+    raw = duckdb.sql(
+        f"SELECT ts, value FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    wm = max(ts for ts, _ in raw).replace(microsecond=0) - datetime.timedelta(
+        minutes=53
+    )
+    per_hour = collections.defaultdict(list)
+    for ts, value in raw:
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        if hour + datetime.timedelta(hours=1) <= wm:
+            import math
+
+            per_hour[hour].append(math.floor(value * 100 + 0.5))
+    got = {r["hour"]: r for r in _rows(s22_stream_quantile_rollup(spark, SF_SMOKE))}
+    assert set(got) == set(per_hour), "emitted hours != watermark-closed hours"
+    for hour, cents in per_hour.items():
+        g = got[hour]
+        cents.sort()
+        n = len(cents)
+        assert g["n"] == n
+        assert g["n_bins"] == len({c // _QSK_WIDTH_CENTS for c in cents})
+        for p, est_col, exact_col in (
+            (50, "est_p50_cents", "exact_p50_cents"),
+            (95, "est_p95_cents", "exact_p95_cents"),
+        ):
+            exact = cents[(n * p + 99) // 100 - 1]
+            assert g[exact_col] == exact
+            assert g[est_col] == (exact // _QSK_WIDTH_CENTS) * _QSK_WIDTH_CENTS
+        assert g["p50_err_div_width"] == 0 and g["p95_err_div_width"] == 0

@@ -201,6 +201,9 @@ DEFAULT_QUERIES = (
     # user-DP: (user, type) agg + per-user window + type agg — event
     # scale on the first shuffle only.
     "x_dp_bounded_contribution",
+    # streaming histogram sketch: per-trigger (window, bin) state; the
+    # ratio tracks the one event-scale streaming shuffle.
+    "s22_stream_quantile_rollup",
 )
 
 
