@@ -197,6 +197,7 @@ RECORD_ONLY = [
     "x_bootstrap_ci",
     "x_dp_bounded_contribution",
     "s22_stream_quantile_rollup",
+    "x_range_partition_balance",
 ]
 
 

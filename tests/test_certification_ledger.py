@@ -227,6 +227,7 @@ DECLARED_NEXT_QUEUE = {
     "x_zorder_pruning_gain",  # displaced by the x_bootstrap_ci first grade
     "x_zorder_cells",  # displaced by the x_dp_bounded_contribution grade
     "x_text_tfidf_top_terms",  # displaced by s22_stream_quantile_rollup
+    "x_text_scrub",  # displaced by x_range_partition_balance
 }
 
 

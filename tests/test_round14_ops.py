@@ -513,3 +513,61 @@ def test_stream_quantile_rollup_closure_and_estimator(spark):
             assert g[exact_col] == exact
             assert g[est_col] == (exact // _QSK_WIDTH_CENTS) * _QSK_WIDTH_CENTS
         assert g["p50_err_div_width"] == 0 and g["p95_err_div_width"] == 0
+
+
+# ---------------------------------------------------------------------------
+# x_range_partition_balance
+# ---------------------------------------------------------------------------
+
+
+def test_range_partition_balance_partitions_everything_once(spark):
+    """Python replay of the whole recipe: the deterministic sample, the
+    rank-DISC boundary pick, the half-open interval assignment — and the
+    audit invariants: buckets partition the table exactly (Σ n_rows = N,
+    min/max inside [lo, hi)), shares sum to ~1e6."""
+    import duckdb
+
+    from recommender_systems_pyspark_spark.operators.ranking import (
+        _register,  # noqa: F401  (module import registers the query)
+    )
+    from recommender_systems_pyspark_spark.registry import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchall()
+    import math
+
+    cents = {k: math.floor(p * 100 + 0.5) for k, p in rows}
+    smp = sorted(
+        (cents[k], k)
+        for k in cents
+        if int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 20 == 0
+    )
+    sn = len(smp)
+    K = 8
+    positions = sorted({max(1, (i * sn) // K) for i in range(1, K)})
+    bounds = sorted({smp[p - 1][0] for p in positions})
+    got = [
+        r.asDict()
+        for r in all_queries()["x_range_partition_balance"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    ]
+    assert len(got) == len(bounds) + 1
+    assert sum(r["n_rows"] for r in got) == len(cents)
+    n = len(cents)
+    nb = len(bounds) + 1
+    for i, r in enumerate(got):
+        lo = None if i == 0 else bounds[i - 1]
+        hi = bounds[i] if i < len(bounds) else None
+        assert r["lo"] == lo and r["hi"] == hi
+        members = [
+            c
+            for c in cents.values()
+            if (lo is None or c >= lo) and (hi is None or c < hi)
+        ]
+        assert r["n_rows"] == len(members)
+        assert r["min_cents"] == min(members)
+        assert r["max_cents"] == max(members)
+        assert r["share_ppm"] == len(members) * 1_000_000 // n
+        assert r["dev_ppm"] == abs(len(members) * nb - n) * 1_000_000 // (n * nb)

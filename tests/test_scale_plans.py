@@ -252,6 +252,9 @@ def test_no_unpartitioned_window_in_any_registered_query(spark):
         "x_auc_rank",  # 'ALL' cumulative over the conf_ppm histogram —
         # bounded by the score CODOMAIN (≤ 1,000,001 rows) at any corpus
         # size; the per-lang face is a partitioned window
+        "x_range_partition_balance",  # lead/row_number over the ≤K-row
+        # boundary/interval frames (K=8 constant); the corpus-scale rank
+        # goes through with_global_row_number
     }
     SKIP_EAGER = {
         "ml_als_top_recs",

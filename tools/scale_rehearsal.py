@@ -204,6 +204,10 @@ DEFAULT_QUERIES = (
     # streaming histogram sketch: per-trigger (window, bin) state; the
     # ratio tracks the one event-scale streaming shuffle.
     "s22_stream_quantile_rollup",
+    # range-layout audit: sample rank (two-phase) + broadcast interval
+    # assignment — the ratio tracks the scan and the range shuffle of
+    # the 5% sample.
+    "x_range_partition_balance",
 )
 
 
