@@ -198,6 +198,7 @@ RECORD_ONLY = [
     "x_dp_bounded_contribution",
     "s22_stream_quantile_rollup",
     "x_range_partition_balance",
+    "s23_stream_static_anti",
 ]
 
 

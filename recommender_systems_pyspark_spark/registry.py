@@ -163,10 +163,11 @@ _QUERY_MODULES = (
 #:         the two late-round-14 first grades; x_ivf_recall is also
 #:         judge-re-verified r13), and x_bucketed_join /
 #:         x_zorder_pruning_gain / x_zorder_cells /
-#:         x_text_tfidf_top_terms / x_text_scrub (displaced by the
-#:         x_auc_rank, x_bootstrap_ci, x_dp_bounded_contribution,
-#:         s22_stream_quantile_rollup and x_range_partition_balance
-#:         first grades; graded r8, never failed).
+#:         x_text_tfidf_top_terms / x_text_scrub / x_text_chunking
+#:         (displaced by the x_auc_rank, x_bootstrap_ci,
+#:         x_dp_bounded_contribution, s22_stream_quantile_rollup,
+#:         x_range_partition_balance and s23_stream_static_anti first
+#:         grades; graded r8, never failed).
 #: The vintage floor this window leaves is computed MECHANICALLY from
 #: the committed CORRECTNESS files by
 #: tests/test_certification_ledger.py::test_vintage_floor_is_mechanical
@@ -184,6 +185,7 @@ _GRADE_FIRST = (
     "x_dp_bounded_contribution",
     "s22_stream_quantile_rollup",
     "x_range_partition_balance",
+    "s23_stream_static_anti",
     # --- the 8 r7-vintage grades (VERDICT r13 next-step #1, verbatim) ----
     "x_dedup_shingle_pairs",
     "x_dedup_substring",
@@ -224,8 +226,8 @@ _GRADE_FIRST = (
     "s10_late_data_audit",
     "s11_restart_recovery",
     "x_text_bpe_tokens",
-    "x_text_chunking",
     # --- slot 51+: the declared round-15 queue (see block comment) -------
+    "x_text_chunking",
     "x_text_scrub",
     "x_text_tfidf_top_terms",
     "x_zorder_cells",

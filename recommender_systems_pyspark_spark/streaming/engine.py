@@ -429,3 +429,21 @@ def join_view_click_full(
         "view_ts",
         "click_ts",
     )
+
+
+def anti_gate_stream(
+    events: DataFrame, blocklist: DataFrame, on_left: str = "user_id",
+    on_right: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static LEFT ANTI join: drop streaming rows whose key
+    appears in a static blocklist. The static side is re-planned per
+    micro-batch (a nightly blocklist refresh is picked up without a
+    stream restart) and the broadcast hint keeps it a map-side hash anti
+    join — no state store, no stream-side shuffle. The exclusion twin of
+    :func:`enrich_stream`.
+
+    Batch face (same plan, oracle-checked): streaming.joins
+    s23_stream_static_anti."""
+    return events.join(
+        F.broadcast(blocklist), events[on_left] == blocklist[on_right], "left_anti"
+    )

@@ -276,3 +276,67 @@ def s21_view_click_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         "click_ts",
     )
+
+
+@query(
+    "s23_stream_static_anti",
+    oracle=f"""
+    WITH blocked AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+    SELECT e.event_type,
+           date_trunc('day', e.ts) AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           {sql_exact_sum('e.value', 'total_value')}
+    FROM events e ANTI JOIN blocked b ON e.user_id = b.c_custkey
+    GROUP BY e.event_type, window_start
+    """,
+)
+def s23_stream_static_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static ANTI join, batch face: drop every event whose user
+    sits on a blocklist maintained as a static dimension (here: customers
+    with a negative account balance — suspended accounts), then the daily
+    per-type rollup over the SURVIVORS. This is the streaming-ingest gate
+    a pipeline puts in front of its raw feed — opt-outs, abuse lists,
+    benchmark-contamination blocklists (the streaming twin of
+    x_bloom_decontaminate's batch screen) — and it completes the
+    stream-static join modes: s5 enriches (left), this EXCLUDES
+    (left_anti). The live form is ``engine.anti_gate_stream``: the static
+    side is re-planned per micro-batch, so a nightly blocklist refresh
+    takes effect without a stream restart; broadcast keeps it a map-side
+    hash anti join — NO state store, NO stream-side shuffle before the
+    windowed aggregate.
+
+    Scale: blocklists are user-dimension sized (millions, not corpus
+    sized) — broadcast; a genuinely huge blocklist flips to a shuffled
+    hash anti join or the bloom pre-screen, both linear. The aggregate
+    shuffles only surviving rows on bounded (type, day) keys.
+
+    Reference contrast: the reference filters users driver-side with
+    pandas ``isin`` after a full JDBC read (``app.py``, utils/user.py);
+    this is the distributed, streaming-capable exclusion."""
+    events = load_table(spark, sf_dir, "events")
+    blocked = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    from .engine import anti_gate_stream
+
+    return (
+        anti_gate_stream(events, blocked)
+        .groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            exact_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )

@@ -228,6 +228,7 @@ DECLARED_NEXT_QUEUE = {
     "x_zorder_cells",  # displaced by the x_dp_bounded_contribution grade
     "x_text_tfidf_top_terms",  # displaced by s22_stream_quantile_rollup
     "x_text_scrub",  # displaced by x_range_partition_balance
+    "x_text_chunking",  # displaced by s23_stream_static_anti
 }
 
 

@@ -658,3 +658,43 @@ def test_full_outer_join_stream_emits_both_null_extensions(spark, stream_dir):
     finally:
         shutil.rmtree(views_dir, ignore_errors=True)
         shutil.rmtree(clicks_dir, ignore_errors=True)
+
+
+def test_stream_static_anti_gates_blocklisted_users_per_microbatch(spark, stream_dir):
+    """The anti gate must drop blocklisted users' rows in EVERY
+    micro-batch and pass everything else through untouched — including a
+    second batch arriving after the first drained (the per-batch static
+    re-plan contract)."""
+    from recommender_systems_pyspark_spark.streaming.engine import anti_gate_stream
+
+    blocklist = spark.createDataFrame([(2,), (300,)], "c_custkey long")
+    _write_batch(
+        stream_dir,
+        "batch0",
+        [
+            _ev(1, "2024-01-01 00:05:00", user=1),
+            _ev(2, "2024-01-01 00:06:00", user=2),  # blocked
+            _ev(3, "2024-01-01 00:07:00", user=99),
+        ],
+    )
+    q = start_to_memory(
+        anti_gate_stream(read_event_stream(spark, stream_dir), blocklist),
+        "anti_gated",
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(
+            stream_dir,
+            "batch1",
+            [
+                _ev(4, "2024-01-01 00:08:00", user=300),  # blocked
+                _ev(5, "2024-01-01 00:09:00", user=1),
+            ],
+        )
+        q.processAllAvailable()
+        got = sorted(
+            r.event_id for r in spark.sql("SELECT * FROM anti_gated").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [1, 3, 5]

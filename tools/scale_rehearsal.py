@@ -208,6 +208,9 @@ DEFAULT_QUERIES = (
     # assignment — the ratio tracks the scan and the range shuffle of
     # the 5% sample.
     "x_range_partition_balance",
+    # streaming-ingest anti gate: broadcast hash anti + bounded-key agg —
+    # the ratio tracks the one event-scale pass.
+    "s23_stream_static_anti",
 )
 
 
