@@ -194,6 +194,12 @@ DEFAULT_QUERIES = [
     "s21_view_click_full",
     "x_bpe_fertility",
     "x_dedup_source_priority",
+    "x_auc_rank",
+    "x_bootstrap_ci",
+    "x_dp_bounded_contribution",
+    "s22_stream_quantile_rollup",
+    "x_range_partition_balance",
+    "s23_stream_static_anti",
 ]
 
 
