@@ -199,6 +199,7 @@ RECORD_ONLY = [
     "s22_stream_quantile_rollup",
     "x_range_partition_balance",
     "s23_stream_static_anti",
+    "x_media_hash_agreement",
 ]
 
 

@@ -656,7 +656,10 @@ def x_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Perceptual average-hash (aHash) near-dup candidates over decoded images
 # ---------------------------------------------------------------------------
 
-AHASH_SCHEMA = "doc_id bigint, w0 int, w1 int, w2 int, w3 int"
+AHASH_SCHEMA = (
+    "doc_id bigint, w0 int, w1 int, w2 int, w3 int, "
+    "d0 int, d1 int, d2 int, d3 int"
+)
 _AHASH_BITS = 64
 _AHASH_WORDS = 4  # 4 × 16-bit words — the banding key for candidate pairing
 
@@ -668,8 +671,15 @@ def ahash_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     sample against the SAMPLED mean in pure integer arithmetic
     (``bits*s_i >= Σs``) and pack the bit string into 4 little-endian
     16-bit words — the hash is a pure function of the decoded raster,
-    bit-identical in any engine."""
+    bit-identical in any engine. The same pass also emits the GRADIENT
+    hash (dHash, d0..d3): 65 stride samples, bit_i = s_i > s_{i+1} —
+    aHash's known blind spot is near-uniform rasters (every sample ≈ the
+    mean collapses the hash toward all-ones); the gradient hash keys on
+    local ordering instead, so the two families fail independently and
+    their AGREEMENT is the dedup-precision signal
+    (x_media_hash_agreement)."""
     steps = np.arange(_AHASH_BITS, dtype=np.int64)
+    dsteps = np.arange(_AHASH_BITS + 1, dtype=np.int64)
     for pdf in batches:
         rows = []
         for doc_id, payload, mtype in zip(
@@ -685,8 +695,18 @@ def ahash_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 int((bits[w * 16 : (w + 1) * 16] << np.arange(16)).sum())
                 for w in range(_AHASH_WORDS)
             ]
-            rows.append((doc_id, *words))
-        yield pd.DataFrame(rows, columns=["doc_id", "w0", "w1", "w2", "w3"])
+            didx = dsteps * (len(buf) - 1) // _AHASH_BITS
+            ds = buf[didx].astype(np.int64)
+            dbits = (ds[:-1] > ds[1:]).astype(np.int64)
+            dwords = [
+                int((dbits[w * 16 : (w + 1) * 16] << np.arange(16)).sum())
+                for w in range(_AHASH_WORDS)
+            ]
+            rows.append((doc_id, *words, *dwords))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "w0", "w1", "w2", "w3", "d0", "d1", "d2", "d3"],
+        )
 
 
 #: Shared oracle CTE chain: ASCII-image gate -> per-position bits ->
@@ -1269,3 +1289,121 @@ def x_media_codec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("container", "outcome")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-family perceptual-hash agreement (round 14)
+# ---------------------------------------------------------------------------
+
+#: Extra oracle CTEs for the gradient hash, composed after
+#: ``_AHASH_SQL_CTES`` (which provides imgs/cand/scored): 65 stride
+#: samples per image, bit_i = s_i > s_{i+1}.
+_DHASH_SQL_CTES = f"""dsmp AS (
+      SELECT doc_id, f.i,
+             ord(substr(text,
+                 CAST(f.i * (length(text) - 1) // {_AHASH_BITS} AS BIGINT) + 1,
+                 1)) AS s
+      FROM imgs, LATERAL (SELECT unnest(range(0, {_AHASH_BITS + 1})) AS i) f
+    ),
+    dbits AS (
+      SELECT a.doc_id, a.i, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+      FROM dsmp a JOIN dsmp b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.i < {_AHASH_BITS}
+    ),
+    dh AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER)
+               AS hamming_dhash
+      FROM cand c
+      JOIN dbits x ON x.doc_id = c.doc_a
+      JOIN dbits y ON y.doc_id = c.doc_b AND y.i = x.i
+      GROUP BY c.doc_a, c.doc_b
+    )"""
+
+
+@query(
+    "x_media_hash_agreement",
+    oracle=f"""
+    WITH {_AHASH_SQL_CTES},
+    {_DHASH_SQL_CTES}
+    SELECT s.doc_a, s.doc_b,
+           s.hamming AS hamming_ahash,
+           dh.hamming_dhash,
+           CASE WHEN s.hamming <= {_MEDIA_DEDUP_HAM}
+                 AND dh.hamming_dhash <= {_MEDIA_DEDUP_HAM} THEN 'both'
+                WHEN s.hamming <= {_MEDIA_DEDUP_HAM} THEN 'ahash_only'
+                WHEN dh.hamming_dhash <= {_MEDIA_DEDUP_HAM} THEN 'dhash_only'
+                ELSE 'neither' END AS dup_class
+    FROM scored s JOIN dh USING (doc_a, doc_b)
+    ORDER BY s.doc_a, s.doc_b
+    """,
+)
+def x_media_hash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family perceptual-hash agreement: every aHash banded
+    candidate pair scored by BOTH hash families — average (brightness-
+    threshold) and gradient (dHash, 65 stride samples, bit = s_i >
+    s_{i+1}, computed in the SAME one decode pass and memoized frame) —
+    and classified both / ahash_only / dhash_only / neither at the
+    shared Hamming ≤ {h} policy. This is the dedup-PRECISION diagnostic
+    the single-family pipeline (x_media_dedup_e2e) cannot see: aHash is
+    blind on near-uniform rasters (all samples ≈ mean → hash collapses,
+    false merges), dHash keys on local ordering and fails independently
+    — 'ahash_only' pairs are the false-merge suspects a production
+    pipeline routes to expensive verification, 'both' pairs are safe to
+    auto-merge. Requiring two independent families before destructive
+    dedup is the same two-key doctrine as the text side's
+    minhash+simhash pairing.
+
+    Scale: ZERO extra decode (the gradient words ride the memoized
+    ``cached_ahash_frame`` pass); candidates come from the existing
+    banded equi-join; the dHash scoring is 4 bit_count XORs per
+    candidate — map-local. The oracle replays both bit chains from the
+    ASCII payloads.
+
+    Reference contrast: no media surface in the reference; extends the
+    §2.13 multimodal family's dedup row with the precision audit."""
+    pairs = ahash_scored_pairs(spark, sf_dir)
+    hashes = cached_ahash_frame(spark, sf_dir)
+    da = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"d{w}").alias(f"da{w}") for w in range(_AHASH_WORDS)],
+    )
+    db = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"d{w}").alias(f"db{w}") for w in range(_AHASH_WORDS)],
+    )
+    ham_d = sum(
+        F.bit_count(F.expr(f"da{w} ^ db{w}")) for w in range(_AHASH_WORDS)
+    ).cast("int")
+    t = F.lit(_MEDIA_DEDUP_HAM)
+    scored = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("hamming").alias("hamming_ahash"),
+            ham_d.alias("hamming_dhash"),
+        )
+    )
+    dup_class = (
+        F.when(
+            (F.col("hamming_ahash") <= t) & (F.col("hamming_dhash") <= t),
+            "both",
+        )
+        .when(F.col("hamming_ahash") <= t, "ahash_only")
+        .when(F.col("hamming_dhash") <= t, "dhash_only")
+        .otherwise("neither")
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "hamming_ahash",
+        "hamming_dhash",
+        dup_class.alias("dup_class"),
+    ).orderBy("doc_a", "doc_b")
+
+
+x_media_hash_agreement.__doc__ = x_media_hash_agreement.__doc__.replace(
+    "{h}", str(_MEDIA_DEDUP_HAM)
+)

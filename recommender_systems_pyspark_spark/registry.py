@@ -163,10 +163,11 @@ _QUERY_MODULES = (
 #:         the two late-round-14 first grades; x_ivf_recall is also
 #:         judge-re-verified r13), and x_bucketed_join /
 #:         x_zorder_pruning_gain / x_zorder_cells /
-#:         x_text_tfidf_top_terms / x_text_scrub / x_text_chunking
-#:         (displaced by the x_auc_rank, x_bootstrap_ci,
-#:         x_dp_bounded_contribution, s22_stream_quantile_rollup,
-#:         x_range_partition_balance and s23_stream_static_anti first
+#:         x_text_tfidf_top_terms / x_text_scrub / x_text_chunking /
+#:         x_text_bpe_tokens (displaced by the x_auc_rank,
+#:         x_bootstrap_ci, x_dp_bounded_contribution,
+#:         s22_stream_quantile_rollup, x_range_partition_balance,
+#:         s23_stream_static_anti and x_media_hash_agreement first
 #:         grades; graded r8, never failed).
 #: The vintage floor this window leaves is computed MECHANICALLY from
 #: the committed CORRECTNESS files by
@@ -186,6 +187,7 @@ _GRADE_FIRST = (
     "s22_stream_quantile_rollup",
     "x_range_partition_balance",
     "s23_stream_static_anti",
+    "x_media_hash_agreement",
     # --- the 8 r7-vintage grades (VERDICT r13 next-step #1, verbatim) ----
     "x_dedup_shingle_pairs",
     "x_dedup_substring",
@@ -225,8 +227,8 @@ _GRADE_FIRST = (
     "s3_session_window",
     "s10_late_data_audit",
     "s11_restart_recovery",
-    "x_text_bpe_tokens",
     # --- slot 51+: the declared round-15 queue (see block comment) -------
+    "x_text_bpe_tokens",
     "x_text_chunking",
     "x_text_scrub",
     "x_text_tfidf_top_terms",

@@ -229,6 +229,7 @@ DECLARED_NEXT_QUEUE = {
     "x_text_tfidf_top_terms",  # displaced by s22_stream_quantile_rollup
     "x_text_scrub",  # displaced by x_range_partition_balance
     "x_text_chunking",  # displaced by s23_stream_static_anti
+    "x_text_bpe_tokens",  # displaced by x_media_hash_agreement
 }
 
 

@@ -571,3 +571,66 @@ def test_range_partition_balance_partitions_everything_once(spark):
         assert r["max_cents"] == max(members)
         assert r["share_ppm"] == len(members) * 1_000_000 // n
         assert r["dev_ppm"] == abs(len(members) * nb - n) * 1_000_000 // (n * nb)
+
+
+# ---------------------------------------------------------------------------
+# x_media_hash_agreement
+# ---------------------------------------------------------------------------
+
+
+def test_media_hash_agreement_dhash_replay_and_classes(spark):
+    """Replay the gradient hash from the ASCII payload model for every
+    candidate pair and check both Hamming columns and the class logic;
+    the aHash column must agree with the certified pair ledger."""
+    import duckdb
+
+    from recommender_systems_pyspark_spark.multimodal.media import (
+        _AHASH_BITS,
+        _MEDIA_DEDUP_HAM,
+        x_media_ahash_pairs,
+        x_media_hash_agreement,
+    )
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+            f" WHERE doc_id % 3 = 0 AND length(text) > 0"
+        ).fetchall()
+    )
+
+    def dhash_bits(text: str) -> list[int]:
+        n = len(text)
+        s = [
+            ord(text[i * (n - 1) // _AHASH_BITS])
+            for i in range(_AHASH_BITS + 1)
+        ]
+        return [1 if s[i] > s[i + 1] else 0 for i in range(_AHASH_BITS)]
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _rows(x_media_ahash_pairs(spark, SF_SMOKE))
+    }
+    got = _rows(x_media_hash_agreement(spark, SF_SMOKE))
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == set(pairs)
+    classes = set()
+    for r in got:
+        a, b = r["doc_a"], r["doc_b"]
+        assert r["hamming_ahash"] == pairs[(a, b)]
+        if all(ord(c) < 128 for c in texts[a]) and all(
+            ord(c) < 128 for c in texts[b]
+        ):
+            ba, bb = dhash_bits(texts[a]), dhash_bits(texts[b])
+            assert r["hamming_dhash"] == sum(x != y for x, y in zip(ba, bb))
+        ha, hd = r["hamming_ahash"], r["hamming_dhash"]
+        want = (
+            "both"
+            if ha <= _MEDIA_DEDUP_HAM and hd <= _MEDIA_DEDUP_HAM
+            else "ahash_only"
+            if ha <= _MEDIA_DEDUP_HAM
+            else "dhash_only"
+            if hd <= _MEDIA_DEDUP_HAM
+            else "neither"
+        )
+        assert r["dup_class"] == want
+        classes.add(want)
+    assert classes, "no candidate pairs at smoke scale?"

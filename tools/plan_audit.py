@@ -200,6 +200,7 @@ DEFAULT_QUERIES = [
     "s22_stream_quantile_rollup",
     "x_range_partition_balance",
     "s23_stream_static_anti",
+    "x_media_hash_agreement",
 ]
 
 

@@ -211,6 +211,9 @@ DEFAULT_QUERIES = (
     # streaming-ingest anti gate: broadcast hash anti + bounded-key agg —
     # the ratio tracks the one event-scale pass.
     "s23_stream_static_anti",
+    # cross-family hash agreement: rides the memoized decode; the ratio
+    # tracks the banded candidate join + map-local dual scoring.
+    "x_media_hash_agreement",
 )
 
 
