@@ -634,3 +634,41 @@ def test_media_hash_agreement_dhash_replay_and_classes(spark):
         assert r["dup_class"] == want
         classes.add(want)
     assert classes, "no candidate pairs at smoke scale?"
+
+
+def test_auc_rank_single_class_language_yields_null(spark):
+    """A language whose docs are all one reference class has no pos/neg
+    pairs — auc_ppm must be NULL (the NULLIF guard), never a crash or a
+    fabricated number; a perfectly-separating language must score 1e6."""
+    import tempfile
+
+    from recommender_systems_pyspark_spark.functions.strata import x_auc_rank
+
+    # Gopher keep wants 6+ tokens with stopwords and variety; these two
+    # are engineered: 'good*' docs pass the battery, 'bad' docs (one
+    # repeated token) fail it. Language 'xx' holds ONLY failing docs;
+    # language 'yy' holds both classes, with keeps scoring higher.
+    good = (
+        "the quick brown fox jumps over a lazy dog near the old river "
+        "bank while a calm wind blows through the tall green trees today"
+    )
+    bad = "spam " * 30
+    rows = [
+        (1, bad, "xx", "s", len(bad)),
+        (2, bad + "extra words here now", "xx", "s", 10),
+        (3, good, "yy", "s", len(good)),
+        (4, bad, "yy", "s", len(bad)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {r["lang"]: r.asDict() for r in x_auc_rank(spark, d).collect()}
+    assert set(got) == {"xx", "yy", "ALL"}
+    xx = got["xx"]
+    assert (xx["n_pos"] == 0) or (xx["n_neg"] == 0)
+    assert xx["auc_ppm"] is None and xx["u2"] == 0
+    yy = got["yy"]
+    if yy["n_pos"] and yy["n_neg"]:  # engineered separation
+        assert yy["auc_ppm"] == 1_000_000
