@@ -858,10 +858,10 @@ _RAKE_SC = 1_000_000
 _RAKE_ROUNDS = 3
 
 
-@query(
-    "x_raking_weights",
-    oracle="""
-    WITH cells AS (
+#: The unrolled IPF oracle chain (cells → w3 with the converged weights),
+#: shared by x_raking_weights and x_weighted_quantile so the recurrence
+#: cannot drift between the weight face and its consumers.
+_SQL_RAKE_CTES = """cells AS (
       SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
       FROM documents GROUP BY 1, 2
     ),
@@ -916,7 +916,13 @@ _RAKE_ROUNDS = 3
       SELECT w.source, w.lang, w.n, w.rt, w.ct,
              COALESCE((w.w * ((w.ct * 1000000000000) // NULLIF(cs2.cs, 0))) // 1000000, 0) AS w
       FROM wr2 w JOIN cs2 ON cs2.lang = w.lang
-    )
+    )"""
+
+
+@query(
+    "x_raking_weights",
+    oracle=f"""
+    WITH {_SQL_RAKE_CTES}
     SELECT source, lang, n AS n_docs,
            CAST(w AS BIGINT) AS weight_ppm,
            CAST((n * w) // 1000000 AS BIGINT) AS weighted_count
@@ -1331,3 +1337,136 @@ def x_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("auc_ppm"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Weighted order statistics under the raked weights (round 14)
+# ---------------------------------------------------------------------------
+
+
+def _sql_weighted_quantile() -> str:
+    return f"""
+    WITH {_SQL_RAKE_CTES},
+    wdoc AS (
+      SELECT d.lang, d.n_chars, w3.w
+      FROM documents d
+      JOIN w3 ON w3.source = d.source AND w3.lang = d.lang
+    ),
+    hist AS (
+      SELECT lang, n_chars,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(w) AS BIGINT) AS wsum
+      FROM wdoc GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(wsum) AS BIGINT) AS wtot
+      FROM hist GROUP BY 1
+    ),
+    cum AS (
+      SELECT lang, n_chars, cnt, wsum,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS ccnt,
+             SUM(wsum) OVER (PARTITION BY lang ORDER BY n_chars) AS cw
+      FROM hist
+    )
+    SELECT c.lang, t.n AS n_docs, t.wtot AS total_weight,
+           MIN(CASE WHEN c.ccnt >= (t.n * 50 + 99) // 100
+                    THEN c.n_chars END) AS p50_chars,
+           MIN(CASE WHEN c.cw >= (t.wtot * 50 + 99) // 100
+                    THEN c.n_chars END) AS wp50_chars,
+           MIN(CASE WHEN c.ccnt >= (t.n * 95 + 99) // 100
+                    THEN c.n_chars END) AS p95_chars,
+           MIN(CASE WHEN c.cw >= (t.wtot * 95 + 99) // 100
+                    THEN c.n_chars END) AS wp95_chars,
+           MIN(CASE WHEN c.cw >= (t.wtot * 50 + 99) // 100
+                    THEN c.n_chars END)
+             - MIN(CASE WHEN c.ccnt >= (t.n * 50 + 99) // 100
+                        THEN c.n_chars END) AS p50_shift
+    FROM cum c JOIN tot t USING (lang)
+    GROUP BY c.lang, t.n, t.wtot
+    ORDER BY c.lang
+    """
+
+
+@query("x_weighted_quantile", oracle=_sql_weighted_quantile())
+def x_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED order statistics under the raked sampling weights — the
+    consumer face of x_raking_weights that demonstrates why a pipeline
+    rakes at all: per language, the weighted rank-DISC p50/p95 of
+    document length (smallest value whose cumulative WEIGHT reaches
+    ⌈q·W⌉) next to the unweighted ones, with the induced median shift.
+    After IPF reweights the (source × lang) grid to the reference
+    marginals, every downstream statistic must fold the weights in —
+    an unweighted median of a raked corpus silently reports the
+    pre-correction population. The IPF oracle chain is shared verbatim
+    with x_raking_weights (one definition, two faces), so weight drift
+    between the producer and this consumer is impossible.
+
+    Exactness: weights are integer ppm, cumulative sums exact bigints,
+    the quantile pick pure rank logic — no interpolation, no floats.
+
+    Scale: one broadcast join of the (source × lang) weight grid onto
+    the corpus, one (lang, n_chars) hash agg; the cumulative windows run
+    over per-language HISTOGRAMS bounded by the length codomain, not the
+    corpus (the x_auc_rank bounded-frame argument; swap in the two-phase
+    rank only if the value domain were unbounded).
+
+    Reference contrast: no weighting surface in the reference; extends
+    the §2.13 mixture/stats families with the weighted-statistics face."""
+    docs = tables(spark, sf_dir)["documents"].select("doc_id", "source", "lang")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    rref = ref.groupBy("source").agg(F.count("*").cast("long").alias("rt"))
+    cref = ref.groupBy("lang").agg(F.count("*").cast("long").alias("ct"))
+    weights = rake_cell_weights(cells, rref, cref).select(
+        "source", "lang", F.col("weight_ppm").alias("w")
+    )
+    wdoc = (
+        tables(spark, sf_dir)["documents"]
+        .select("source", "lang", "n_chars")
+        .join(F.broadcast(weights), ["source", "lang"])
+    )
+    hist = wdoc.groupBy("lang", "n_chars").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("w").cast("long").alias("wsum"),
+    )
+    tot = hist.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("wsum").cast("long").alias("wtot"),
+    )
+    w_lang = Window.partitionBy("lang").orderBy("n_chars")
+    cum = hist.select(
+        "lang",
+        "n_chars",
+        F.sum("cnt").over(w_lang).alias("ccnt"),
+        F.sum("wsum").over(w_lang).alias("cw"),
+    )
+    j = cum.join(F.broadcast(tot), "lang")
+    pick = lambda cond: F.min(F.when(cond, F.col("n_chars")))  # noqa: E731
+    p50 = pick(F.col("ccnt") >= F.expr("(n * 50 + 99) DIV 100"))
+    wp50 = pick(F.col("cw") >= F.expr("(wtot * 50 + 99) DIV 100"))
+    p95 = pick(F.col("ccnt") >= F.expr("(n * 95 + 99) DIV 100"))
+    wp95 = pick(F.col("cw") >= F.expr("(wtot * 95 + 99) DIV 100"))
+    return (
+        j.groupBy("lang", "n", "wtot")
+        .agg(
+            p50.alias("p50_chars"),
+            wp50.alias("wp50_chars"),
+            p95.alias("p95_chars"),
+            wp95.alias("wp95_chars"),
+            (wp50 - p50).alias("p50_shift"),
+        )
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.col("wtot").alias("total_weight"),
+            "p50_chars",
+            "wp50_chars",
+            "p95_chars",
+            "wp95_chars",
+            "p50_shift",
+        )
+        .orderBy("lang")
+    )

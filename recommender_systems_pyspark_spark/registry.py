@@ -164,11 +164,11 @@ _QUERY_MODULES = (
 #:         judge-re-verified r13), and x_bucketed_join /
 #:         x_zorder_pruning_gain / x_zorder_cells /
 #:         x_text_tfidf_top_terms / x_text_scrub / x_text_chunking /
-#:         x_text_bpe_tokens (displaced by the x_auc_rank,
-#:         x_bootstrap_ci, x_dp_bounded_contribution,
+#:         x_text_bpe_tokens / s11_restart_recovery (displaced by the
+#:         x_auc_rank, x_bootstrap_ci, x_dp_bounded_contribution,
 #:         s22_stream_quantile_rollup, x_range_partition_balance,
-#:         s23_stream_static_anti and x_media_hash_agreement first
-#:         grades; graded r8, never failed).
+#:         s23_stream_static_anti, x_media_hash_agreement and
+#:         x_weighted_quantile first grades; graded r8, never failed).
 #: The vintage floor this window leaves is computed MECHANICALLY from
 #: the committed CORRECTNESS files by
 #: tests/test_certification_ledger.py::test_vintage_floor_is_mechanical
@@ -188,6 +188,7 @@ _GRADE_FIRST = (
     "x_range_partition_balance",
     "s23_stream_static_anti",
     "x_media_hash_agreement",
+    "x_weighted_quantile",
     # --- the 8 r7-vintage grades (VERDICT r13 next-step #1, verbatim) ----
     "x_dedup_shingle_pairs",
     "x_dedup_substring",
@@ -226,8 +227,8 @@ _GRADE_FIRST = (
     "s2_sliding_window",
     "s3_session_window",
     "s10_late_data_audit",
-    "s11_restart_recovery",
     # --- slot 51+: the declared round-15 queue (see block comment) -------
+    "s11_restart_recovery",
     "x_text_bpe_tokens",
     "x_text_chunking",
     "x_text_scrub",

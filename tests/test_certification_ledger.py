@@ -230,6 +230,7 @@ DECLARED_NEXT_QUEUE = {
     "x_text_scrub",  # displaced by x_range_partition_balance
     "x_text_chunking",  # displaced by s23_stream_static_anti
     "x_text_bpe_tokens",  # displaced by x_media_hash_agreement
+    "s11_restart_recovery",  # displaced by x_weighted_quantile
 }
 
 

@@ -672,3 +672,57 @@ def test_auc_rank_single_class_language_yields_null(spark):
     yy = got["yy"]
     if yy["n_pos"] and yy["n_neg"]:  # engineered separation
         assert yy["auc_ppm"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# x_weighted_quantile
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_quantile_matches_python_replay(spark):
+    """Weighted rank-DISC quantiles replayed in python from the engine's
+    own raked weights: the smallest value whose cumulative weight reaches
+    ceil(q*W), per language — plus the weight-conservation tie to the
+    producer face."""
+    import collections
+
+    import duckdb
+
+    from recommender_systems_pyspark_spark.functions.strata import (
+        x_raking_weights,
+        x_weighted_quantile,
+    )
+
+    weights = {
+        (r["source"], r["lang"]): r["weight_ppm"]
+        for r in _rows(x_raking_weights(spark, SF_SMOKE))
+    }
+    docs = duckdb.sql(
+        f"SELECT source, lang, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    per_lang = collections.defaultdict(list)
+    for source, lang, n_chars in docs:
+        per_lang[lang].append((n_chars, weights[(source, lang)]))
+    got = {r["lang"]: r.asDict() for r in x_weighted_quantile(spark, SF_SMOKE).collect()}
+    assert set(got) == set(per_lang)
+    for lang, items in per_lang.items():
+        items.sort()
+        n = len(items)
+        wtot = sum(w for _, w in items)
+        g = got[lang]
+        assert g["n_docs"] == n and g["total_weight"] == wtot
+        for q, ucol, wcol in ((50, "p50_chars", "wp50_chars"), (95, "p95_chars", "wp95_chars")):
+            target_n = (n * q + 99) // 100
+            target_w = (wtot * q + 99) // 100
+            cc = cw = 0
+            up = wp = None
+            for v, w in items:
+                cc += 1
+                cw += w
+                if up is None and cc >= target_n:
+                    up = v
+                if wp is None and cw >= target_w:
+                    wp = v
+            assert g[ucol] == up, (lang, q)
+            assert g[wcol] == wp, (lang, q)
+        assert g["p50_shift"] == g["wp50_chars"] - g["p50_chars"]

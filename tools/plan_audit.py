@@ -201,6 +201,7 @@ DEFAULT_QUERIES = [
     "x_range_partition_balance",
     "s23_stream_static_anti",
     "x_media_hash_agreement",
+    "x_weighted_quantile",
 ]
 
 

@@ -214,6 +214,9 @@ DEFAULT_QUERIES = (
     # cross-family hash agreement: rides the memoized decode; the ratio
     # tracks the banded candidate join + map-local dual scoring.
     "x_media_hash_agreement",
+    # weighted order stats: broadcast weight grid + one (lang, n_chars)
+    # agg; windows bounded by the length codomain.
+    "x_weighted_quantile",
 )
 
 
