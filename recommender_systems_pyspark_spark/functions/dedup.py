@@ -1138,16 +1138,22 @@ def incremental_text_verdicts(corpus: DataFrame, batch: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("near_dup", F.lit(True))
     )
-    return (
-        batch.select("doc_id")
-        .join(exact, "doc_id", "left")
-        .join(near, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
-            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
-        )
+    # Assembly as UNION + one grouped max instead of two left joins: all
+    # three frames are keyed on doc_id, so one exchange serves the whole
+    # merge (guide-§2.4 shape — same-keyed operations share an exchange).
+    # The join form planned 2 extra shuffles + sorts per consumer and was
+    # the variance driver in the composed gate plans (6–17 s spread at
+    # sf0.1). max() ignores NULLs and exact/near emit ≤1 row per doc_id,
+    # so the merged flags are identical to the outer-join + coalesce form.
+    flag = F.lit(True)
+    merged = (
+        batch.select("doc_id", F.lit(False).alias("e"), F.lit(False).alias("n"))
+        .unionByName(exact.select("doc_id", flag.alias("e"), F.lit(False).alias("n")))
+        .unionByName(near.select("doc_id", F.lit(False).alias("e"), flag.alias("n")))
+        .groupBy("doc_id")
+        .agg(F.max("e").alias("exact_dup"), F.max("n").alias("near_dup"))
     )
+    return merged.select("doc_id", "exact_dup", "near_dup")
 
 
 #: KMV sketch size: 256 minimum hash values per source. Relative error of

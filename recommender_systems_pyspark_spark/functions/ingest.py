@@ -105,22 +105,73 @@ def x_ingest_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pruned").alias("sem_dup"),
         "n_close",
     )
+    # Tier merge as UNION + one grouped max instead of two more joins
+    # (guide §2.4: every tier frame is keyed on doc_id, so one exchange
+    # merges them all). Each tier emits exactly 0 or 1 row per doc_id and
+    # max() ignores NULLs, so the merged row is identical to the
+    # join + coalesce form; text_v and tok both cover every batch doc, so
+    # group membership is unchanged too. The previous 3-join assembly
+    # planned 6 sort-merge joins / 20 exchanges end-to-end and ran with a
+    # 6–17 s spread at sf0.1; this form carries one exchange past the
+    # tier subtrees.
+    nul_b = F.lit(None).cast("boolean")
+    nul_l = F.lit(None).cast("long")
+    u = (
+        text_v.select(
+            "doc_id",
+            F.col("exact_dup").alias("e"),
+            F.col("near_dup").alias("nd"),
+            nul_b.alias("q"),
+            nul_b.alias("he"),
+            nul_b.alias("sd"),
+            nul_l.alias("nc"),
+        )
+        .unionByName(
+            tok.select(
+                "doc_id",
+                nul_b.alias("e"),
+                nul_b.alias("nd"),
+                F.col("quality_ok").alias("q"),
+                nul_b.alias("he"),
+                nul_b.alias("sd"),
+                nul_l.alias("nc"),
+            )
+        )
+        .unionByName(
+            sem_v.select(
+                "doc_id",
+                nul_b.alias("e"),
+                nul_b.alias("nd"),
+                nul_b.alias("q"),
+                F.col("has_embedding").alias("he"),
+                F.col("sem_dup").alias("sd"),
+                F.col("n_close").alias("nc"),
+            )
+        )
+    )
     return (
-        text_v.join(tok, "doc_id")
-        .join(sem_v, "doc_id", "left")
+        u.groupBy("doc_id")
+        .agg(
+            F.max("e").alias("exact_dup"),
+            F.max("nd").alias("near_dup"),
+            F.max("q").alias("quality_ok"),
+            F.max("he").alias("he"),
+            F.max("sd").alias("sd"),
+            F.max("nc").alias("nc"),
+        )
         .select(
             "doc_id",
             "exact_dup",
             "near_dup",
             "quality_ok",
-            F.coalesce("has_embedding", F.lit(False)).alias("has_embedding"),
-            F.coalesce("sem_dup", F.lit(False)).alias("sem_dup"),
-            F.coalesce("n_close", F.lit(0).cast("long")).alias("n_close"),
+            F.coalesce("he", F.lit(False)).alias("has_embedding"),
+            F.coalesce("sd", F.lit(False)).alias("sem_dup"),
+            F.coalesce("nc", F.lit(0).cast("long")).alias("n_close"),
             (
                 ~F.col("exact_dup")
                 & ~F.col("near_dup")
                 & F.col("quality_ok")
-                & ~F.coalesce("sem_dup", F.lit(False))
+                & ~F.coalesce("sd", F.lit(False))
             ).alias("admitted"),
         )
         .orderBy("doc_id")
