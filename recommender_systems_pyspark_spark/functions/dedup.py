@@ -44,7 +44,14 @@ def _spread(docs: DataFrame) -> DataFrame:
 
 def shingles() -> Column:
     """Distinct 3-gram token shingles of ``text`` (0-indexed transform) —
-    the unit of near-duplicate comparison. Pure codegen; no explode."""
+    the unit of near-duplicate comparison. Pure codegen; no explode.
+
+    NOTE: the inline ``split(text, ' ')`` is evaluated once per shingle
+    position times three (projection collapse re-inlines it into the
+    lambda — the pathology :func:`containment_shingles` documents).
+    Prefer :func:`shingled`, which materializes the token array once per
+    document before a pipeline-breaking exchange; this expression form
+    survives only for frames that cannot carry a ``toks`` column."""
     toks = "split(text, ' ')"
     return F.when(
         F.expr(f"size({toks}) >= 3"),
@@ -53,6 +60,29 @@ def shingles() -> Column:
             f" i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])))"
         ),
     ).otherwise(F.array(F.col("text")))
+
+
+def shingled(docs: DataFrame, *extra: str) -> DataFrame:
+    """``(doc_id, *extra, sh)`` — the 3-gram shingle arrays with the token
+    array materialized ONCE per document before the spread exchange, so
+    the transform downstream of the exchange reads the ``toks`` column
+    instead of re-splitting the text 3× per shingle position (the
+    containment_shingles fix, applied to the dedup family's shingler:
+    measured 5.0 s → 0.6 s for the bare shingle pass at sf0.1, and the
+    compute runs at full width instead of inside the single scan task).
+    Bit-identical output: ``concat_ws(' ', toks[i], toks[i+1], toks[i+2])``
+    over the materialized array is the same string the inline form built."""
+    toked = _spread(
+        docs.select("doc_id", *extra, "text", F.split("text", " ").alias("toks"))
+    )
+    sh = F.when(
+        F.expr("size(toks) >= 3"),
+        F.expr(
+            "array_distinct(transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+        ),
+    ).otherwise(F.array(F.col("text")))
+    return toked.select("doc_id", *extra, sh.alias("sh"))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -99,7 +129,7 @@ def x_dedup_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle Jaccard ≥ 0.8. Deliberately quadratic — the oracle-scale
     verifier that x_dedup_minhash_lsh approximates sub-quadratically."""
     t = tables(spark, sf_dir)
-    s = t["documents"].select("doc_id", shingles().alias("sh"))
+    s = shingled(t["documents"])
     a = s.alias("a")
     b = s.alias("b")
     sim = jaccard(F.col("a.sh"), F.col("b.sh"))
@@ -199,7 +229,7 @@ def lsh_bands(docs: DataFrame) -> DataFrame:
     4-row band hashes. Map-only (signature and banding inside codegen);
     shared by the within-corpus pair join (:func:`lsh_pairs`) and the
     incremental new-vs-corpus probe (:func:`x_dedup_incremental`)."""
-    s = _spread(docs).select("doc_id", shingles().alias("sh"))
+    s = shingled(docs)
     sig = s.select("doc_id", "sh", minhash_signature().alias("sig"))
     # band b → hash of signature slots [b*R, (b+1)*R)
     return sig.select(
@@ -322,9 +352,7 @@ def x_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     `x_dedup_minhash_lsh` (sub-quadratic, band-hash-keyed shuffle), the
     per-pair fold is O(shingles), and the final aggregate has at most
     {nh1} keys."""
-    s = _spread(tables(spark, sf_dir)["documents"]).select(
-        "doc_id", shingles().alias("sh")
-    )
+    s = shingled(tables(spark, sf_dir)["documents"])
     sig = s.select("doc_id", "sh", minhash_signature().alias("sig"))
     bands = sig.select(
         "doc_id",
@@ -554,7 +582,7 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-cartesian plan assertion.
     """
     t = tables(spark, sf_dir)
-    s = _spread(t["documents"]).select("doc_id", shingles().alias("sh"))
+    s = shingled(t["documents"])
     sig = s.select("doc_id", simhash64().alias("sig"))
     return simhash_pairs_blocked(sig)
 
@@ -749,7 +777,16 @@ def jaccard_join_pairs(docs: DataFrame) -> DataFrame:
     frame — the reusable core behind :func:`x_dedup_jaccard_join`; the
     hypothesis property test drives it with random synthetic corpora to
     probe the losslessness theorem beyond the fixture."""
-    sh_arr = _spread(docs.select("doc_id", shingles().alias("sh")))
+    # Eager checkpoint: the shingle-array frame is consumed THREE times
+    # (the explode below + the two verification fetch joins), and a
+    # Generate over the in-lineage transform re-evaluates the shingle
+    # lambda per consumer — measured 3.4 s for the bare explode vs 0.05 s
+    # from the materialized blocks at sf0.1 (the x_source_overlap_kmv
+    # "spread+checkpoint is the fast shape" finding, applied here). At
+    # scale this is the classic recompute-vs-store call for a frame with
+    # three consumers; eager because lazy checkpoints reused across AQE
+    # stages re-materialize with stale accumulators (r12 failure mode).
+    sh_arr = shingled(docs).localCheckpoint(eager=True)
     # |S| rides along from the array width — no per-doc count aggregate
     # (and no doc_id join) needed anywhere downstream.
     sh = sh_arr.select(
@@ -757,9 +794,19 @@ def jaccard_join_pairs(docs: DataFrame) -> DataFrame:
         F.size("sh").cast("long").alias("n_sh"),
         F.explode("sh").alias("shingle"),
     )
-    fr = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
-    w_doc = Window.partitionBy("doc_id").orderBy("freq", F.md5("shingle"))
-    rk = sh.join(fr, "shingle").withColumn("rn", F.row_number().over(w_doc))
+    # Global shingle frequency as COUNT() OVER (PARTITION BY shingle)
+    # instead of groupBy + equi-join back: the posting-list partition the
+    # join would shuffle on anyway now carries its own count, saving one
+    # full exchange + the join (guide §2.4). Identical freq values; the
+    # (freq, md5) prefix order is unchanged.
+    rk = sh.withColumn(
+        "freq", F.count("*").over(Window.partitionBy("shingle"))
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("freq", F.md5("shingle"))
+        ),
+    )
     prefix_len = (
         F.col("n_sh")
         - F.expr(f"({_TAU_NUM}*n_sh + {_TAU_DEN} - 1) div {_TAU_DEN}")
@@ -947,15 +994,24 @@ x_containment_join.__doc__ = x_containment_join.__doc__.format(
 def containment_join_pairs(docs: DataFrame) -> DataFrame:
     """Prefix-filtered exact containment join over any ``(doc_id, text)``
     frame — the reusable core behind :func:`x_containment_join`."""
-    sh_arr = containment_shingles(docs)
+    # Same eager checkpoint as jaccard_join_pairs: three consumers of the
+    # shingle arrays; Generate re-evaluates the in-lineage transform.
+    sh_arr = containment_shingles(docs).localCheckpoint(eager=True)
     sh = sh_arr.select(
         "doc_id",
         F.size("sh").cast("long").alias("n_sh"),
         F.explode("sh").alias("shingle"),
     )
-    fr = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
-    w_doc = Window.partitionBy("doc_id").orderBy("freq", F.md5("shingle"))
-    rk = sh.join(fr, "shingle").withColumn("rn", F.row_number().over(w_doc))
+    # freq via COUNT() OVER (PARTITION BY shingle) — one exchange instead
+    # of groupBy + join back (the jaccard_join_pairs rewrite, same proof).
+    rk = sh.withColumn(
+        "freq", F.count("*").over(Window.partitionBy("shingle"))
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("freq", F.md5("shingle"))
+        ),
+    )
     prefix_len = (
         F.col("n_sh")
         - F.expr(f"({_CONT_NUM}*n_sh + {_CONT_DEN} - 1) div {_CONT_DEN}")
@@ -1268,8 +1324,8 @@ def x_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse broke and the fold ran per consumer — spread+checkpoint is
     # the fast shape).
     hashed = (
-        _spread(t["documents"])
-        .select("source", F.explode(shingles()).alias("sh"))
+        shingled(t["documents"], "source")
+        .select("source", F.explode("sh").alias("sh"))
         .select("source", F.md5(F.col("sh")).alias("h"))
         .distinct()
         # eager: a LAZY checkpoint under AQE re-materializes with stale

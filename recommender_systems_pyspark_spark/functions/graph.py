@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import tables
-from .dedup import _SQL_SHINGLES, jaccard, shingles
+from .dedup import _SQL_SHINGLES, jaccard, shingled
 
 
 def connected_components(
@@ -316,7 +316,7 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-state-free either way."""
     t = tables(spark, sf_dir)
     docs = t["documents"]
-    s = docs.select("doc_id", shingles().alias("sh"))
+    s = shingled(docs)
     a = s.alias("a")
     b = s.alias("b")
     pairs = (
@@ -608,7 +608,7 @@ def x_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator — pytest-proven to yield the identical split."""
     t = tables(spark, sf_dir)
     docs = t["documents"]
-    s = docs.select("doc_id", shingles().alias("sh"))
+    s = shingled(docs)
     a = s.alias("a")
     b = s.alias("b")
     pairs = (
