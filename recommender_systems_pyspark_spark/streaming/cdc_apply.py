@@ -163,17 +163,27 @@ def s12_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         # source replays the feed in version order (one scalar collect)
         max_v = feed.agg(F.max("version")).collect()[0][0]
         span = (max_v + _N_BATCHES) // _N_BATCHES
+        # one partitioned write instead of _N_BATCHES filtered re-scans
+        # (staging.stage_ordered_files' single-pass shape; version DIV span
+        # is the exact integer arithmetic of the old range predicates, and
+        # the per-batch max_by fold is row-order-insensitive)
+        staged_root = os.path.join(src, "_staged")
+        (
+            feed.withColumn("_b", F.expr(f"version DIV {span}"))
+            .repartition(_N_BATCHES, "_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(staged_root)
+        )
         t0 = 1_700_000_000
         for i in range(_N_BATCHES):
-            stage = os.path.join(src, f"_stage{i}")
-            feed.where(
-                (F.col("version") >= i * span) & (F.col("version") < (i + 1) * span)
-            ).coalesce(1).write.mode("overwrite").parquet(stage)
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            part = glob.glob(
+                os.path.join(staged_root, f"_b={i}", "part-*.parquet")
+            )[0]
             dst = os.path.join(src, f"batch{i}.parquet")
             os.rename(part, dst)
-            shutil.rmtree(stage)
             os.utime(dst, (t0 + i, t0 + i))
+        shutil.rmtree(staged_root)
         stream = (
             spark.readStream.schema(
                 "user_id bigint, version bigint, value double, op string"

@@ -77,17 +77,24 @@ def _stage_batches(spark: SparkSession, sf_dir: str, src: str) -> None:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
+    # one partitioned write instead of _N_BATCHES filtered re-scans
+    # (staging.stage_ordered_files' single-pass shape; the watermark
+    # aggregation downstream is row-order-insensitive within a batch)
+    staged_root = os.path.join(src, "_staged")
+    (
+        ev.withColumn("_b", F.col("user_id") % _N_BATCHES)
+        .repartition(_N_BATCHES, "_b")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(staged_root)
+    )
     t0 = 1_700_000_000  # any fixed epoch; only the ORDER matters
     for i in range(_N_BATCHES):
-        stage = os.path.join(src, f"_stage{i}")
-        ev.where(F.col("user_id") % _N_BATCHES == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        part = glob.glob(os.path.join(staged_root, f"_b={i}", "part-*.parquet"))[0]
         dst = os.path.join(src, f"batch{i}.parquet")
         os.rename(part, dst)
-        shutil.rmtree(stage)
         os.utime(dst, (t0 + i, t0 + i))
+    shutil.rmtree(staged_root)
 
 
 @query(
@@ -158,17 +165,23 @@ def s10_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,6)")).alias("tot_dec"),
             )
         )
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", os.path.join(d, "ck"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        from .staging import state_sized_partitions
+
+        # shuffle width sized to the state volume (one state store per
+        # partition per micro-batch), not the session's core count — the
+        # bench-measured 32→8 rule every other stateful face applies
+        with state_sized_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", os.path.join(d, "ck"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         final = (
             spark.table(sink)
             .select(

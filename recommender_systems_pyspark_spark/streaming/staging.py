@@ -99,14 +99,40 @@ def stage_ordered_files(
                     f"this fixture; stage on a {assert_monotone_col}-"
                     f"derived key instead"
                 )
+    # ONE pass over the feed instead of n_batches filtered re-scans (the
+    # per-batch loop cost n_batches full scan+write jobs — guide §1.2
+    # "don't compute things you throw away"): the batch id is the exact
+    # integer arithmetic of the old per-batch predicates
+    # (i*span <= col < (i+1)*span ⇔ col DIV span = i for non-negative
+    # keys, guarded above), written as a partitioned directory. Hash
+    # repartitioning on the batch id puts each value in exactly one
+    # shuffle partition, so every _b=i directory holds exactly one part
+    # file. Row order within a file changes vs the old coalesce(1) scan
+    # order — every consumer is order-insensitive within a batch (the
+    # stateful folds sort by event key; the rest are aggregations).
+    staged_root = os.path.join(src_dir, "_staged")
+    (
+        feed.withColumn("_b", F.expr(f"`{order_col}` DIV {span}"))
+        .repartition(n_batches, "_b")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(staged_root)
+    )
     t0 = 1_700_000_000
     for i in range(n_batches):
-        stage = os.path.join(src_dir, f"_stage{i}")
-        feed.where(
-            (F.col(order_col) >= i * span) & (F.col(order_col) < (i + 1) * span)
-        ).coalesce(1).write.mode("overwrite").parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        parts = glob.glob(os.path.join(staged_root, f"_b={i}", "part-*.parquet"))
         dst = os.path.join(src_dir, f"batch{i}.parquet")
-        os.rename(part, dst)
-        shutil.rmtree(stage)
+        if len(parts) == 1:
+            os.rename(parts[0], dst)
+        elif not parts:
+            # empty span: stage a 0-row file so the micro-batch count (and
+            # therefore every batch index downstream) matches the old
+            # per-batch writer, which emitted an empty parquet here
+            stage = os.path.join(src_dir, f"_stage{i}")
+            feed.limit(0).coalesce(1).write.mode("overwrite").parquet(stage)
+            os.rename(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+            shutil.rmtree(stage)
+        else:  # pragma: no cover - one hash partition per _b value
+            raise AssertionError(f"batch {i} split across {len(parts)} files")
         os.utime(dst, (t0 + i, t0 + i))
+    shutil.rmtree(staged_root)
