@@ -964,16 +964,36 @@ def x_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginal-matching face.
     """
     docs = tables(spark, sf_dir)["documents"].select("doc_id", "source", "lang")
-    cells = docs.groupBy("source", "lang").agg(
-        F.count("*").cast("long").alias("n")
-    )
-    ref = docs.where(F.col("doc_id") % 2 == 0)
-    rref = ref.groupBy("source").agg(F.count("*").cast("long").alias("rt"))
-    cref = ref.groupBy("lang").agg(F.count("*").cast("long").alias("ct"))
+    cells, rref, cref = _rake_inputs(docs)
     return rake_cell_weights(cells, rref, cref).orderBy("source", "lang")
 
 
 x_raking_weights.__doc__ = x_raking_weights.__doc__.format(r=_RAKE_ROUNDS)
+
+
+def _rake_inputs(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(cells, row_targets, col_targets) for the IPF faces from ONE corpus
+    scan instead of three: the per-cell aggregate carries both the full
+    count and the reference-half count, and the marginal targets are
+    metadata-scale roll-ups of that grid (rt = Σ_lang nref per source is
+    exactly the reference half's per-source count; sources/langs absent
+    from the reference surface as rt/ct = 0, the same 0 the old LEFT
+    JOIN + COALESCE produced). Eagerly checkpointed: the grid is
+    |sources|·|langs| rows with three consumers."""
+    cell_stats = (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("nref"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cells = cell_stats.select("source", "lang", "n")
+    rref = cell_stats.groupBy("source").agg(F.sum("nref").cast("long").alias("rt"))
+    cref = cell_stats.groupBy("lang").agg(F.sum("nref").cast("long").alias("ct"))
+    return cells, rref, cref
 
 
 def rake_cell_weights(
@@ -1001,25 +1021,29 @@ def rake_cell_weights(
     )
 
     def pass_(frame: DataFrame, key: str, target: str) -> DataFrame:
-        mass = frame.groupBy(key).agg(F.sum(F.col("n") * F.col("w")).alias("ms"))
-        return (
-            frame.join(F.broadcast(mass), key)
-            .select(
-                "source",
-                "lang",
-                "n",
-                "rt",
-                "ct",
-                F.coalesce(
-                    F.expr(
-                        f"(w * (({target} * {_RAKE_SC * _RAKE_SC}) DIV"
-                        f" nullif(ms, 0))) DIV {_RAKE_SC}"
-                    ),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("w"),
+        # Marginal mass as SUM() OVER (PARTITION BY key) instead of a
+        # groupBy + broadcast join back: the IPF grid is metadata-scale
+        # (|sources|·|langs| rows), and the join form planned one
+        # aggregate exchange + one broadcast build PER PASS — 16 shuffles
+        # / 32 broadcasts across the unrolled 3-round chain (PLANS_r14
+        # row). The window keeps one small exchange per pass and nothing
+        # else. Same sum over the same partition → bit-identical weights.
+        mass = F.sum(F.col("n") * F.col("w")).over(Window.partitionBy(key))
+        return frame.withColumn("ms", mass).select(
+            "source",
+            "lang",
+            "n",
+            "rt",
+            "ct",
+            F.coalesce(
+                F.expr(
+                    f"(w * (({target} * {_RAKE_SC * _RAKE_SC}) DIV"
+                    f" nullif(ms, 0))) DIV {_RAKE_SC}"
+                ),
+                F.lit(0),
             )
+            .cast("long")
+            .alias("w"),
         )
 
     for _ in range(rounds):
@@ -1414,12 +1438,7 @@ def x_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference contrast: no weighting surface in the reference; extends
     the §2.13 mixture/stats families with the weighted-statistics face."""
     docs = tables(spark, sf_dir)["documents"].select("doc_id", "source", "lang")
-    cells = docs.groupBy("source", "lang").agg(
-        F.count("*").cast("long").alias("n")
-    )
-    ref = docs.where(F.col("doc_id") % 2 == 0)
-    rref = ref.groupBy("source").agg(F.count("*").cast("long").alias("rt"))
-    cref = ref.groupBy("lang").agg(F.count("*").cast("long").alias("ct"))
+    cells, rref, cref = _rake_inputs(docs)
     weights = rake_cell_weights(cells, rref, cref).select(
         "source", "lang", F.col("weight_ppm").alias("w")
     )
