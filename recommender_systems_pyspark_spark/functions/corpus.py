@@ -158,14 +158,25 @@ def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. Documents with fewer than two words have no bigrams and drop
     out (same semantics both sides)."""
     t = tables(spark, sf_dir)
-    ws = F.split(F.col("text"), " ")
+    # Token array materialized BEFORE an exchange, bigram transform after
+    # it (the dedup.shingled fix): the inline split(text) form re-split
+    # the document 3× per bigram position under projection collapse —
+    # measured 3.8 s → 0.5 s warm at sf0.1 for this stage, which
+    # dominated x_corpus_e2e. The exchange also spreads the transform to
+    # full width instead of the single scan task.
+    toked = (
+        t["documents"]
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(
+            t["documents"].sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+    )
     bigrams = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 2),"
-        " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))"
+        "transform(sequence(0, size(toks) - 2),"
+        " i -> concat_ws(' ', toks[i], toks[i+1]))"
     )
     bg = (
-        t["documents"]
-        .where(F.size(ws) >= 2)
+        toked.where(F.size("toks") >= 2)
         .select("doc_id", F.explode(bigrams).alias("bigram"))
     )
     c = bg.groupBy("doc_id", "bigram").count()
@@ -645,12 +656,18 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key discipline as x_line_dedup, no skew (trigram frequencies
     are zipfian but the hot keys carry counts, not row lists)."""
     docs = tables(spark, sf_dir)["documents"]
-    g = docs.select(
+    # toks materialized before an exchange (the dedup.shingled fix): the
+    # inline split(text) form re-split the document once per trigram
+    # position under projection collapse.
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    g = toked.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(split(text, ' ')) - 3), "
-                "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                "transform(sequence(0, size(toks) - 3), "
+                "i -> concat_ws(' ', slice(toks, i + 1, 3)))"
             )
         ).alias("ngram"),
     )

@@ -76,23 +76,24 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # convergence flag rides the label frame (the hashmin shape):
+        # min-label updates are monotone, so "changed" is exactly
+        # "new < old" — one leaf-plan count instead of the old
+        # new-vs-old equi-join per round
+        new_col = F.least(
+            F.col("component"), F.coalesce("nbr_min", F.col("component"))
+        )
         new_labels = (
             labels.join(nbr, "id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
+                new_col.alias("component"),
+                (new_col < F.col("component")).alias("moved"),
             )
             .localCheckpoint()  # eager: truncates lineage AND materializes
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("moved")).count()
+        labels = new_labels.drop("moved")
         if changed == 0:
             break
     if changed != 0:

@@ -406,16 +406,22 @@ def x_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics.
     """
     docs = tables(spark, sf_dir)["documents"]
-    toks = F.split(F.col("text"), " ")
-    bigrams = docs.select(
+    # Token array materialized before an exchange (the dedup.shingled
+    # fix): the inline split(text) inside the transform re-split the
+    # document per bigram position; both the bigram fan-out and the
+    # positional postings below read the materialized ``toks`` column.
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    bigrams = toked.select(
         "doc_id",
         F.explode(
             F.when(
-                F.size(toks) >= 2,
+                F.size("toks") >= 2,
                 F.expr(
-                    "transform(sequence(0, size(split(text, ' ')) - 2),"
-                    " i -> struct(split(text, ' ')[i] AS t1,"
-                    "             split(text, ' ')[i+1] AS t2))"
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS t1,"
+                    "             toks[i+1] AS t2))"
                 ),
             ).otherwise(F.expr("array()"))
         ).alias("bg"),
@@ -431,8 +437,8 @@ def x_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Positional-index read path: posting list filtered to query terms,
     # then the adjacency equi-join (doc, pos+1).
-    postings = docs.select(
-        "doc_id", F.posexplode(toks).alias("pos", "term")
+    postings = toked.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
     )
     q_t1 = top_q.select(F.col("t1").alias("term")).distinct()
     q_t2 = top_q.select(F.col("t2").alias("term")).distinct()
