@@ -18,6 +18,30 @@ remains apples-to-apples with the r1 baseline; streaming-family entries
 already run on a fresh recycled session (the r13 fix) and stay single-run
 — their cost IS the per-trigger machinery, which a warm rerun would
 understate.
+
+Isolation policy (VERDICT r14 next-round #7): every batch RECORD_ONLY
+entry runs on its OWN recycled session (stop + fresh get_spark + the same
+tpch_q6 warmup tools/measure.py uses), because rows that followed the
+long sweep inflated up to 4x over their isolated truth even with the
+block-manager reclaim (x_dedup_e2e 17.0 s in-sweep vs 4.3 s isolated,
+same confs — OPTIMIZATION_r14 §5). The canonical ``queries`` figure is
+now the fresh-session steady-state pass, i.e. directly comparable to
+tools/measure.py. HEADLINE keeps its single shared session (its protocol
+is frozen against the r1 baseline). Methodology note for cross-round
+reads: r14 warm rows carry sweep-position residue; r15+ rows do not —
+OPTIMIZATION_r15.md records both protocols side by side for this round.
+
+Output contract (VERDICT r14 next-round #1): the driver's stdout capture
+keeps only the LAST ~2000 characters, so the full per-query line (first)
+lost its leading fields once ``queries`` outgrew the window — the driver
+parsed r10–r14 benches blind. stdout now ends with a SMALL final JSON
+line carrying the same metric/value/unit/sf plus a ``queries`` map
+restricted to a fixed rule-based subset that fits the window: HEADLINE
+plus every streaming-family entry (s\\d+_*, stream_*) plus every *_e2e
+composite (membership is code, not per-run choice — no per-run
+cherry-picking is possible). The FULL maps (every entry, plus
+``queries_cold``) stay on the first stdout line unchanged AND are written
+to BENCH_DETAIL.json next to this file.
 """
 
 from __future__ import annotations
@@ -337,9 +361,12 @@ def main() -> None:
     specs = all_queries()
 
     def run(name: str) -> float:
+        spark.sparkContext.setJobDescription(name)
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        spark.sparkContext.setJobDescription(None)
+        return dt
 
     # Streaming-family entries are split out of the batch sweep and run on
     # a RECYCLED session (VERDICT r12 #2 / what's-wrong fix): after ~100
@@ -395,22 +422,29 @@ def main() -> None:
         if name in specs:
             timings[name] = round(run(name), 4)
 
-    # Extension shapes: recorded, not summed (see RECORD_ONLY). The
-    # block-manager reclaim runs BETWEEN entries so each figure measures
-    # the query, not its predecessor's leftover memory pressure
-    # (VERDICT r7 #7: the phantom 3.87x on x_dedup_incremental).
-    # Each entry runs twice — cold first (recorded separately), then the
-    # canonical steady-state pass (see the cold/warm policy note above).
-    # Reclaim before BOTH passes: a first version reclaimed only before
-    # the cold pass, and checkpoint-heavy shapes then recorded a WARM
-    # figure slower than their cold one (x_scc_condensation 9.3 cold →
-    # 14.4 warm at sf0.1 — the warm run inherited its own cold run's
-    # truncated-lineage blocks, the r7 phantom all over again). The
-    # steady-state number must not carry the predecessor's memory
-    # pressure even when the predecessor is yourself.
+    # Extension shapes: recorded, not summed (see RECORD_ONLY). Each
+    # entry runs twice — cold first (recorded separately), then the
+    # canonical steady-state pass (see the cold/warm policy note above) —
+    # on its OWN fresh session (see the isolation policy note above: the
+    # reclaim()-between-entries protocol still let late-sweep rows
+    # inflate up to 4x over their fresh-session truth; a recycled session
+    # per entry makes the canonical row reproducible in isolation, the
+    # same shape tools/measure.py records). The reclaim between the cold
+    # and warm pass stays: checkpoint-heavy shapes otherwise record a
+    # WARM figure slower than their cold one (x_scc_condensation 9.3
+    # cold → 14.4 warm at sf0.1 — the warm run inherited its own cold
+    # run's truncated-lineage blocks, VERDICT r7 #7's phantom).
+    # Disk-published artifacts (centroid models, graph snapshots) were
+    # primed above and persist across sessions; session memos
+    # (SCC assignment, PQ codebooks, …) rebuild inside each entry's cold
+    # pass — reproducibly, never crossing entries.
     cold: dict[str, float] = {}
     for name in batch_only:
         if name in specs:
+            spark.stop()
+            spark = get_spark("spark-graft-bench")
+            spark.sparkContext.setLogLevel("ERROR")
+            run("tpch_q6")  # per-session warmup, same as tools/measure.py
             reclaim(spark)
             cold[name] = round(run(name), 4)
             reclaim(spark)
@@ -450,21 +484,49 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(out))
-    # Truncation-proof headline record (VERDICT r11 #2): the driver's
-    # tail-capture keeps only the END of long stdout, so the big line
-    # above can lose its leading metric/value fields once `queries` grows
-    # past the capture window (BENCH_r11.json physically lost the r11
-    # headline total). This short FINAL line always survives tail-capture
-    # and carries the baseline-comparison numbers on its own.
-    print(
-        json.dumps(
-            {
-                "headline_total": total,
-                "sf": sf,
-                "headline": {n: timings[n] for n in HEADLINE if n in timings},
-            }
-        )
+    # Full-detail sidecar (VERDICT r14 next-round #1): everything the
+    # stdout contract carries, in a file that cannot be tail-truncated.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump({"cpus": os.environ.get("SPARK_GRAFT_CPUS"), **out}, f)
+    except OSError:
+        pass  # read-only checkout: stdout still carries the full record
+    # Truncation-proof FINAL line (VERDICT r11 #2 / r14 next-round #1):
+    # the driver's tail-capture keeps only the last ~2000 characters of
+    # stdout (r08's 1.7 KB canonical line parsed; r10's+ did not), so the
+    # last line must be a SMALL parseable record. It carries the contract
+    # fields plus a `queries` map restricted to a FIXED rule-based subset
+    # that fits the window: HEADLINE + every streaming-family entry +
+    # every *_e2e composite. Membership is this code, identical every
+    # run — the full map is on the first line and in BENCH_DETAIL.json.
+    summary_names = [
+        n
+        for n in timings
+        if n in HEADLINE
+        or re.match(r"^(s\d+_|stream_)", n)
+        or n.endswith("_e2e")
+    ]
+    final_line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: timings[n] for n in summary_names},
+            "sf": sf,
+            "headline_total": total,
+        },
+        separators=(",", ":"),
     )
+    # Loud guard: if the subset ever outgrows the capture window, fail the
+    # run rather than silently handing the driver an unparseable record.
+    assert len(final_line) < 1900, (
+        f"final summary line {len(final_line)} chars — trim the subset rule"
+    )
+    print(final_line)
     spark.stop()
 
 

@@ -1231,7 +1231,11 @@ def condensation_levels(edges: DataFrame, scc: DataFrame | None = None) -> DataF
         .where(F.col("a") != F.col("b"))
         .select("a", "b")
         .distinct()
-        .localCheckpoint(eager=False)
+        # eager: the endpoint joins are DATA-scale (|sample edges|) and
+        # must run at session width — the peel below narrows the shuffle
+        # width to the condensation's metadata scale, and a lazy
+        # checkpoint would defer this build into that narrow scope
+        .localCheckpoint()
     )
 
     # ONE scalar collect per level (the graph-round-scalar pattern): the
@@ -1247,32 +1251,52 @@ def condensation_levels(edges: DataFrame, scc: DataFrame | None = None) -> DataF
     remaining, rem_edges = members, ce
     rows: list[tuple] = []
     lvl = 0
-    while True:
-        has_in = rem_edges.select(F.col("b").alias("scc_id")).distinct()
-        roots = remaining.join(has_in, "scc_id", "left_anti").localCheckpoint(
-            eager=False
-        )
-        r = roots.agg(
-            F.count("*").cast("long").alias("n_sccs"),
-            F.coalesce(F.sum("n_members"), F.lit(0)).cast("long").alias("n_members"),
-            F.coalesce(F.expr("bit_xor(scc_id)"), F.lit(0).cast("long")).alias(
-                "sccs_xor"
-            ),
-        ).collect()[0]
-        if r["n_sccs"] == 0:
-            if remaining.count() > 0:
-                raise RuntimeError(
-                    "cycle in SCC condensation — the SCC assignment is broken"
-                )
-            break
-        rows.append((lvl, r["n_sccs"], r["n_members"], r["sccs_xor"]))
-        remaining = remaining.join(
-            roots.select("scc_id"), "scc_id", "left_anti"
-        ).localCheckpoint(eager=False)
-        rem_edges = rem_edges.join(
-            remaining.select(F.col("scc_id").alias("a")), "a", "left_semi"
-        ).localCheckpoint(eager=False)
-        lvl += 1
+    # Peel at a shuffle width sized to the CONDENSATION's volume (#SCCs),
+    # not the session's core count — the strongly_connected_components /
+    # state_sized_partitions rule (§2.2): every level is a distinct +
+    # anti-join + semi-join over frames bounded by #SCCs, and 32-way
+    # exchanges of metadata-scale frames are pure task-scheduling
+    # latency × DAG depth. The materialized members count (one action,
+    # reused as the frame's checkpoint trigger) drives the same formula
+    # the SCC loop uses, so at 100 TB SCC counts this widens on its own.
+    n_scc = members.count()
+    loop_parts = max(
+        1,
+        min(int(spark.sparkContext.defaultParallelism) * 4, n_scc // 100_000 + 1),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        while True:
+            has_in = rem_edges.select(F.col("b").alias("scc_id")).distinct()
+            roots = remaining.join(has_in, "scc_id", "left_anti").localCheckpoint(
+                eager=False
+            )
+            r = roots.agg(
+                F.count("*").cast("long").alias("n_sccs"),
+                F.coalesce(F.sum("n_members"), F.lit(0))
+                .cast("long")
+                .alias("n_members"),
+                F.coalesce(F.expr("bit_xor(scc_id)"), F.lit(0).cast("long")).alias(
+                    "sccs_xor"
+                ),
+            ).collect()[0]
+            if r["n_sccs"] == 0:
+                if remaining.count() > 0:
+                    raise RuntimeError(
+                        "cycle in SCC condensation — the SCC assignment is broken"
+                    )
+                break
+            rows.append((lvl, r["n_sccs"], r["n_members"], r["sccs_xor"]))
+            remaining = remaining.join(
+                roots.select("scc_id"), "scc_id", "left_anti"
+            ).localCheckpoint(eager=False)
+            rem_edges = rem_edges.join(
+                remaining.select(F.col("scc_id").alias("a")), "a", "left_semi"
+            ).localCheckpoint(eager=False)
+            lvl += 1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.createDataFrame(
         rows, "level int, n_sccs long, n_members long, sccs_xor long"
     )

@@ -448,7 +448,7 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor-mode update."""
     edges = cached_copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    labels = lpa_labels(edges, _LP_ITERS)
+    labels = cached_lpa_labels(spark, sf_dir)
     return (
         labels.join(deg, labels["node"] == deg["src"])
         .groupBy(F.col("label").alias("community"))
@@ -462,6 +462,35 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x_label_propagation.__doc__ = x_label_propagation.__doc__.format(iters=_LP_ITERS)
+
+
+#: Per-(session, sf_dir) memo of the 3-round LPA community assignment
+#: (the cached_scc_assignment pattern — guide §5, multi-consumer
+#: artifact): x_label_propagation and x_graph_modularity both run the
+#: identical lpa_labels(cached_copurchase_edges, _LP_ITERS) chain — each
+#: paid the full 3-round join/agg loop per query (~3 s of both rows'
+#: ~3–5 s isolated warm). First consumer in a session pays it
+#: reproducibly in its cold row; in-session only, never disk.
+_LPA_MEMO: dict[tuple, DataFrame] = {}
+
+
+def cached_lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) for the co-purchase graph after ``_LP_ITERS``
+    synchronous LPA rounds, computed once per (session, sf_dir) and
+    eagerly localCheckpoint-ed (multi-consumer rule; a lazy checkpoint
+    reused across invocations hits the AQE stale-accumulator failure)."""
+    import os
+
+    from ..memo import session_memo
+
+    return session_memo(
+        _LPA_MEMO,
+        spark,
+        (os.path.normpath(sf_dir), _LP_ITERS),
+        lambda: lpa_labels(
+            cached_copurchase_edges(spark, sf_dir), _LP_ITERS
+        ).localCheckpoint(),
+    )
 
 
 def lpa_labels(edges: DataFrame, iters: int) -> DataFrame:
@@ -572,7 +601,7 @@ def x_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg, E as a broadcast one-row aggregate; top-k via
     TakeOrderedAndProject. Linear in |edges| beyond LPA itself."""
     edges = cached_copurchase_edges(spark, sf_dir)
-    labels = lpa_labels(edges, _LP_ITERS).localCheckpoint(eager=True)
+    labels = cached_lpa_labels(spark, sf_dir)
     etot = edges.agg(F.count("*").alias("e"))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     cdeg = (
@@ -609,6 +638,12 @@ def x_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("contrib_num"),
         )
+        # eager checkpoint: TWO consumers (top, total) — unchecked, the
+        # whole intra/cdeg join subtree planned and ran twice (the r15
+        # before-plan is 606 lines / 42 Exchange, exactly double the
+        # after's); contrib is one row per community, so the
+        # materialization is metadata-sized (guide §5)
+        .localCheckpoint()
     )
     top = contrib.orderBy(F.col("n_members").desc(), "community").limit(_MOD_TOP)
     total = contrib.agg(

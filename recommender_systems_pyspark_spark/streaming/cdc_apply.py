@@ -152,38 +152,22 @@ def s12_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys absent). The oracle is the one-shot ``arg_max`` over the whole
     feed — equality certifies the incremental materialization converges
     to the batch answer regardless of micro-batch boundaries."""
-    import glob
-
     d = tempfile.mkdtemp(prefix="s12_cdc_")
     src, state = f"{d}/src", f"{d}/state"
     try:
         feed = changefeed(spark, sf_dir)
-        os.makedirs(src, exist_ok=True)
         # stage version-quartile files with increasing mtimes so the file
-        # source replays the feed in version order (one scalar collect)
-        max_v = feed.agg(F.max("version")).collect()[0][0]
-        span = (max_v + _N_BATCHES) // _N_BATCHES
-        # one partitioned write instead of _N_BATCHES filtered re-scans
-        # (staging.stage_ordered_files' single-pass shape; version DIV span
-        # is the exact integer arithmetic of the old range predicates, and
-        # the per-batch max_by fold is row-order-insensitive)
-        staged_root = os.path.join(src, "_staged")
-        (
-            feed.withColumn("_b", F.expr(f"version DIV {span}"))
-            .repartition(_N_BATCHES, "_b")
-            .write.partitionBy("_b")
-            .mode("overwrite")
-            .parquet(staged_root)
-        )
-        t0 = 1_700_000_000
-        for i in range(_N_BATCHES):
-            part = glob.glob(
-                os.path.join(staged_root, f"_b={i}", "part-*.parquet")
-            )[0]
-            dst = os.path.join(src, f"batch{i}.parquet")
-            os.rename(part, dst)
-            os.utime(dst, (t0 + i, t0 + i))
-        shutil.rmtree(staged_root)
+        # source replays the feed in version order — via the SHARED
+        # single-pass stager (ADVICE r14 #1/#2: the inline copy dropped
+        # stage_ordered_files' empty-span fallback — a sparse version
+        # space would IndexError where the old per-batch writer staged a
+        # 0-row parquet — and its non-negative-key guard, under which a
+        # negative version would silently land in batch 0 where the old
+        # range predicates dropped it). Identical DIV-span arithmetic;
+        # the per-batch max_by fold is row-order-insensitive.
+        from .staging import stage_ordered_files
+
+        stage_ordered_files(feed, "version", _N_BATCHES, src)
         stream = (
             spark.readStream.schema(
                 "user_id bigint, version bigint, value double, op string"
@@ -191,17 +175,24 @@ def s12_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
+        # per-batch shuffles (state read ∪ batch → grouped max_by → state
+        # write) sized to the state volume, not session width — the §2.2
+        # rule every stateful face applies (VERDICT r14 next-round #8's
+        # foreachBatch generalization)
+        from .staging import state_sized_partitions
+
         q = (
             stream.writeStream.foreachBatch(
                 lambda batch_df, epoch_id: apply_cdc_batch(batch_df, state, epoch_id)
             )
             .option("checkpointLocation", f"{d}/ck")
-            .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with state_sized_partitions(spark):
+            qq = q.start()
+            try:
+                qq.processAllAvailable()
+            finally:
+                qq.stop()
         final = (
             spark.read.parquet(state)
             .where(F.col("op") != "D")

@@ -101,22 +101,8 @@ def s9_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events").select("user_id", "value").repartition(
             4
         ).write.mode("overwrite").parquet(src)
-        stream = (
-            spark.readStream.schema("user_id bigint, value double")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        q = (
-            stream.writeStream.foreachBatch(
-                lambda batch_df, _id: upsert_batch(batch_df, state)
-            )
-            .option("checkpointLocation", f"{d}/ck")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        # same stream lifetime s11 runs (incl. the §2.2 state-width conf)
+        _run_upsert_stream(spark, src, state, f"{d}/ck")
         final = spark.read.parquet(state).select(
             "user_id",
             "n_events",
@@ -136,45 +122,39 @@ def s9_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stage_user_files(spark: SparkSession, sf_dir: str, src: str, buckets) -> None:
     """Stage ``user_id % 4 == i`` slices as single-file parquets with
-    strictly increasing mtimes (file-source order is mtime-based)."""
-    import glob
-
-    from pyspark.sql import functions as F
+    strictly increasing mtimes (file-source order is mtime-based) — ONE
+    partitioned write per call instead of len(buckets) filtered re-scans
+    (the shared stager, guide §1.2/§6; it also stages a 0-row file for an
+    empty residue class where the old loop raised IndexError)."""
+    from .staging import stage_keyed_files
 
     os.makedirs(src, exist_ok=True)
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    t0 = 1_700_000_000
-    for i in buckets:
-        stage = os.path.join(src, f"_stage{i}")
-        ev.where(F.col("user_id") % 4 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"batch{i}.parquet")
-        os.rename(part, dst)
-        shutil.rmtree(stage)
-        os.utime(dst, (t0 + i, t0 + i))
+    stage_keyed_files(ev, F.col("user_id") % 4, buckets, src)
 
 
 def _run_upsert_stream(spark: SparkSession, src: str, state: str, ck: str) -> None:
     """One stream lifetime against ``src``: file source (1 file per
-    micro-batch) → foreachBatch merge-upsert → graceful stop."""
+    micro-batch) → foreachBatch merge-upsert → graceful stop. Per-batch
+    shuffles (batch agg + state merge join + state write) run at
+    state-volume width, not session width (§2.2 — VERDICT r14 next-round
+    #8: s9/s11 were the last foreachBatch faces at session width)."""
+    from .staging import state_sized_partitions
+
     stream = (
         spark.readStream.schema("user_id bigint, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch_df, _id: upsert_batch(batch_df, state)
-        )
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    w = stream.writeStream.foreachBatch(
+        lambda batch_df, _id: upsert_batch(batch_df, state)
+    ).option("checkpointLocation", ck)
+    with state_sized_partitions(spark):
+        q = w.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
 
 @query(

@@ -50,7 +50,6 @@ the same plan runs against Kafka with the identical watermark semantics
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import tempfile
@@ -77,24 +76,16 @@ def _stage_batches(spark: SparkSession, sf_dir: str, src: str) -> None:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
-    # one partitioned write instead of _N_BATCHES filtered re-scans
-    # (staging.stage_ordered_files' single-pass shape; the watermark
-    # aggregation downstream is row-order-insensitive within a batch)
-    staged_root = os.path.join(src, "_staged")
-    (
-        ev.withColumn("_b", F.col("user_id") % _N_BATCHES)
-        .repartition(_N_BATCHES, "_b")
-        .write.partitionBy("_b")
-        .mode("overwrite")
-        .parquet(staged_root)
-    )
-    t0 = 1_700_000_000  # any fixed epoch; only the ORDER matters
-    for i in range(_N_BATCHES):
-        part = glob.glob(os.path.join(staged_root, f"_b={i}", "part-*.parquet"))[0]
-        dst = os.path.join(src, f"batch{i}.parquet")
-        os.rename(part, dst)
-        os.utime(dst, (t0 + i, t0 + i))
-    shutil.rmtree(staged_root)
+    # one partitioned write instead of _N_BATCHES filtered re-scans, via
+    # the shared stager (VERDICT r14 what's-wrong #3: the inline copy had
+    # no empty-residue fallback — glob(...)[0] would IndexError where the
+    # old per-batch writer staged a 0-row parquet; stage_keyed_files
+    # carries the fallback). The watermark aggregation downstream is
+    # row-order-insensitive within a batch. user_id % N is total on the
+    # feed, so no row can fall outside the staged id set.
+    from .staging import stage_keyed_files
+
+    stage_keyed_files(ev, F.col("user_id") % _N_BATCHES, range(_N_BATCHES), src)
 
 
 @query(

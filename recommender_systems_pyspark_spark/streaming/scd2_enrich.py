@@ -86,8 +86,6 @@ def s13_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the one-shot batch bitemporal join (same as
     ``x_scd2_event_enrich``) — equality certifies the streaming path
     converges to the batch answer regardless of micro-batch boundaries."""
-    import glob
-
     from ..functions.warehouse import scd2_history
 
     d = tempfile.mkdtemp(prefix="s13_scd2_")
@@ -109,36 +107,31 @@ def s13_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         facts = ev.where(F.col("event_type") == "purchase").select(
             "event_id", "user_id", "ts"
         )
-        os.makedirs(src, exist_ok=True)
-        max_v = facts.agg(F.max("event_id")).collect()[0][0]
-        span = (max_v + _N_BATCHES) // _N_BATCHES
-        t0 = 1_700_000_000
-        for i in range(_N_BATCHES):
-            stage = os.path.join(src, f"_stage{i}")
-            facts.where(
-                (F.col("event_id") >= i * span) & (F.col("event_id") < (i + 1) * span)
-            ).coalesce(1).write.mode("overwrite").parquet(stage)
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"batch{i}.parquet")
-            os.rename(part, dst)
-            shutil.rmtree(stage)
-            os.utime(dst, (t0 + i, t0 + i))
+        # ONE partitioned write instead of _N_BATCHES filtered re-scans —
+        # the r14 staging rewrite (guide §1.2/§6) that this face missed;
+        # stage_ordered_files is the identical DIV-span arithmetic plus
+        # the empty-span fallback and non-negative-key guard. Each batch
+        # is enriched independently (static dimension), so within-file
+        # row order cannot change the accumulated result.
+        from .staging import stage_ordered_files, state_sized_partitions
+
+        stage_ordered_files(facts, "event_id", _N_BATCHES, src)
         stream = (
             spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp_ntz")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = (
-            stream.writeStream.foreachBatch(
-                lambda batch_df, _id: enrich_batch(batch_df, hist, out)
-            )
-            .option("checkpointLocation", f"{d}/ck")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        # per-batch join/write shuffles sized to the batch volume, not
+        # session width (§2.2 — VERDICT r14 next-round #8)
+        q = stream.writeStream.foreachBatch(
+            lambda batch_df, _id: enrich_batch(batch_df, hist, out)
+        ).option("checkpointLocation", f"{d}/ck")
+        with state_sized_partitions(spark):
+            qq = q.start()
+            try:
+                qq.processAllAvailable()
+            finally:
+                qq.stop()
         final = spark.read.parquet(out).orderBy("event_id")
         return final.localCheckpoint(eager=True)
     finally:

@@ -198,39 +198,46 @@ def test_grade_first_names_are_registered():
     assert not missing, f"_GRADE_FIRST names not in registry: {missing}"
 
 
-def test_round14_queue_fits_the_grading_window():
-    """VERDICT r13 next-step #1's done-bar depends on the 8 r7-vintage
-    queries (the rows CHANGES_r13 wrongly claimed drained) landing inside
-    the driver's 50-slot grading window THIS round. A later insertion at
-    the head of _GRADE_FIRST could silently push them past the cut —
-    this pins the invariant."""
+def test_round15_touched_queries_fit_the_grading_window():
+    """Round 15 is an optimization round: every query path its
+    optimizations touch must land inside the driver's 50-slot grading
+    window so the driver re-certifies exactly what changed (the r14-era
+    twin of this test pinned the r7-vintage drain, which CORRECTNESS_r14
+    now records — test_vintage_floor_is_mechanical keeps checking that
+    history mechanically). A later insertion at the head of _GRADE_FIRST
+    could silently push these past the cut — this pins the invariant."""
     from recommender_systems_pyspark_spark.registry import all_queries
 
     window = set(list(all_queries())[:50])
-    r7_vintage = {
-        "x_dedup_shingle_pairs", "x_dedup_substring", "x_doc_stats_by_lang",
-        "x_embed_neardup_pairs", "x_embed_neardup_multiprobe",
-        "x_fingerprint", "x_media_features", "x_media_frame_sample",
+    touched_r15 = {
+        "x_source_overlap_kmv", "x_fd_profile_approx", "x_graph_modularity",
+        "x_label_propagation", "x_semdedup", "x_semdedup_incremental",
+        "x_ingest_gate_e2e", "s9_foreach_upsert", "s11_restart_recovery",
+        "s12_cdc_apply", "s13_stream_scd2_enrich", "s10_late_data_audit",
+        "x_scc_condensation", "x_graph_scc",
     }
-    missing = r7_vintage - window
-    assert not missing, f"r7-vintage entries pushed past slot 50: {sorted(missing)}"
+    missing = touched_r15 - window
+    assert not missing, f"touched entries pushed past slot 50: {sorted(missing)}"
 
 
 #: Queries the round-14 window DEFERS to round 15 (the declared r15
 #: queue — see the _GRADE_FIRST block comment for the deferral rationale).
+#: The 28 r9-vintage rows the round-15 window cannot fit (50 slots −
+#: 14 touched-by-optimization re-certifications − the 15 remaining
+#: r8-vintage rows − 21 oldest r9 rows; see registry._GRADE_FIRST's
+#: block comment). All alphabetically AFTER the 21 r9 rows that did fit
+#: — the mechanical oldest-first/alphabetical rule, no hand-picking.
 DECLARED_NEXT_QUEUE = {
-    "x_bloom_decontaminate", "x_dsir_select", "x_decontam_e2e",
-    "x_ingest_gate_e2e", "x_kcore_layers", "x_label_propagation",
-    "ml_als_top_recs", "ml_user_crud_flow",
-    "ml_synthetic_weighted_ratings", "x_ivf_recall",
-    "x_bucketed_join",  # displaced by the x_auc_rank first grade
-    "x_zorder_pruning_gain",  # displaced by the x_bootstrap_ci first grade
-    "x_zorder_cells",  # displaced by the x_dp_bounded_contribution grade
-    "x_text_tfidf_top_terms",  # displaced by s22_stream_quantile_rollup
-    "x_text_scrub",  # displaced by x_range_partition_balance
-    "x_text_chunking",  # displaced by s23_stream_static_anti
-    "x_text_bpe_tokens",  # displaced by x_media_hash_agreement
-    "s11_restart_recovery",  # displaced by x_weighted_quantile
+    "x_embed_rp_project", "x_fingerprint_winnow", "x_forget_users",
+    "x_hybrid_rrf", "x_json_agg_by_bucket", "x_json_extract_typed",
+    "x_length_bucketing", "x_levenshtein_blocked", "x_line_dedup",
+    "x_media_ahash_pairs", "x_media_resize", "x_mixture_interleave",
+    "x_quality_gopher", "x_quality_logit", "x_quota_sample",
+    "x_random_walks", "x_retention_cohorts", "x_schema_evolution",
+    "x_seq_packing", "x_sessionize_stats", "x_shard_assign",
+    "x_snapshot_diff", "x_stopword_prune", "x_target_encoding",
+    "x_text_repetition", "x_triangle_count", "x_tvd_drift",
+    "x_vocab_coverage",
 }
 
 
