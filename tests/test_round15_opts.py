@@ -101,10 +101,15 @@ def test_embeddings_vec_ids_subset_of_doc_ids(spark, sf):
     assert stray == 0
 
 
-def test_kmv_membership_pairs_match_self_join(spark):
-    """The exact-intersection tier's membership-set expansion must count
-    exactly what the old h-keyed self-join counted, including sources
-    sharing no shingle (absent pair) and 3+-way shared shingles."""
+def test_kmv_bitmask_pairs_match_self_join(spark):
+    """The exact-intersection tier's bit-packed membership pass must
+    count exactly what the old h-keyed self-join counted, including
+    sources sharing no shingle (absent pair) and 3+-way shared
+    shingles."""
+    from recommender_systems_pyspark_spark.functions.dedup import (
+        _kmv_exact_inter,
+    )
+
     rows = [
         ("a", "h1"), ("b", "h1"), ("c", "h1"),   # 3-way share
         ("a", "h2"), ("b", "h2"),                 # 2-way
@@ -112,6 +117,7 @@ def test_kmv_membership_pairs_match_self_join(spark):
         ("c", "h4"), ("b", "h4"),                 # unsorted arrival order
     ]
     hashed = spark.createDataFrame(rows, "source string, h string")
+    sizes = hashed.groupBy("source").agg(F.count("*").alias("n"))
     old = (
         hashed.alias("x")
         .join(
@@ -121,26 +127,28 @@ def test_kmv_membership_pairs_match_self_join(spark):
         .groupBy(F.col("x.source").alias("a"), F.col("y.source").alias("b"))
         .agg(F.count("*").alias("n"))
     )
-    new = (
-        hashed.groupBy("h")
-        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
-        .where(F.size("srcs") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(srcs, (a, i) ->"
-                    " transform(slice(srcs, i + 2, size(srcs) - i - 1),"
-                    " b -> struct(a AS source_a, b AS source_b))))"
-                )
-            ).alias("p")
-        )
-        .groupBy(F.col("p.source_a").alias("a"), F.col("p.source_b").alias("b"))
-        .agg(F.count("*").alias("n"))
-    )
-    to_set = lambda df: {(r.a, r.b, r.n) for r in df.collect()}  # noqa: E731
+    new = _kmv_exact_inter(hashed, sizes)
     expect = {("a", "b", 2), ("a", "c", 1), ("b", "c", 2)}
-    assert to_set(old) == expect
-    assert to_set(new) == expect
+    assert {(r.a, r.b, r.n) for r in old.collect()} == expect
+    assert {
+        (r.source_a, r.source_b, r.exact_inter) for r in new.collect()
+    } == expect
+
+
+def test_kmv_bitmask_raises_past_63_sources(spark):
+    """The bit-packed audit tier must fail LOUDLY past 63 sources, never
+    corrupt a mask silently."""
+    from py4j.protocol import Py4JJavaError
+
+    from recommender_systems_pyspark_spark.functions.dedup import (
+        _kmv_exact_inter,
+    )
+
+    rows = [(f"s{i:03d}", "h1") for i in range(64)]
+    hashed = spark.createDataFrame(rows, "source string, h string")
+    sizes = hashed.groupBy("source").agg(F.count("*").alias("n"))
+    with pytest.raises(Py4JJavaError, match="at most 63 sources"):
+        _kmv_exact_inter(hashed, sizes).collect()
 
 
 def test_cached_lpa_labels_memo_and_equivalence(spark):
