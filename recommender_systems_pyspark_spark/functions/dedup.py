@@ -1396,7 +1396,15 @@ def x_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse broke and the fold ran per consumer — spread+checkpoint is
     # the fast shape).
     hashed = (
+        # eager checkpoint BEFORE the explode: Generate over the
+        # in-lineage shingle transform re-evaluates the array expression
+        # pathologically even with a single consumer (the r14 §1.2
+        # finding, measured HERE in r15: the hashed build read 6.5 s warm
+        # inline vs 1.1 s exploding the materialized array — this one
+        # node was the whole row's dominator, not the exact tier r14
+        # suspected).
         shingled(t["documents"], "source")
+        .localCheckpoint()
         .select("source", F.explode("sh").alias("sh"))
         .select("source", F.md5(F.col("sh")).alias("h"))
         .distinct()
@@ -1406,7 +1414,13 @@ def x_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    sizes = hashed.groupBy("source").agg(F.count("*").alias("n"))
+    # eager checkpoint: FOUR consumers in the final plan (both pair-frame
+    # sides, the exact tier's bit assignment, and the output columns) —
+    # unpinned, each re-aggregated the full hashed universe; the frame is
+    # #sources rows (multi-consumer rule, guide §5)
+    sizes = (
+        hashed.groupBy("source").agg(F.count("*").alias("n")).localCheckpoint()
+    )
 
     # Two-stage k-min: salt bounds the per-task sort; stage 2 ranks the
     # <= 32k survivors per source. Output is the exact k-min either way.
